@@ -1,0 +1,45 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated synthetic tables (TESTDATA.md).
+  *
+  * Each table is a single parquet file under the scale-factor directory.
+  * Reads are plain `spark.read.parquet` so Catalyst handles column
+  * pruning + predicate pushdown; at cluster scale these would be
+  * directory-partitioned datasets and the same code applies unchanged.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot represent
+    * natively; read it as a long (legacy conf) and truncate to micros.
+    * Set per-read so the session the driver builds needs no special conf.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            (org.apache.spark.sql.functions.col("ts") / 1000L)
+              .cast("long")))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}
