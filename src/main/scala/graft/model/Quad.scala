@@ -1,0 +1,57 @@
+package graft.model
+
+/** The engine's fundamental record: an RDF quad (named-graph triple).
+  *
+  * Mirrors the reference's data model where every statement lives in a
+  * named graph (`/root/reference/airflow_files/dags/sparql_update.py:108-122`
+  * wraps all inserts in `INSERT DATA { GRAPH <g> { ... } }`) and terms are
+  * IRIs, blank nodes, or (typed / language-tagged) literals
+  * (`/root/reference/airflow_files/dags/parse_functions.py:83,98-105`).
+  *
+  * Representation choices (SURVEY.md §1.1–1.2):
+  *  - flat `String` columns → columnar-friendly at rest (parquet),
+  *    codegen-friendly in flight;
+  *  - blank nodes are encoded in the value with a `_:` prefix, so
+  *    subject needs no separate kind column;
+  *  - `oKind ∈ {iri, bnode, literal}` discriminates object terms;
+  *  - plain literals have `oType = null`; RDF 1.1 semantics: a literal
+  *    typed `xsd:string` is normalized to a plain literal;
+  *  - `oLang` carries the language tag for `STRLANG`-produced literals.
+  */
+case class Quad(
+    graph: String,
+    s: String,
+    p: String,
+    o_value: String,
+    o_type: String,
+    o_lang: String,
+    o_kind: String)
+
+object Quad {
+  val KindIri = "iri"
+  val KindBnode = "bnode"
+  val KindLiteral = "literal"
+
+  val BnodePrefix = "_:"
+
+  object xsd {
+    val ns = "http://www.w3.org/2001/XMLSchema#"
+    val integer: String = ns + "integer"
+    val double: String = ns + "double"
+    val boolean: String = ns + "boolean"
+    val string: String = ns + "string"
+    val dateTime: String = ns + "dateTime"
+  }
+
+  def iri(graph: String, s: String, p: String, o: String): Quad =
+    Quad(graph, s, p, o, null, null, KindIri)
+
+  def lit(graph: String, s: String, p: String, v: String): Quad =
+    Quad(graph, s, p, v, null, null, KindLiteral)
+
+  def typed(graph: String, s: String, p: String, v: String, dt: String): Quad =
+    // RDF 1.1: xsd:string-typed literal == plain literal
+    Quad(graph, s, p, v, if (dt == xsd.string) null else dt, null, KindLiteral)
+
+  def isBnode(term: String): Boolean = term != null && term.startsWith(BnodePrefix)
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.JsonFlattener
+import graft.model.{GraphStore, Quad}
+import graft.rdf.NTriples
+import graft.util.Tables
+
+/** Driver-visible query entries exercising the RDF path (SURVEY.md §2.1–2.2)
+  * against the synthetic tables: the JSON→quads flattener (T1), N-Triples
+  * round-trip (S4/S5), and the partitioned GraphStore (S6/S9, Q13).
+  *
+  * `events.props` is the schema-less JSON input; the DuckDB oracles
+  * re-derive the same facts with JSON SQL functions.
+  */
+object RdfOps {
+
+  private val ns = "http://localhost/"
+  private val graph = "https://data.example.org/graph/events"
+
+  private def propQuads(s: SparkSession, d: String) =
+    JsonFlattener.flatten(Tables.events(s, d), "props", graph, ns)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T1: direct mapping — predicate IRIs minted from JSON keys
+    "rdf_flatten_predicates" -> ((s, d) => {
+      propQuads(s, d).toDF()
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("p"))
+    }),
+
+    // T1: typed-literal values survive flattening (xsd:integer)
+    "rdf_flatten_typed_values" -> ((s, d) => {
+      propQuads(s, d).toDF()
+        .filter(col("p") === ns + "k" && col("o_type") === Quad.xsd.integer)
+        .agg(round(avg(col("o_value").cast("long")), 4).as("avg_k"),
+          max(col("o_value").cast("long")).as("max_k"),
+          count(lit(1)).as("n"))
+    }),
+
+    // S5 + S4: serialize to N-Triples lines, parse back, count survivors
+    "rdf_ntriples_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val lines = NTriples.toLines(propQuads(s, d).toDF()).as[String]
+      val back = lines.mapPartitions(
+        _.flatMap(l => Option(NTriples.parseLine(l, graph))))
+      back.toDF()
+        .agg(count(lit(1)).as("n_quads"),
+          countDistinct(col("s")).as("n_subjects"))
+    }),
+
+    // S6/S9/Q13: store lifecycle — append, clear, re-append, scoped read
+    "rdf_store_lifecycle" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-store-${System.nanoTime()}"
+      val store = new GraphStore(s, dir)
+      val quads = propQuads(s, d).toDF()
+      store.append(quads)
+      store.clearGraph(graph)          // truncate = partition delete
+      store.append(quads)              // reload
+      store.readGraphs(Seq(graph))     // scoped read = partition pruning
+        .groupBy(col("graph"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("graph"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "rdf_flatten_predicates" ->
+      s"""SELECT p, count(*) AS n FROM (
+            SELECT '$ns' || unnest(json_keys(props)) AS p FROM events)
+          GROUP BY p ORDER BY p""",
+    "rdf_flatten_typed_values" ->
+      """SELECT round(avg(k), 4) AS avg_k, max(k) AS max_k, count(*) AS n
+         FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events) t WHERE k IS NOT NULL""",
+    "rdf_ntriples_roundtrip" ->
+      """SELECT count(*) AS n_quads, count(*) AS n_subjects FROM events
+         WHERE props IS NOT NULL""",
+    "rdf_store_lifecycle" ->
+      s"""SELECT '$graph' AS graph, count(*) AS n FROM events
+          WHERE props IS NOT NULL""")
+}
