@@ -52,6 +52,19 @@ object RdfOps {
           countDistinct(col("s")).as("n_subjects"))
     }),
 
+    // S7/Q1-Q15: the full reference pipeline — ingest fixture sources,
+    // run all 16 mapping queries, return the merged organizations graph.
+    // Fixture-driven (rows-only check); golden assertions in MappingSpec.
+    "rdf_mapping_pipeline" -> ((s, _) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-kg-${System.nanoTime()}"
+      val store = graft.queries.Fixtures.ingestAll(s, dir)
+      val p = new graft.pipeline.Pipeline(store)
+      p.runMappings()
+      p.addProvenance("bench-run", "2026-01-01T00:00:00")
+      store.readGraphs(Seq(graft.queries.ReferenceMappings.gOrganizations))
+        .orderBy(col("s"), col("p"), col("o_value"))
+    }),
+
     // S6/S9/Q13: store lifecycle — append, clear, re-append, scoped read
     "rdf_store_lifecycle" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-store-${System.nanoTime()}"

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+import graft.model.{GraphStore, Quad}
+import graft.queries.ReferenceMappings._
+import graft.sparql.{Algebra, Compiler}
+
+/** The reference DAG re-expressed as a driver-side task sequence
+  * (SURVEY.md §3.3): clear staging → ingest → clear target → 16 mapping
+  * queries → provenance → drop staging → compact.
+  *
+  * Differences from the reference, by design:
+  *  - the per-record INSERT round-trip
+  *    (`load_knowledge_graph.py:152-154`, self-flagged TODO `:210-211`)
+  *    becomes one distributed append per source;
+  *  - the 16 mapping queries all scan the same 5 staging graphs, so the
+  *    scoped quad sets are cached once (MEMORY_AND_DISK) for the whole
+  *    mapping phase instead of re-read 16 times (SURVEY.md §4.2);
+  *  - mapping outputs are unioned and set-merged once into the target
+  *    graph — order-independent, one shuffle — rather than 16 sequential
+  *    endpoint updates.
+  */
+final class Pipeline(store: GraphStore) {
+
+  val stagingGraphs: Seq[String] =
+    Seq(gLdap, gTlUsers, gTlCompanies, gTlCustomFields, gMamTenants)
+
+  /** Clear staging graphs (tasks c1–c4) + target (task c). */
+  def clearAll(): Unit = {
+    (stagingGraphs :+ gOrganizations).foreach(store.clearGraph)
+    store.clearGraph(gProvenance)
+  }
+
+  /** Run every mapping task and merge the results into the target graph
+    * with one set-semantics append (single job — no per-query action). */
+  def runMappings(queries: Seq[Algebra.MappingQuery] = all): Unit = {
+    // one cached scan per distinct USING set, shared by all queries on it
+    val scopeCache = scala.collection.mutable.Map.empty[Seq[String], DataFrame]
+    def scoped(graphs: Seq[String]): DataFrame =
+      scopeCache.getOrElseUpdate(graphs.sorted, {
+        val df = store.readGraphs(graphs)
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        df
+      })
+
+    val results: Seq[DataFrame] = queries.map { q =>
+      Compiler.run(q, scoped(q.usingGraphs))
+    }
+    val union = results.reduce(_.unionByName(_))
+    store.appendDistinct(union)
+    scopeCache.values.foreach(_.unpersist())
+  }
+
+  /** PROV-O lineage (task mp, `load_knowledge_graph.py:510-545`). */
+  def addProvenance(runId: String, startedAt: String): Unit = {
+    val prov = "http://www.w3.org/ns/prov#"
+    val etl = "https://data.hetarchief.be/ns/etl/"
+    val etlId = "https://data.hetarchief.be/id/etl/"
+    val rdfType = Algebra.dsl.rdfType
+    val result = gOrganizations
+    val run = etlId + urlEncodePlus(runId)
+    val sources = Seq(gTlCompanies, gTlUsers, gLdap)
+    store.insertData(
+      sources.map(src => Quad.iri(gProvenance, result, prov + "wasDerivedFrom", src)) ++
+      Seq(
+        Quad.iri(gProvenance, result, prov + "wasGeneratedBy", run),
+        Quad.iri(gProvenance, run, rdfType, prov + "Activity"),
+        Quad.iri(gProvenance, run, rdfType, etl + "SparkRun"),
+        Quad.iri(gProvenance, run, prov + "generated", result),
+        Quad.iri(gProvenance, run, prov + "used", etl + "ApacheSpark"),
+        Quad.typed(gProvenance, run, prov + "startedAtTime", startedAt,
+          Quad.xsd.dateTime)))
+  }
+
+  /** Drop staging graphs (d1–d5) + compact the target (opt task). */
+  def finish(): Unit = {
+    stagingGraphs.foreach(store.dropGraph)
+    store.compact(gOrganizations)
+  }
+
+  /** Full run over already-ingested staging graphs. */
+  def run(runId: String, startedAt: String): Unit = {
+    store.clearGraph(gOrganizations)
+    runMappings()
+    addProvenance(runId, startedAt)
+    finish()
+  }
+
+  /** python urllib.parse.quote_plus — used by the reference to mint the
+    * run IRI (`load_knowledge_graph.py:55`). */
+  private def urlEncodePlus(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+}

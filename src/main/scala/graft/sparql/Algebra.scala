@@ -1,0 +1,92 @@
+package graft.sparql
+
+/** Relational algebra for the SPARQL-update subset the reference uses
+  * (SURVEY.md §2.3 Q1–Q15). A mapping query is:
+  *
+  *   `WITH <target> INSERT { template } USING g1 USING g2 WHERE { group }`
+  *
+  * The WHERE group is evaluated left-to-right (SPARQL's sequential group
+  * semantics — BIND introduces its variable at its position in the group),
+  * producing a binding table with one term-struct column per variable;
+  * the INSERT template emits one quad per (template triple × binding row)
+  * where all three slots are bound (Q10 partial-template semantics).
+  */
+object Algebra {
+
+  // ---- pattern nodes -------------------------------------------------
+  sealed trait Node
+  /** variable slot */
+  final case class V(name: String) extends Node
+  /** constant IRI */
+  final case class I(iri: String) extends Node
+  /** constant literal (dt normalized: xsd:string → null) */
+  final case class L(value: String, dt: String = null, lang: String = null) extends Node
+
+  final case class TriplePattern(s: Node, p: Node, o: Node) {
+    def vars: Seq[String] = Seq(s, p, o).collect { case V(n) => n }
+  }
+
+  // ---- group elements ------------------------------------------------
+  sealed trait Element
+  final case class Pat(tp: TriplePattern) extends Element
+  final case class Opt(group: Group) extends Element
+  final case class Bind(expr: Expr, as: String) extends Element
+  final case class FilterE(expr: Expr) extends Element
+
+  final case class Group(elems: Seq[Element]) {
+    def vars: Set[String] = elems.flatMap {
+      case Pat(tp) => tp.vars
+      case Opt(g) => g.vars
+      case Bind(_, as) => Seq(as)
+      case FilterE(_) => Seq.empty
+    }.toSet
+  }
+
+  // ---- scalar expressions (SURVEY.md §2.4) ---------------------------
+  sealed trait Expr
+  final case class VarRef(name: String) extends Expr
+  final case class StrLit(value: String) extends Expr
+  final case class TypedLit(value: String, dt: String) extends Expr
+  final case class ConcatE(args: Seq[Expr]) extends Expr
+  final case class UriE(arg: Expr) extends Expr
+  final case class Md5E(arg: Expr) extends Expr
+  final case class LcaseE(arg: Expr) extends Expr
+  final case class ReplaceE(arg: Expr, pattern: String, replacement: String) extends Expr
+  final case class StrAfterE(arg: Expr, sep: String) extends Expr
+  final case class EncodeForUriE(arg: Expr) extends Expr
+  final case class StrLangE(arg: Expr, lang: String) extends Expr
+  final case class IfE(cond: Expr, thenE: Expr, elseE: Expr) extends Expr
+  final case class BoundE(varName: String) extends Expr
+  final case class StrStartsE(arg: Expr, prefix: Expr) extends Expr
+
+  /** One SPARQL-update mapping task. */
+  final case class MappingQuery(
+      name: String,
+      targetGraph: String,
+      usingGraphs: Seq[String],
+      where: Group,
+      template: Seq[TriplePattern])
+
+  // ---- DSL sugar for transcribing queries ----------------------------
+  object dsl {
+    val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    def v(n: String): V = V(n)
+    def i(iri: String): I = I(iri)
+    def l(s: String): L = L(s)
+
+    def pat(s: Node, p: String, o: Node): Pat = Pat(TriplePattern(s, I(p), o))
+    def opt(elems: Element*): Opt = Opt(Group(elems))
+    def bind(e: Expr, as: String): Bind = Bind(e, as)
+
+    def vr(n: String): VarRef = VarRef(n)
+    def str(s: String): StrLit = StrLit(s)
+    def cc(args: Expr*): ConcatE = ConcatE(args)
+    def uri(e: Expr): UriE = UriE(e)
+    def md5e(e: Expr): Md5E = Md5E(e)
+
+    /** Anonymous-variable counter for `[ ... ]` bnode property paths (Q3). */
+    private val anon = new java.util.concurrent.atomic.AtomicInteger
+    def anonVar(): V = V(s"_anon${anon.incrementAndGet()}")
+  }
+}

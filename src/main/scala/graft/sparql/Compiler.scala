@@ -1,0 +1,272 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.Quad
+import Algebra._
+
+/** Compiles the SPARQL algebra to DataFrame operations (SURVEY.md §2.3
+  * Q1–Q15 mappings).
+  *
+  * Every SPARQL variable becomes one struct column `(v, k, dt, lg)` —
+  * lexical value, term kind, datatype IRI, language tag — so term
+  * identity (IRI vs literal vs bnode, datatype, lang) survives joins and
+  * expressions (SURVEY.md §7.4.5). Struct equality in Spark compares
+  * field-by-field with nested nulls equal, which is exactly SPARQL term
+  * equality for join compatibility.
+  *
+  * Physical mapping:
+  *  - triple pattern → pushdown-friendly `filter` on (p, o...) + project;
+  *  - BGP → multi-way equi-join on shared variables, greedily ordered:
+  *    most-selective pattern first (constant object ≫ constant predicate),
+  *    then always join a pattern connected to the bound set — disconnected
+  *    components produce an explicit crossJoin (SURVEY.md §7.4.6);
+  *  - OPTIONAL group → compile inner group fully, then one left join
+  *    (all-or-nothing group semantics, SURVEY.md §7.4.3);
+  *  - BIND → withColumn; null propagation gives SPARQL's error-as-unbound
+  *    (SURVEY.md §7.4.2);
+  *  - INSERT template → per-triple projection, skip rows with unbound
+  *    slots, unionByName + distinct (Q10/Q11).
+  */
+object Compiler {
+
+  private val nullStr = lit(null).cast("string")
+
+  private def term(v: Column, k: Column, dt: Column, lg: Column): Column =
+    when(v.isNull, lit(null).cast(
+      "struct<v:string,k:string,dt:string,lg:string>"))
+      .otherwise(struct(v.as("v"), k.as("k"), dt.as("dt"), lg.as("lg")))
+
+  private def iriTerm(v: Column): Column = term(v, lit(Quad.KindIri), nullStr, nullStr)
+  private def litTerm(v: Column, dt: Column, lg: Column): Column =
+    term(v, lit(Quad.KindLiteral), dt, lg)
+
+  private def subjectTerm(s: Column): Column =
+    term(s,
+      when(s.startsWith(Quad.BnodePrefix), Quad.KindBnode).otherwise(Quad.KindIri),
+      nullStr, nullStr)
+
+  private def objectTerm(): Column =
+    term(col("o_value"), col("o_kind"), col("o_type"), col("o_lang"))
+
+  // ------------------------------------------------------------ patterns
+
+  /** One triple pattern → DataFrame with a term-struct column per var. */
+  private[sparql] def compilePattern(quads: DataFrame, tp: TriplePattern): DataFrame = {
+    var df = quads
+    // constant filters (these reach the parquet scan as pushed predicates)
+    tp.s match {
+      case I(iri) => df = df.where(col("s") === iri)
+      case L(_, _, _) => throw new IllegalArgumentException("literal subject")
+      case V(_) =>
+    }
+    tp.p match {
+      case I(iri) => df = df.where(col("p") === iri)
+      case V(_) =>
+      case _ => throw new IllegalArgumentException("literal predicate")
+    }
+    tp.o match {
+      case I(iri) =>
+        df = df.where(col("o_kind") === Quad.KindIri && col("o_value") === iri)
+      case L(value, dt, lang) =>
+        df = df.where(col("o_kind") === Quad.KindLiteral &&
+          col("o_value") === value &&
+          col("o_type") <=> Option(dt).map(lit).getOrElse(nullStr) &&
+          col("o_lang") <=> Option(lang).map(lit).getOrElse(nullStr))
+      case V(_) =>
+    }
+    // project variables as term structs
+    val pairs: Seq[(String, Column)] = Seq(
+      tp.s -> subjectTerm(col("s")),
+      tp.p -> iriTerm(col("p")),
+      tp.o -> objectTerm()
+    ).collect { case (V(n), c) => (n, c) }
+    // same-var-twice patterns (?x p ?x): equality filter, keep one column
+    pairs.groupBy(_._1).values.filter(_.size > 1).foreach { dup =>
+      df = df.where(dup.map(_._2).sliding(2)
+        .map(w => w.head === w.last).reduce(_ && _))
+    }
+    df.select(pairs.distinctBy(_._1).map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Selectivity rank: lower = more selective = join earlier. */
+  private def rank(tp: TriplePattern): Int = (tp.s, tp.p, tp.o) match {
+    case (_, _, L(_, _, _)) => 0 // constant object literal (e.g. label probe)
+    case (_, _, I(_)) => 1       // constant object IRI
+    case (I(_), _, _) => 2       // constant subject
+    case (_, I(_), _) => 3       // predicate-only
+    case _ => 4
+  }
+
+  private def sharedVars(a: DataFrame, b: DataFrame): Seq[String] =
+    a.columns.intersect(b.columns).toSeq
+
+  private def joinStep(acc: Option[DataFrame], next: DataFrame): DataFrame =
+    acc match {
+      case None => next
+      case Some(a) =>
+        val shared = sharedVars(a, next)
+        if (shared.isEmpty) a.crossJoin(next)
+        else a.join(next, shared, "inner")
+    }
+
+  // ------------------------------------------------------------- groups
+
+  /** Sequential group evaluation. `outer` is the binding table built so
+    * far (None = start of a fresh group). Consecutive triple patterns are
+    * batched and greedily reordered before joining. */
+  private[sparql] def compileGroup(
+      quads: DataFrame, group: Group, outer: Option[DataFrame]): DataFrame = {
+
+    def joinPatternBatch(acc: Option[DataFrame], batch: Seq[TriplePattern]): Option[DataFrame] = {
+      if (batch.isEmpty) return acc
+      var remaining = batch.sortBy(rank).toBuffer
+      var current = acc
+      while (remaining.nonEmpty) {
+        val boundVars: Set[String] =
+          current.map(_.columns.toSet).getOrElse(Set.empty)
+        // prefer a connected pattern; among connected, most selective
+        val idx = remaining.indexWhere(tp => tp.vars.exists(boundVars)) match {
+          case -1 if current.isEmpty => 0
+          case -1 => 0 // disconnected → crossJoin (explicit, SURVEY §7.4.6)
+          case j => j
+        }
+        val tp = remaining.remove(idx)
+        current = Some(joinStep(current, compilePattern(quads, tp)))
+      }
+      current
+    }
+
+    var acc: Option[DataFrame] = outer
+    var patternBatch = Vector.empty[TriplePattern]
+    def flush(): Unit = {
+      acc = joinPatternBatch(acc, patternBatch)
+      patternBatch = Vector.empty
+    }
+
+    group.elems.foreach {
+      case Pat(tp) => patternBatch :+= tp
+      case Opt(inner) =>
+        flush()
+        val innerDf = compileGroup(quads, inner, None)
+        acc = Some(acc match {
+          case None => innerDf // OPTIONAL with empty base — degenerate
+          case Some(a) =>
+            val shared = sharedVars(a, innerDf)
+            if (shared.isEmpty) a.crossJoin(innerDf) // unlikely; keeps semantics
+            else a.join(innerDf, shared, "left_outer")
+        })
+      case Bind(e, as) =>
+        flush()
+        val base = acc.getOrElse(quads.sparkSession.range(1).toDF())
+        acc = Some(base.withColumn(as, compileExpr(e)))
+      case FilterE(e) =>
+        flush()
+        acc = Some(acc.getOrElse(quads.sparkSession.range(1).toDF())
+          .where(compileBool(e)))
+    }
+    flush()
+    acc.getOrElse(quads.sparkSession.range(1).toDF())
+      .drop("id") // drop range() helper column if it leaked
+  }
+
+  // -------------------------------------------------------- expressions
+
+  /** Expr → term-struct Column (null = unbound; SPARQL error-as-unbound
+    * falls out of Spark null propagation). */
+  private[sparql] def compileExpr(e: Expr): Column = e match {
+    case VarRef(n) => col(n)
+    case StrLit(s) => litTerm(lit(s), nullStr, nullStr)
+    case TypedLit(v, dt) =>
+      val d = if (dt == Quad.xsd.string) null else dt
+      litTerm(lit(v), Option(d).map(lit).getOrElse(nullStr), nullStr)
+    case ConcatE(args) =>
+      litTerm(concat(args.map(a => valueOf(a)): _*), nullStr, nullStr)
+    case UriE(a) => iriTerm(valueOf(a))
+    case Md5E(a) => litTerm(md5(valueOf(a)), nullStr, nullStr)
+    case LcaseE(a) => litTerm(lower(valueOf(a)), nullStr, nullStr)
+    case ReplaceE(a, p, r) =>
+      litTerm(regexp_replace(valueOf(a), p, r), nullStr, nullStr)
+    case StrAfterE(a, sep) =>
+      val s = valueOf(a)
+      val pos = instr(s, sep)
+      // SPARQL STRAFTER: "" when separator absent; suffix after FIRST match
+      litTerm(when(s.isNull, nullStr)
+        .when(pos > 0, substring_index_after(s, pos, sep))
+        .otherwise(lit("")), nullStr, nullStr)
+    case EncodeForUriE(a) =>
+      litTerm(SparqlFunctions.encode_for_uri(valueOf(a)), nullStr, nullStr)
+    case StrLangE(a, lang) => litTerm(valueOf(a), nullStr, lit(lang))
+    case IfE(c, t, f) =>
+      when(compileBool(c), compileExpr(t)).otherwise(compileExpr(f))
+    case BoundE(_) | StrStartsE(_, _) =>
+      throw new IllegalArgumentException(s"boolean expr in term position: $e")
+  }
+
+  private def substring_index_after(s: Column, pos: Column, sep: String): Column =
+    s.substr(pos + lit(sep.length), length(s))
+
+  /** Boolean-valued expressions (filters / IF conditions). */
+  private[sparql] def compileBool(e: Expr): Column = e match {
+    case BoundE(v) => col(v).isNotNull
+    case StrStartsE(a, p) => valueOf(a).startsWith(valueOf(p))
+    case other =>
+      // truthy literal — not used by the reference subset
+      valueOf(other) === lit("true")
+  }
+
+  /** Lexical value of an expression (the `v` field of its term). */
+  private def valueOf(e: Expr): Column = e match {
+    case VarRef(n) => col(n).getField("v")
+    case StrLit(s) => lit(s)
+    case TypedLit(v, _) => lit(v)
+    case other => compileExpr(other).getField("v")
+  }
+
+  // ---------------------------------------------------------- templates
+
+  /** INSERT template → quads. Rows with any unbound slot are skipped per
+    * template triple; the rest of the template still inserts (Q10).
+    *
+    * Compiled as ONE pass over the bindings: each template triple becomes
+    * a struct in an `explode(array(...))` projection — not one DataFrame
+    * union branch per triple, which would re-execute the whole join tree
+    * once per template triple (a 14-triple template = 14× the work and an
+    * unplannable physical plan at scale). */
+  private[sparql] def instantiate(
+      bindings: DataFrame, template: Seq[TriplePattern], targetGraph: String): DataFrame = {
+    def termOf(n: Node, position: String): Column = n match {
+      case V(name) => col(name)
+      case I(iri) => iriTerm(lit(iri))
+      case L(v, dt, lang) if position == "o" =>
+        litTerm(lit(v), Option(dt).map(lit).getOrElse(nullStr),
+          Option(lang).map(lit).getOrElse(nullStr))
+      case _ => throw new IllegalArgumentException(s"literal in $position slot")
+    }
+    val quadStructs = template.map { tp =>
+      val s = termOf(tp.s, "s"); val p = termOf(tp.p, "p"); val o = termOf(tp.o, "o")
+      struct(
+        s.getField("v").as("s"),
+        p.getField("v").as("p"),
+        o.getField("v").as("o_value"),
+        o.getField("dt").as("o_type"),
+        o.getField("lg").as("o_lang"),
+        o.getField("k").as("o_kind"))
+    }
+    bindings
+      .select(explode(array(quadStructs: _*)).as("q"))
+      .select(lit(targetGraph).as("graph"), col("q.*"))
+      .where(col("s").isNotNull && col("p").isNotNull && col("o_value").isNotNull)
+      .dropDuplicates()
+  }
+
+  // ------------------------------------------------------------ running
+
+  /** Run a mapping query against the USING-scoped quads, returning the
+    * quads its template produces (not yet merged into a store). */
+  def run(query: MappingQuery, scopedQuads: DataFrame): DataFrame = {
+    val bindings = compileGroup(scopedQuads, query.where, None)
+    instantiate(bindings, query.template, query.targetGraph)
+  }
+}
