@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Deduplication operators for a training-data pipeline: exact
+  * (hash-group), n-gram Jaccard (shingle join), MinHash+LSH (banded
+  * signatures), SimHash (hamming bands). All shuffle only on
+  * shingle/band keys — never all-pairs — so the candidate-generation
+  * cost is output-bound, which is what survives a 100× scale-up.
+  */
+object Dedup {
+
+  /** distinct word n-gram shingles of a token array (n consecutive
+    * tokens joined by a space). */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        k => concat_ws(" ", (0 until n).map(j => element_at(toks, k + j)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** (doc_id, shingle) exploded pairs + per-doc shingle counts. The
+    * exploded table is persisted: every consumer (self-join sides,
+    * signature build, verify) would otherwise re-tokenize and re-shingle
+    * the corpus — the dominant cost at bench scale. */
+  private def shingleTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(TextOps.tokens(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    (ex, counts)
+  }
+
+  /** Exact Jaccard over candidate (i, j) pairs produced by the shingle
+    * (or any) join; `ex`/`counts` from [[shingleTables]]. */
+  private def jaccardOf(pairs: DataFrame, counts: DataFrame): DataFrame = {
+    val ci = counts.select(col("doc_id").as("i"), col("n").as("ni"))
+    val cj = counts.select(col("doc_id").as("j"), col("n").as("nj"))
+    pairs
+      .join(ci, "i").join(cj, "j")
+      .withColumn("jac", col("inter") / (col("ni") + col("nj") - col("inter")))
+  }
+
+  /** All pairs sharing >= 1 shingle, with intersection sizes. */
+  private def shinglePairs(ex: DataFrame): DataFrame = {
+    val a = ex.select(col("doc_id").as("i"), col("shingle"))
+    val b = ex.select(col("doc_id").as("j"), col("shingle"))
+    a.join(b, a("shingle") === b("shingle") && col("i") < col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+  }
+
+  // MinHash parameters: k = bands * rowsPerBand signature components.
+  // rows=3/bands=16 → P(candidate) = 1-(1-s^3)^16: ~1 for s>=0.8,
+  // ~0.07 for s=0.2 — high recall at the target threshold, few false
+  // candidates (false candidates only cost a verify, not correctness).
+  private val MinhashBands = 16
+  private val MinhashRows = 3
+
+  /** Per-doc MinHash signature, banded: (doc_id, band, bandHash). */
+  private def minhashBands(ex: DataFrame): DataFrame = {
+    val k = MinhashBands * MinhashRows
+    val sigCols = (0 until k).map(i =>
+      min(hash(lit(i), col("shingle"))).as(s"h$i"))
+    val sigs = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until MinhashBands).map { b =>
+      val parts = (0 until MinhashRows).map(r => col(s"h${b * MinhashRows + r}"))
+      hash(parts: _*)
+    }
+    sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bandHash")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact dedup summary (hash-groupBy)
+    "dedup_exact" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("c"))
+      g.agg(
+        sum(col("c")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_distinct_texts"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_docs"))
+    }),
+
+    // ---- exact n-gram Jaccard near-dup pairs (shingle-join candidates)
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val (ex, counts) = shingleTables(s, d)
+      jaccardOf(shinglePairs(ex), counts)
+        .filter(col("jac") >= 0.8)
+        .select(col("i"), col("j"), round(col("jac"), 4).as("jac"))
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // ---- MinHash + LSH: banded candidates, then exact-Jaccard verify.
+    // Same final answer as dedup_ngram_jaccard (the oracle), but the
+    // candidate set is band-join-sized, not shared-shingle-sized — the
+    // difference between feasible and not at 100 TB.
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val (ex, counts) = shingleTables(s, d)
+      val bands = minhashBands(ex)
+      val a = bands.select(col("doc_id").as("i"), col("band"), col("bandHash"))
+      val b = bands.select(col("doc_id").as("j"), col("band"), col("bandHash"))
+      val cand = a.join(b, Seq("band", "bandHash")).where(col("i") < col("j"))
+        .select(col("i"), col("j")).distinct()
+      // verify candidates with exact jaccard (inter via semi-scoped join)
+      val exI = ex.select(col("doc_id").as("i"), col("shingle"))
+      val exJ = ex.select(col("doc_id").as("j"), col("shingle"))
+      val inter = cand
+        .join(exI, "i").join(exJ, Seq("j", "shingle"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+      jaccardOf(inter, counts)
+        .filter(col("jac") >= 0.8)
+        .select(col("i"), col("j"), round(col("jac"), 4).as("jac"))
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // ---- SimHash fingerprints + hamming-band near-dup candidates
+    "dedup_simhash" -> ((s, d) => {
+      val fp = simhash(Tables.documents(s, d))
+      // band on 4x16-bit chunks: near-dups (small hamming distance) agree
+      // on >=1 chunk with high probability
+      val chunks = fp.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(c =>
+          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("chunk", "chunkVal")))
+      val a = chunks.select(col("doc_id").as("i"), col("simhash").as("fi"),
+        col("chunk"), col("chunkVal"))
+      val b = chunks.select(col("doc_id").as("j"), col("simhash").as("fj"),
+        col("chunk"), col("chunkVal"))
+      a.join(b, Seq("chunk", "chunkVal")).where(col("i") < col("j"))
+        .select(col("i"), col("j"),
+          bit_count(col("fi").bitwiseXOR(col("fj"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 8)
+        .orderBy(col("i"), col("j"))
+    }))
+
+  /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes;
+    * bit i of the fingerprint = sign of the +-1 vote sum on bit i). */
+  def simhash(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$i"))
+    val fp = (0 until 64).map(i =>
+      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+      .reduce((x, y) => x.bitwiseOR(y))
+    toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  private val pairsOracle =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents),
+        s AS (SELECT doc_id, unnest(list_distinct(
+                [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 for i in range(1, len(toks) - 1)])) AS shingle
+              FROM t WHERE len(toks) >= 3),
+        c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+              FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+      SELECT i, j,
+        round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jac
+      FROM p JOIN c ca ON ca.doc_id = i JOIN c cb ON cb.doc_id = j
+      WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.8
+      ORDER BY i, j"""
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+           count(*) AS n_distinct_texts,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs
+         FROM (SELECT md5(text) AS h, count(*) AS c
+               FROM documents GROUP BY 1) g""",
+    "dedup_ngram_jaccard" -> pairsOracle,
+    // MinHash+LSH must find exactly the >=0.8 pairs (verify step makes
+    // precision exact; band parameters make recall ~1 at this threshold)
+    "dedup_minhash_lsh" -> pairsOracle)
+}

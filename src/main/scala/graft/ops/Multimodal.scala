@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Multimodal-column plumbing for a training-data pipeline: media as an
+  * opaque `binary` column + typed metadata, with decode / feature-extract
+  * / frame-sample stages as `mapPartitions` over the binary payloads.
+  *
+  * The image/audio codec libraries are not in this container, so the
+  * DECODE step is a clearly-marked deterministic fake (byte histogram /
+  * fixed-stride chunking); everything Spark-side — schema, batch shape,
+  * partitioning, the binary column path — is real and tested.
+  */
+object Multimodal {
+
+  val FeatureDim = 16
+  val FrameBytes = 64
+
+  case class MediaRow(doc_id: Long, kind: String, media: Array[Byte])
+  case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Int,
+      feature_dim: Int, features: Array[Float], n_frames: Int)
+
+  /** documents → media table: text bytes stand in for the media payload;
+    * kind assigned round-robin (stub for real MIME detection). */
+  def asMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("media"))
+
+  /** STUB DECODE: a real implementation would invoke the codec here
+    * (JPEG decode, PCM resample, frame extraction). The deterministic
+    * fake keeps the distributed plumbing testable: features = normalized
+    * 16-bin byte histogram; frames = FrameBytes-sized chunks. */
+  def decodeStub(bytes: Array[Byte]): (Array[Float], Int) = {
+    val hist = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < bytes.length) {
+      hist(((bytes(i) & 0xff) * FeatureDim) / 256) += 1f
+      i += 1
+    }
+    val n = math.max(bytes.length, 1).toFloat
+    var j = 0
+    while (j < FeatureDim) { hist(j) /= n; j += 1 }
+    val frames = (bytes.length + FrameBytes - 1) / FrameBytes
+    (hist, frames)
+  }
+
+  /** Distributed feature extraction over the binary column. */
+  def featurize(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("kind"), col("media")).as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val (features, frames) = decodeStub(r.media)
+        MediaFeatures(r.doc_id, r.kind, r.media.length, FeatureDim,
+          features, frames)
+      })
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- metadata over the binary column (oracle-checked plumbing)
+    "multimodal_meta" -> ((s, d) => {
+      asMedia(Tables.documents(s, d))
+        .select(col("doc_id"), col("kind"),
+          length(col("media")).as("n_bytes"),
+          md5(col("media")).as("digest"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- stub decode + feature extraction (rows-only; shape pinned in
+    // MultimodalSpec)
+    "multimodal_features" -> ((s, d) => {
+      featurize(asMedia(Tables.documents(s, d))).toDF()
+        .select(col("doc_id"), col("kind"), col("n_bytes"),
+          col("feature_dim"), col("n_frames"))
+        .orderBy(col("doc_id"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS digest
+         FROM documents ORDER BY doc_id""",
+    "multimodal_features" ->
+      """SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           16 AS feature_dim,
+           CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames
+         FROM documents ORDER BY doc_id""")
+}

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.util.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column):
+  * brute-force cosine top-k as the exactness baseline, embedding-cosine
+  * near-dup pairs, and a random-hyperplane LSH-bucketed variant as the
+  * scale path (candidates come from a bucket equi-join, not a cross
+  * join).
+  *
+  * All vector math is `zip_with`/`aggregate` column expressions over
+  * doubles — codegen'd, no UDFs (SURVEY.md steering).
+  */
+object Similarity {
+
+  /** element-wise double cast */
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  /** With pre-computed norm (avoids recomputing in the pair loop). */
+  private def vecsN(s: SparkSession, d: String): DataFrame =
+    vecs(s, d).withColumn("nrm", norm(col("v")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- near-duplicate pairs by embedding cosine
+    "embed_neardup" -> ((s, d) => {
+      val a = vecsN(s, d).select(col("vec_id").as("i"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = vecsN(s, d).select(col("vec_id").as("j"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("i") < col("j"))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.45)
+        .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // ---- brute-force cosine top-k for a deterministic query subset
+    "ann_bruteforce_topk" -> ((s, d) => {
+      val queries = vecsN(s, d).filter(col("vec_id") % 250 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val base = vecsN(s, d)
+      val scored = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
+    // ---- LSH-bucketed ANN (the 100-TB path): banded random-hyperplane
+    // signatures — candidates share any (band, 4-bit-signature) key, so
+    // candidate generation is a band equi-join, not a cross join.
+    // Rows-only check (recall vs brute force pinned in TrainingOpsSpec).
+    "ann_lsh_bucketed" -> ((s, d) => {
+      val banded = vecsN(s, d).select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(lshBands(col("v"))).as(Seq("band", "sig")))
+      val queries = banded.filter(col("vec_id") % 250 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("band"), col("sig"))
+      val cand = banded.join(broadcast(queries), Seq("band", "sig"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("qv"), col("qn"),
+          col("vec_id"), col("v"), col("nrm")).distinct()
+        .withColumn("cos",
+          round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
+        .orderBy(col("query_id"), col("rn"))
+    }))
+
+  // 8 bands x 4 hyperplane bits per band. P(candidate) for angle θ:
+  // 1-(1-(1-θ/π)^4)^8 — ~0.8 for the genuinely-close pairs, steeply
+  // lower for background pairs, tunable by (bands, rows).
+  private val LshBands = 8
+  private val LshRows = 4
+
+  /** Banded random-hyperplane signatures: array of one r-bit signature
+    * per band. Hyperplane component j of plane p is a deterministic
+    * pseudo-random +-1 from murmur3 — no stored model, identical on
+    * every executor and run. */
+  def lshBands(v: Column): Column = {
+    def bit(p: Int): Column = {
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, j) => x * when(hash(lit(p), j) % 2 === 0, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, 1).otherwise(0)
+    }
+    array((0 until LshBands).map { b =>
+      (0 until LshRows).map(r => bit(b * LshRows + r) * (1 << r))
+        .reduce(_ + _)
+    }: _*)
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "embed_neardup" ->
+      """SELECT a.vec_id AS i, b.vec_id AS j,
+           round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+         ORDER BY i, j""",
+    "ann_bruteforce_topk" ->
+      """SELECT query_id, CAST(rn AS INT) AS rn, neighbor, cos FROM (
+           SELECT q.vec_id AS query_id, b.vec_id AS neighbor,
+             round(CAST(list_cosine_similarity(q.embedding, b.embedding) AS DOUBLE), 4) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(CAST(list_cosine_similarity(q.embedding, b.embedding) AS DOUBLE), 4) DESC,
+                        b.vec_id) AS rn
+           FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
+           WHERE q.vec_id % 250 = 0) t
+         WHERE rn <= 5 ORDER BY query_id, rn""")
+}

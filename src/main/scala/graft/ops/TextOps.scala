@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * (marker-word heuristic), document fingerprinting.
+  *
+  * All are pure Catalyst column expressions (codegen'd, no UDFs) and
+  * scale linearly — no shuffles except the final presentation sort.
+  */
+object TextOps {
+
+  /** whitespace tokens of `text` */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  private val stopwords = Seq("the", "a", "of", "to", "and")
+
+  /** per-language marker words (vocabulary-derived heuristic stand-in for
+    * an n-gram language model; deterministic and cheap at any scale). */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "sort", "row"),
+    "de" -> Seq("window", "hash", "batch"),
+    "fr" -> Seq("merge", "join", "stream"))
+
+  private def markerScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => array_contains(
+      array(markers.map(lit): _*), t)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- token counting (whitespace tokenizer)
+    "text_token_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).as("n_tokens"),
+          length(col("text")).as("len_chars"),
+          round(length(regexp_replace(trim(col("text")), "\\s+", ""))
+            / size(tokens(col("text"))), 4).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- quality scoring: stopword ratio, short-token ratio, composite
+    "text_quality" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val n = size(toks).cast("double")
+      val stopRatio = size(filter(toks, t =>
+        array_contains(array(stopwords.map(lit): _*), t))) / n
+      val shortRatio = size(filter(toks, t => length(t) <= lit(2))) / n
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(stopRatio, 4).as("stopword_ratio"),
+          round(shortRatio, 4).as("short_token_ratio"),
+          round(lit(1.0) - stopRatio * 0.5 - shortRatio * 0.5, 4).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- language-ID: argmax of marker-word hit counts, fixed tie order
+    "text_lang_id" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id") +: col("lang").as("labeled_lang") +:
+          langMarkers.map { case (lang, ms) =>
+            markerScore(toks, ms).as(s"s_$lang") }: _*)
+      val Seq(en, es, de, fr) = langMarkers.map(m => col(s"s_${m._1}"))
+      scored.select(col("doc_id"), col("labeled_lang"),
+        when(en >= es && en >= de && en >= fr, "en")
+          .when(es >= de && es >= fr, "es")
+          .when(de >= fr, "de")
+          .otherwise("fr").as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- fingerprint: md5 over whitespace-normalized text
+    "text_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "text_token_stats" ->
+      """SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS len_chars,
+           round(length(regexp_replace(trim(text), '\s+', '', 'g'))
+             * 1.0 / len(string_split_regex(trim(text), '\s+')), 4)
+             AS avg_token_len
+         FROM documents ORDER BY doc_id""",
+    "text_quality" ->
+      """SELECT doc_id,
+           round(stop_n * 1.0 / n, 4) AS stopword_ratio,
+           round(short_n * 1.0 / n, 4) AS short_token_ratio,
+           round(1.0 - (stop_n * 1.0 / n) * 0.5
+                     - (short_n * 1.0 / n) * 0.5, 4) AS quality
+         FROM (
+           SELECT doc_id,
+             len(toks) AS n,
+             len(list_filter(toks,
+               t -> list_contains(['the','a','of','to','and'], t))) AS stop_n,
+             len(list_filter(toks, t -> length(t) <= 2)) AS short_n
+           FROM (SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS toks
+                 FROM documents) t1) t2
+         ORDER BY doc_id""",
+    "text_lang_id" ->
+      """SELECT doc_id, labeled_lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS pred_lang
+         FROM (
+           SELECT doc_id, lang AS labeled_lang,
+             len(list_filter(toks, t -> list_contains(['the','a','fast','slow'], t))) AS s_en,
+             len(list_filter(toks, t -> list_contains(['data','sort','row'], t))) AS s_es,
+             len(list_filter(toks, t -> list_contains(['window','hash','batch'], t))) AS s_de,
+             len(list_filter(toks, t -> list_contains(['merge','join','stream'], t))) AS s_fr
+           FROM (SELECT doc_id, lang,
+                   string_split_regex(trim(text), '\s+') AS toks
+                 FROM documents) t1) t2
+         ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+           md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint
+         FROM documents ORDER BY doc_id""")
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the training-data operators whose driver check is rows-only
+  * (no SQL oracle): SimHash near-dup, LSH-bucketed ANN, multimodal
+  * decode stub. Each is validated against its exact counterpart.
+  */
+class TrainingOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash-LSH finds exactly the exact-jaccard near-dup pairs") {
+    val exact = pairs("dedup_ngram_jaccard")
+    val lsh = pairs("dedup_minhash_lsh")
+    assert(exact.nonEmpty, "fixture data should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simhash near-dup candidates cover the high-jaccard pairs") {
+    val exact = pairs("dedup_ngram_jaccard")
+    val sim = pairs("dedup_simhash")
+    // simhash (bag-of-words signal) must recover the token-level
+    // near-dups; it may add a few extra low-distance candidates
+    val recall = exact.count(sim) * 1.0 / exact.size
+    assert(recall >= 0.9, s"simhash recall $recall over ${exact.size} pairs")
+  }
+
+  test("LSH-bucketed ANN reaches usable recall vs brute force") {
+    val exact = SparkEntry.queries("ann_bruteforce_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = SparkEntry.queries("ann_lsh_bucketed")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(lsh.nonEmpty)
+    // 12-bit buckets over 64-dim random embeddings: a single-probe
+    // bucket-join is a candidate generator, not an exact index; recall
+    // here just pins that the bucketing is not degenerate
+    val recall = exact.count(lsh) * 1.0 / exact.size
+    info(s"single-probe LSH recall: $recall")
+    assert(recall >= 0.3)
+  }
+
+  test("simhash fingerprints are deterministic and 64-bit") {
+    import graft.ops.Dedup
+    val docs = graft.util.Tables.documents(spark, sf)
+    val a = Dedup.simhash(docs).orderBy("doc_id").collect().map(_.getLong(1))
+    val b = Dedup.simhash(docs).orderBy("doc_id").collect().map(_.getLong(1))
+    assert(a.toSeq == b.toSeq)
+    assert(a.distinct.length > a.length / 2) // not collapsed
+  }
+
+  test("multimodal decode stub: feature shape, normalization, frames") {
+    import graft.ops.Multimodal
+    val feats = Multimodal.featurize(
+      Multimodal.asMedia(graft.util.Tables.documents(spark, sf)))
+      .collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(_.features.length == Multimodal.FeatureDim))
+    // histogram is normalized to ~1
+    assert(feats.forall(f => math.abs(f.features.sum - 1f) < 1e-3))
+    assert(feats.forall(f =>
+      f.n_frames == (f.n_bytes + Multimodal.FrameBytes - 1) / Multimodal.FrameBytes))
+    assert(feats.map(_.kind).toSet == Set("image", "audio", "video"))
+  }
+}
