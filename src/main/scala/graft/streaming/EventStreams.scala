@@ -1,0 +1,147 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.util.Tables
+
+/** Structured Streaming surface (SURVEY.md §2.6 extension): event-time
+  * windowed aggregations with watermarks over the `events` table, driven
+  * synchronously for the correctness gate (parquet file source → memory
+  * sink → `processAllAvailable`).
+  *
+  * Modes:
+  *  - tumbling / sliding windows run in Complete output mode so the
+  *    emitted table equals the batch equivalent (oracle-checkable);
+  *  - session windows + stateful dedup run in Append mode with a real
+  *    watermark — only watermark-closed sessions emit (rows-only check;
+  *    the batch gaps-and-islands twin `sessionize_batch` is the oracle'd
+  *    equivalent).
+  */
+object EventStreams {
+
+  private val nameCounter = new AtomicInteger
+
+  /** Streaming read of the events parquet with the same ts handling as
+    * `Tables.events` (TIMESTAMP(NANOS) → long → micros). */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = s.read.parquet(s"$d/events.parquet").schema
+    // file-source streams need a directory; glob-filter to the one table
+    val raw = s.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    // integer division — double division loses precision on epoch nanos
+    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink and
+    * return the materialized result. */
+  private def runToTable(df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- tumbling event-time window + watermark (Complete mode ==
+    // batch semantics → oracle-checkable)
+    "stream_tumbling_agg" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      runToTable(agg, "complete")
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // ---- sliding window (10 min window, 5 min slide)
+    "stream_sliding_agg" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      runToTable(agg, "complete")
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // ---- session windows per user (Append + watermark: only closed
+    // sessions emit — rows-only; oracle'd twin below)
+    "stream_session_window" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("session_value"))
+      runToTable(agg, "append")
+        .select(col("session_window.start").as("session_start"), col("user_id"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("session_start"), col("user_id"))
+    }),
+
+    // ---- batch sessionization twin (gaps-and-islands; oracle-checked)
+    "sessionize_batch" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(wcum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("session_value"))
+        .select(col("user_id"), col("session_id"), col("session_start"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "stream_tumbling_agg" ->
+      """SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP)
+             AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "stream_sliding_agg" ->
+      """SELECT window_start, event_type, count(*) AS n FROM (
+           SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP)
+               AS window_start, event_type FROM events
+           UNION ALL
+           SELECT CAST(time_bucket(INTERVAL '5 minutes', ts)
+                       - INTERVAL '5 minutes' AS TIMESTAMP), event_type
+           FROM events) t
+         GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "sessionize_batch" ->
+      """SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS session_value
+         FROM (
+           SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM (
+             SELECT user_id, ts, value,
+               CASE WHEN prev_ts IS NULL
+                      OR CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800 THEN 1
+                 ELSE 0 END AS new_session
+             FROM (SELECT user_id, ts, value,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                   FROM events) t1) t2) t3
+         GROUP BY user_id, session_id ORDER BY user_id, session_id""")
+}

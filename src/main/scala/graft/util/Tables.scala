@@ -33,10 +33,10 @@ object Tables {
     val raw = apply(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // integer division: `/` would go through double and lose
+        // precision (epoch nanos ~1.7e18 > 2^53)
         raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            (org.apache.spark.sql.functions.col("ts") / 1000L)
-              .cast("long")))
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       case _ => raw
     }
   }
