@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.model.GraphStore
+import graft.sparql.{Compiler, SparqlParser}
+import graft.sparql.SparqlParser._
+
+/** The engine's SPARQL-update entry point (operator S7 — the reference's
+  * `SparqlUpdateHook.sparql_update`, `sparql_update.py:77-106`, re-homed:
+  * instead of POSTing text to a store, the text is parsed, compiled to
+  * DataFrame ops, and executed against the partitioned quad store).
+  */
+final class GraphEngine(val store: GraphStore) {
+
+  /** Execute one SPARQL update (INSERT..WHERE / INSERT DATA /
+    * CLEAR / DROP). */
+  def update(text: String, name: String = "update"): Unit =
+    SparqlParser.parse(text, name) match {
+      case InsertWhere(q) =>
+        store.appendDistinct(Compiler.run(q, store.readGraphs(q.usingGraphs)))
+      case InsertData(quads) => store.insertData(quads)
+      case ClearGraphOp(g, _) => store.clearGraph(g)
+      case DropGraphOp(g, _) => store.dropGraph(g)
+    }
+
+  /** Compile an INSERT..WHERE update and return the quads it would
+    * produce, without writing (for inspection / testing). */
+  def preview(text: String, name: String = "preview"): DataFrame =
+    SparqlParser.parse(text, name) match {
+      case InsertWhere(q) => Compiler.run(q, store.readGraphs(q.usingGraphs))
+      case other => throw new IllegalArgumentException(
+        s"preview requires INSERT..WHERE, got $other")
+    }
+}

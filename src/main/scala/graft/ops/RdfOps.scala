@@ -65,6 +65,31 @@ object RdfOps {
         .orderBy(col("s"), col("p"), col("o_value"))
     }),
 
+    // S7: SPARQL-update text front end — INSERT DATA, INSERT..WHERE with
+    // bnode paths + BIND, CLEAR, executed by GraphEngine from raw text
+    "rdf_sparql_update" -> ((s, _) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-sparql-${System.nanoTime()}"
+      val engine = new graft.GraphEngine(new graft.model.GraphStore(s, dir))
+      engine.update("""
+        PREFIX ex: <http://ex/>
+        INSERT DATA { GRAPH <http://ex/src> {
+          ex:a ex:name "Alpha" . ex:a ex:score "10"^^<http://www.w3.org/2001/XMLSchema#integer> .
+          ex:b ex:name "Beta" .  ex:b ex:score "7"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        } }""")
+      engine.update("""
+        PREFIX ex: <http://ex/>
+        WITH <http://ex/out>
+        INSERT { ?u ex:label ?n ; ex:hash ?h . }
+        USING <http://ex/src>
+        WHERE {
+          ?s ex:name ?n ; ex:score ?sc .
+          BIND (URI(CONCAT('http://ex/u/', ENCODE_FOR_URI(?n))) AS ?u)
+          BIND (MD5(CONCAT(?n, ?sc)) AS ?h)
+        }""")
+      engine.store.readGraphs(Seq("http://ex/out"))
+        .orderBy(col("s"), col("p"), col("o_value"))
+    }),
+
     // S6/S9/Q13: store lifecycle — append, clear, re-append, scoped read
     "rdf_store_lifecycle" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-store-${System.nanoTime()}"

@@ -1,0 +1,177 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Quad
+import graft.sparql.{Algebra, Compiler, SparqlParser}
+import graft.sparql.SparqlParser._
+import graft.queries.ReferenceMappings._
+
+/** SPARQL text front end: parse freshly-authored update texts and check
+  * they compile to the same results as the hand-built DSL queries. */
+class SparqlParserSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val store = graft.queries.Fixtures.ingestAll(spark,
+    Files.createTempDirectory("pkg").toString + "/quads")
+
+  private def results(q: Algebra.MappingQuery): Set[String] =
+    Compiler.run(q, store.readGraphs(q.usingGraphs)).collect()
+      .map(_.mkString("|")).toSet
+
+  test("parse + run a simple INSERT..WHERE matches the DSL query") {
+    val text = s"""
+      PREFIX mh: <$mh>
+      PREFIX g: <$graphs>
+      PREFIX src: <$source>
+      WITH g:organizations
+      INSERT { ?org mh:label ?n }
+      USING g:mediahaven_tenants
+      WHERE {
+        ?x src:Name ?n .
+        ?x src:ExternalId ?eid .
+        BIND (URI(CONCAT('$idNs', ?eid)) AS ?org)
+      }"""
+    val InsertWhere(q) = SparqlParser.parse(text): @unchecked
+    assert(q.targetGraph == gOrganizations)
+    assert(q.usingGraphs == Seq(gMamTenants))
+    // same output as the transcribed mamTenants query (modulo var names)
+    assert(results(q) == results(mamTenants))
+  }
+
+  test("bnode property lists, ';' and ',' lists, 'a', OPTIONAL, typed literals") {
+    val text = s"""
+      PREFIX org: <$orgNs>
+      PREFIX g: <$graphs>
+      PREFIX src: <$source>
+      PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+      WITH g:organizations
+      INSERT {
+        ?org a org:Organization ;
+             org:identifier ?orid, "fixed"^^xsd:string .
+      }
+      USING g:tl_companies
+      USING g:tl_custom_fields
+      WHERE {
+        ?cf src:id ?cfid ; src:label "5.1 - OR-ID" .
+        ?o src:custom_fields [
+          src:value ?orid ;
+          src:definition [ src:id ?cfid ]
+        ] .
+        OPTIONAL { ?o src:name ?name . }
+        BIND (URI(CONCAT('$idNs', ?orid)) AS ?org)
+      }"""
+    val InsertWhere(q) = SparqlParser.parse(text): @unchecked
+    val out = Compiler.run(q, store.readGraphs(q.usingGraphs)).collect()
+    assert(out.length == 3) // type + identifier + fixed literal
+    val fixed = out.filter(_.getString(3) == "fixed")
+    assert(fixed.length == 1 && fixed.head.getString(4) == null) // xsd:string → plain
+  }
+
+  test("parsed ldap-org-equivalent text reproduces the DSL mapping output") {
+    val text = s"""
+      PREFIX org: <$orgNs>  PREFIX skos: <$skos>
+      PREFIX schema: <$schemaNs>  PREFIX meemoo: <$meemoo>
+      PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+      PREFIX g: <$graphs>  PREFIX src: <$source>
+      WITH g:organizations
+      INSERT {
+        ?org a org:Organization ;
+             schema:identifier ?orid ;
+             skos:altLabel ?orgName ;
+             meemoo:sector ?sector ;
+             org:hasPrimarySite ?site ;
+             org:hasSite ?site .
+        ?site a org:Site ; org:siteAddress ?siteAddress .
+        ?siteAddress a schema:PostalAddress ;
+             schema:streetAddress ?streetAddress ;
+             schema:addressCountry "BE"^^xsd:string ;
+             schema:postalCode ?postalCode ;
+             schema:addressRegion ?region ;
+             schema:addressLocality ?city .
+      }
+      USING g:ldap_organizations
+      WHERE {
+        BIND ('$idNs' AS ?ns)
+        ?o src:objectClass "organization" ;
+           src:o ?orid ;
+           src:description ?orgName .
+        BIND (URI(CONCAT(?ns, ?orid)) AS ?org)
+        OPTIONAL { ?o src:street ?streetAddress }
+        OPTIONAL { ?o src:postalCode ?postalCode }
+        OPTIONAL { ?o src:l ?city . }
+        OPTIONAL { ?o src:st ?region . }
+        OPTIONAL { ?o src:x-be-viaa-sector ?sector . }
+        BIND (URI(CONCAT(?ns, MD5(CONCAT(?orid, '-primary')))) AS ?site)
+        BIND (URI(CONCAT(?ns, MD5(CONCAT(?streetAddress, ?postalCode, ?city)))) AS ?siteAddress)
+      }"""
+    val InsertWhere(q) = SparqlParser.parse(text): @unchecked
+    assert(results(q) == results(ldapOrg))
+  }
+
+  test("expression functions: IF/STRSTARTS/STRLANG/ENCODE_FOR_URI/STRAFTER/REPLACE/LCASE") {
+    val text = s"""
+      PREFIX g: <$graphs>  PREFIX src: <$source>  PREFIX ex: <http://ex/>
+      WITH g:organizations
+      INSERT { ?s ex:v ?v1 ; ex:w ?v2 ; ex:x ?v3 ; ex:y ?v4 }
+      USING g:tl_users
+      WHERE {
+        ?u src:id ?id ; src:function ?f .
+        BIND (URI(CONCAT('http://ex/', ?id)) AS ?s)
+        BIND (IF(STRSTARTS(?f, 'Account'), 'acct', 'other') AS ?v1)
+        BIND (STRLANG(?f, "nl") AS ?v2)
+        BIND (ENCODE_FOR_URI(?f) AS ?v3)
+        BIND (LCASE(REPLACE(STRAFTER(?f, 'Account '), ' ', '_')) AS ?v4)
+      }"""
+    val InsertWhere(q) = SparqlParser.parse(text): @unchecked
+    val rows = Compiler.run(q, store.readGraphs(q.usingGraphs)).collect()
+      .map(r => (r.getString(2), r.getString(3), r.getString(5))).toSet
+    assert(rows.contains(("http://ex/v", "acct", null)))
+    assert(rows.contains(("http://ex/w", "Account manager", "nl")))
+    assert(rows.contains(("http://ex/x", "Account%20manager", null)))
+    assert(rows.contains(("http://ex/y", "manager", null)))
+  }
+
+  test("INSERT DATA / CLEAR / DROP forms") {
+    val InsertData(quads) = SparqlParser.parse(s"""
+      PREFIX ex: <http://ex/>
+      INSERT DATA {
+        GRAPH <http://ex/g> {
+          ex:s ex:p ex:o .
+          ex:s ex:q "lit"@en .
+          ex:s ex:r "42"^^<${Quad.xsd.integer}> .
+        }
+      }"""): @unchecked
+    assert(quads.size == 3)
+    assert(quads(1).o_lang == "en")
+    assert(quads(2).o_type == Quad.xsd.integer)
+
+    val ClearGraphOp(g1, s1) = SparqlParser.parse(
+      "CLEAR SILENT GRAPH <http://ex/g>"): @unchecked
+    assert(g1 == "http://ex/g" && s1)
+    val DropGraphOp(g2, s2) = SparqlParser.parse(
+      "DROP GRAPH <http://ex/g>"): @unchecked
+    assert(g2 == "http://ex/g" && !s2)
+  }
+
+  test("GraphEngine executes updates end-to-end") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("eng").toString + "/quads")
+    val engine = new GraphEngine(st)
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/src> {
+        ex:a ex:name "Alpha" . ex:b ex:name "Beta" . } }""")
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      WITH <http://ex/out>
+      INSERT { ?s ex:upper ?u }
+      USING <http://ex/src>
+      WHERE { ?s ex:name ?n . BIND (URI(CONCAT('http://ex/u/', ?n)) AS ?u) }""")
+    assert(st.countGraph("http://ex/out") == 2)
+    engine.update("CLEAR SILENT GRAPH <http://ex/out>")
+    assert(st.countGraph("http://ex/out") == 0)
+  }
+}
