@@ -65,6 +65,18 @@ object RdfOps {
         .orderBy(col("s"), col("p"), col("o_value"))
     }),
 
+    // S3: JSON file source → flattener (the mam_tenants ingestion path,
+    // whole-document read). Rows-only: writes its own temp input.
+    "rdf_json_file_source" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-src")
+      val f = dir.resolve("tenants.json")
+      java.nio.file.Files.writeString(f,
+        graft.queries.Fixtures.mamDoc.head)
+      graft.sources.Sources.jsonFileToQuads(s, f.toString,
+        "https://data.example.org/graph/tenants", ns).toDF()
+        .orderBy(col("s"), col("p"))
+    }),
+
     // S7: SPARQL-update text front end — INSERT DATA, INSERT..WHERE with
     // bnode paths + BIND, CLEAR, executed by GraphEngine from raw text
     "rdf_sparql_update" -> ((s, _) => {
