@@ -14,27 +14,39 @@ import graft.util.Tables
 object Dedup {
 
   /** distinct word n-gram shingles of a token array (n consecutive
-    * tokens joined by a space). */
-  def shingles(toks: Column, n: Int = 3): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        k => concat_ws(" ", (0 until n).map(j => element_at(toks, k + j)): _*))))
-      .otherwise(array().cast("array<string>"))
+    * tokens joined by a space).
+    *
+    * Built with `zip_with` over shifted slices — each argument array is
+    * evaluated ONCE per row. The tempting index-based form
+    * (`transform(sequence(...), k -> concat(element_at(toks, k), ...))`)
+    * re-evaluates the `toks` subtree per ELEMENT inside the lambda
+    * (higher-order lambdas don't share subexpressions), which turns a
+    * linear scan into tokens x shingles regex work — 100x slower in
+    * practice. */
+  def shingles(toks: Column, n: Int = 3): Column = {
+    val shifted = (1 until n).map(j => slice(toks, lit(j + 1), size(toks)))
+    val joined = shifted.foldLeft(toks)((acc, s) =>
+      zip_with(acc, s, (a, b) => concat(a, lit(" "), b))) // null past the end
+    array_distinct(filter(joined, x => x.isNotNull))
+  }
 
   /** (doc_id, shingle) exploded pairs + per-doc shingle counts. The
-    * exploded table is persisted: every consumer (self-join sides,
-    * signature build, verify) would otherwise re-tokenize and re-shingle
+    * exploded table is persisted AND memoized per (session, dir):
+    * every consumer (self-join sides, signature build, verify, and the
+    * sibling dedup queries) would otherwise re-tokenize and re-shingle
     * the corpus — the dominant cost at bench scale. */
-  private def shingleTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), shingles(TextOps.tokens(col("text"))).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = docs.select(col("doc_id"), size(col("sh")).as("n"))
-    (ex, counts)
-  }
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]
+  private def shingleTables(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    shingleCache.computeIfAbsent((s, d), { _ =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), shingles(TextOps.tokens(col("text"))).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val ex = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val counts = docs.select(col("doc_id"), size(col("sh")).as("n"))
+      (ex, counts)
+    })
 
   /** Exact Jaccard over candidate (i, j) pairs produced by the shingle
     * (or any) join; `ex`/`counts` from [[shingleTables]]. */
@@ -136,7 +148,7 @@ object Dedup {
         .select(col("i"), col("j"),
           bit_count(col("fi").bitwiseXOR(col("fj"))).as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 8)
+        .filter(col("hamming") <= 6)
         .orderBy(col("i"), col("j"))
     }))
 

@@ -20,11 +20,12 @@ object Similarity {
   /** element-wise double cast */
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** native codegen'd primitive loop — no per-pair intermediate array
+    * (graft.sparql.DotProductExpr); the hot kernel of every query here */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.sparql.VectorFunctions.vec_dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
