@@ -10,7 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // fixture-scale correctness demos: constant-cost regardless of SF,
+    // so they'd pollute a throughput metric. Verify still runs them.
+    val fixtureDemos = Set(
+      "rdf_mapping_pipeline", "rdf_sparql_update", "rdf_json_file_source")
+    val results = (SparkEntry.queries -- fixtureDemos).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -65,6 +65,34 @@ object RdfOps {
         .orderBy(col("s"), col("p"), col("o_value"))
     }),
 
+    // Data-scale SPARQL mapping benchmark: flatten one JSON doc per
+    // event (3 attributes) into a staging graph, then run a parsed
+    // 3-pattern BGP + BIND + INSERT over it — mapping-path throughput
+    // that grows with the scale factor (unlike the fixture pipeline).
+    "rdf_mapping_scale" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-mapscale-${System.nanoTime()}"
+      val g = "https://data.example.org/graph/events_rdf"
+      val docs = Tables.events(s, d).select(to_json(struct(
+        col("event_type"), col("user_id"), col("event_id"))).as("json"))
+      val store = new graft.model.GraphStore(s, dir)
+      store.append(graft.ingest.JsonFlattener.flatten(docs, "json", g, ns).toDF())
+      val engine = new graft.GraphEngine(store)
+      engine.update(s"""
+        PREFIX src: <$ns>
+        PREFIX ex: <http://ex/>
+        WITH <http://ex/user_activity>
+        INSERT { ?u ex:did ?etype }
+        USING <$g>
+        WHERE {
+          ?e src:event_type ?etype ;
+             src:user_id ?uid ;
+             src:event_id ?eid .
+          BIND (URI(CONCAT('http://ex/user/', ?uid)) AS ?u)
+        }""")
+      store.readGraphs(Seq("http://ex/user_activity"))
+        .orderBy(col("s"), col("o_value"))
+    }),
+
     // S3: JSON file source → flattener (the mam_tenants ingestion path,
     // whole-document read). Rows-only: writes its own temp input.
     "rdf_json_file_source" -> ((s, _) => {
@@ -117,6 +145,16 @@ object RdfOps {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "rdf_mapping_scale" ->
+      """SELECT DISTINCT
+           'http://ex/user_activity' AS graph,
+           'http://ex/user/' || CAST(user_id AS VARCHAR) AS s,
+           'http://ex/did' AS p,
+           event_type AS o_value,
+           CAST(NULL AS VARCHAR) AS o_type,
+           CAST(NULL AS VARCHAR) AS o_lang,
+           'literal' AS o_kind
+         FROM events ORDER BY s, o_value""",
     "rdf_flatten_predicates" ->
       s"""SELECT p, count(*) AS n FROM (
             SELECT '$ns' || unnest(json_keys(props)) AS p FROM events)
