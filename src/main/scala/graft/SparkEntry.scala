@@ -16,14 +16,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.RdfOps.queries ++ ops.TextOps.queries ++
-      ops.Dedup.queries ++ ops.Similarity.queries ++ ops.Multimodal.queries ++
-      streaming.EventStreams.queries
+    ops.Relational.queries ++ ops.Relational2.queries ++ ops.RdfOps.queries ++
+      ops.TextOps.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
+      ops.Multimodal.queries ++ streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracleSql ++ ops.RdfOps.oracleSql ++ ops.TextOps.oracleSql ++
-      ops.Dedup.oracleSql ++ ops.Similarity.oracleSql ++ ops.Multimodal.oracleSql ++
-      streaming.EventStreams.oracleSql
+    ops.Relational.oracleSql ++ ops.Relational2.oracleSql ++ ops.RdfOps.oracleSql ++
+      ops.TextOps.oracleSql ++ ops.Dedup.oracleSql ++ ops.Similarity.oracleSql ++
+      ops.Multimodal.oracleSql ++ streaming.EventStreams.oracleSql
 }

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Second tranche of the relational surface: grouping sets (CUBE),
+  * INTERSECT/EXCEPT, HAVING, scalar subqueries, PIVOT — the SURVEY.md
+  * §2.5 categories marked "free via Catalyst", exercised explicitly so
+  * the coverage is oracle-proven rather than claimed.
+  */
+object Relational2 {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- CUBE grouping sets
+    "q19_cube_qty" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- INTERSECT
+    "q20_nations_intersect" -> ((s, d) => {
+      val cn = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val sn = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      cn.intersect(sn).orderBy(col("nationkey"))
+    }),
+
+    // ---- EXCEPT
+    "q21_nations_except" -> ((s, d) => {
+      val cn = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val sn = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      cn.except(sn).orderBy(col("nationkey"))
+    }),
+
+    // ---- HAVING (post-aggregation filter)
+    "q22_big_spenders" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total_spend"),
+          count(lit(1)).as("n_orders"))
+        .filter(col("total_spend") > 3000000.0)
+        .orderBy(col("o_custkey"))
+    }),
+
+    // ---- scalar subquery (parts above the average retail price)
+    "q23_above_avg_parts" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val avgPrice = p.agg(avg(col("p_retailprice")).as("ap"))
+      p.join(broadcast(avgPrice))
+        .filter(col("p_retailprice") > col("ap"))
+        .select(col("p_partkey"), round(col("p_retailprice"), 2).as("price"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- PIVOT (per-nation account balance by market segment)
+    "q24_segment_pivot" -> ((s, d) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .pivot("c_mktsegment", segs)
+        .agg(round(sum(col("c_acctbal")), 2))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // ---- approximate distinct (HLL-family sketch; rows-only — the
+    // sketch differs from DuckDB's, accuracy pinned in a spec)
+    "q25_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q19_cube_qty" ->
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q20_nations_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier
+         ORDER BY nationkey""",
+    "q21_nations_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT SELECT s_nationkey FROM supplier
+         ORDER BY nationkey""",
+    "q22_big_spenders" ->
+      """SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+           count(*) AS n_orders
+         FROM orders GROUP BY o_custkey
+         HAVING round(sum(o_totalprice), 2) > 3000000.0
+         ORDER BY o_custkey""",
+    "q23_above_avg_parts" ->
+      """SELECT p_partkey, round(p_retailprice, 2) AS price
+         FROM part
+         WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+         ORDER BY p_partkey""",
+    "q24_segment_pivot" ->
+      """SELECT c_nationkey,
+           round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END), 2) AS "AUTOMOBILE",
+           round(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END), 2) AS "BUILDING",
+           round(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN c_acctbal END), 2) AS "FURNITURE",
+           round(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN c_acctbal END), 2) AS "HOUSEHOLD",
+           round(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END), 2) AS "MACHINERY"
+         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")
+}

@@ -24,6 +24,9 @@ import graft.util.Tables
   */
 object EventStreams {
 
+  /** state for the stateful-distinct operator (product-encodable) */
+  case class SeenTypes(types: Seq[String])
+
   private val nameCounter = new AtomicInteger
 
   /** Streaming read of the events parquet with the same ts handling as
@@ -91,6 +94,30 @@ object EventStreams {
         .orderBy(col("session_start"), col("user_id"))
     }),
 
+    // ---- custom streaming state: flatMapGroupsWithState tracks the
+    // set of event types seen per user and emits only newly-seen ones;
+    // summing emissions = distinct types per user (batch-boundary
+    // independent → oracle-checkable)
+    "stream_stateful_distinct" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val ds = eventsStream(s, d)
+        .select(col("user_id"), col("event_type")).as[(Long, String)]
+      val emitted = ds.groupByKey(_._1)
+        .flatMapGroupsWithState[SeenTypes, (Long, Int)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid: Long, events: Iterator[(Long, String)], state: GroupState[SeenTypes]) =>
+            val seen = state.getOption.map(_.types.toSet).getOrElse(Set.empty)
+            val fresh = events.map(_._2).toSet -- seen
+            if (fresh.nonEmpty) state.update(SeenTypes((seen ++ fresh).toSeq))
+            if (fresh.nonEmpty) Iterator((uid, fresh.size)) else Iterator.empty
+        }.toDF("user_id", "n_new")
+      runToTable(emitted, "append")
+        .groupBy(col("user_id"))
+        .agg(sum(col("n_new")).cast("long").as("n_types"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- batch sessionization twin (gaps-and-islands; oracle-checked)
     "sessionize_batch" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -112,6 +139,9 @@ object EventStreams {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "stream_stateful_distinct" ->
+      """SELECT user_id, count(DISTINCT event_type) AS n_types
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "stream_tumbling_agg" ->
       """SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP)
              AS window_start,
