@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Relational2.queries ++ ops.RdfOps.queries ++
       ops.TextOps.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
-      ops.Multimodal.queries ++ streaming.EventStreams.queries
+      ops.Multimodal.queries ++ ops.Udafs.queries ++
+      streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracleSql ++ ops.Relational2.oracleSql ++ ops.RdfOps.oracleSql ++
       ops.TextOps.oracleSql ++ ops.Dedup.oracleSql ++ ops.Similarity.oracleSql ++
-      ops.Multimodal.oracleSql ++ streaming.EventStreams.oracleSql
+      ops.Multimodal.oracleSql ++ ops.Udafs.oracleSql ++
+      streaming.EventStreams.oracleSql
 }

@@ -74,6 +74,21 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- BPE-ish regex token counting: letter-runs / digits /
+    // punctuation as separate tokens (the pre-tokenizer split most BPE
+    // vocabularies assume), next to the whitespace count
+    "text_bpe_tokens" -> ((s, d) => {
+      // NB: Spark SQL string literals process backslash escapes, so \s
+      // must be written \\s inside the expr() text
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).as("ws_tokens"),
+          size(expr(
+            "regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s]', 0)"))
+            .as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- fingerprint: md5 over whitespace-normalized text
     "text_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
@@ -123,6 +138,12 @@ object TextOps {
                    string_split_regex(trim(text), '\s+') AS toks
                  FROM documents) t1) t2
          ORDER BY doc_id""",
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]', 0)) AS INT)
+             AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
     "text_fingerprint" ->
       """SELECT doc_id,
            md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint

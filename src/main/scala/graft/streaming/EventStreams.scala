@@ -94,6 +94,30 @@ object EventStreams {
         .orderBy(col("session_start"), col("user_id"))
     }),
 
+    // ---- streaming ingestion into the quad store: stream → flattener →
+    // foreachBatch append (the incremental version of the reference's
+    // extract path); result read back from the store
+    "stream_quad_ingest" -> ((s, d) => {
+      val ns = "http://localhost/"
+      val g = "https://data.example.org/graph/stream_events"
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-singest-${System.nanoTime()}"
+      val store = new graft.model.GraphStore(s, s"$dir/quads")
+      val stream = eventsStream(s, d)
+        .select(to_json(struct(col("event_type"), col("user_id"))).as("json"))
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          store.append(
+            graft.ingest.JsonFlattener.flatten(batch, "json", g, ns).toDF())
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      store.readGraphs(Seq(g))
+        .groupBy(col("p")).agg(count(lit(1)).as("n"))
+        .orderBy(col("p"))
+    }),
+
     // ---- custom streaming state: flatMapGroupsWithState tracks the
     // set of event types seen per user and emits only newly-seen ones;
     // summing emissions = distinct types per user (batch-boundary
@@ -139,6 +163,12 @@ object EventStreams {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "stream_quad_ingest" ->
+      """SELECT p, n FROM (
+           SELECT 'http://localhost/event_type' AS p, count(*) AS n FROM events
+           UNION ALL
+           SELECT 'http://localhost/user_id', count(*) FROM events) t
+         ORDER BY p""",
     "stream_stateful_distinct" ->
       """SELECT user_id, count(DISTINCT event_type) AS n_types
          FROM events GROUP BY user_id ORDER BY user_id""",
