@@ -89,6 +89,19 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- rolling-hash (winnowing) fingerprint — mapPartitions scalar
+    // work per document; rows-only (hash not reproducible in SQL)
+    "text_rolling_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, winnowFingerprint(text).mkString("-"))
+        })
+        .toDF("doc_id", "rolling_fp")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- fingerprint: md5 over whitespace-normalized text
     "text_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
@@ -96,6 +109,31 @@ object TextOps {
           md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fingerprint"))
         .orderBy(col("doc_id"))
     }))
+
+  /** Winnowing-style rolling-hash fingerprint: polynomial rolling hash
+    * (base 257, mod 2^61-1) over `k`-char windows; the fingerprint is
+    * the `keep` smallest distinct window hashes. Identical or
+    * near-identical documents share most fingerprint components. */
+  def winnowFingerprint(text: String, k: Int = 8, keep: Int = 4): Seq[Long] = {
+    val M = (1L << 61) - 1
+    val B = 257L
+    def mulmod(a: Long, b: Long): Long =
+      (BigInt(a) * b % M).toLong // text windows are short; clarity over speed
+    if (text.length < k) return Seq(text.hashCode.toLong & Long.MaxValue)
+    var pow = 1L
+    (1 until k).foreach(_ => pow = mulmod(pow, B))
+    var h = 0L
+    text.take(k).foreach(c => h = (mulmod(h, B) + c) % M)
+    val hashes = scala.collection.mutable.ArrayBuffer(h)
+    var i = k
+    while (i < text.length) {
+      h = (h - mulmod(text(i - k), pow) % M + M) % M
+      h = (mulmod(h, B) + text(i)) % M
+      hashes += h
+      i += 1
+    }
+    hashes.distinct.sorted.take(keep).toSeq
+  }
 
   def oracleSql: Map[String, String] = Map(
     "text_token_stats" ->
