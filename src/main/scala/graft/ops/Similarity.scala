@@ -89,7 +89,50 @@ object Similarity {
         .filter(col("rn") <= 5)
         .select(col("query_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
         .orderBy(col("query_id"), col("rn"))
+    }),
+
+    // ---- IVF-bucketed ANN: coarse-quantize into cells, probe the
+    // query's nearest IvfProbes cells only. Candidates come from a cell
+    // equi-join; at scale the cell column would be the partition key.
+    // Rows-only (recall vs brute force pinned in TrainingOpsSpec).
+    "ann_ivf_bucketed" -> ((s, d) => {
+      val base = vecsN(s, d)
+      val centroids = base.filter(col("vec_id") % lit(31) === 7)
+        .limit(IvfCells)
+        .select(col("vec_id").as("cell"), col("v").as("cv"))
+      val assigned = ivfAssign(base, centroids, keep = 1)
+      val queries = ivfAssign(
+        base.filter(col("vec_id") % 250 === 0), centroids, keep = IvfProbes)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell"))
+      val cand = assigned.join(broadcast(queries), Seq("cell"))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
+        .orderBy(col("query_id"), col("rn"))
     }))
+
+  /** IVF cells: deterministic coarse centroids (a fixed modulo sample of
+    * the corpus — a stand-in for trained k-means that needs no stored
+    * model), each vector assigned to its max-dot centroid. */
+  private val IvfCells = 16
+  private val IvfProbes = 4
+
+  private def ivfAssign(vecsWithNorm: DataFrame, centroids: DataFrame,
+      keep: Int): DataFrame = {
+    val scored = vecsWithNorm.join(broadcast(centroids))
+      .withColumn("cdot", dot(col("v"), col("cv")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cell"))
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= keep)
+      .drop("cv", "cdot", "crank")
+  }
 
   // 8 bands x 4 hyperplane bits per band. P(candidate) for angle θ:
   // 1-(1-(1-θ/π)^4)^8 — ~0.8 for the genuinely-close pairs, steeply

@@ -100,12 +100,27 @@ final class Pipeline(store: GraphStore) {
     store.compact(gOrganizations)
   }
 
-  /** Full run over already-ingested staging graphs. */
-  def run(runId: String, startedAt: String): Unit = {
+  /** Full run over already-ingested staging graphs.
+    *
+    * `fullSync` mirrors the reference's `full_sync` Variable
+    * (`load_knowledge_graph.py:45`, forwarded upstream at `:227,255`):
+    * it is passed to the upstream sync trigger (see [[HttpSync.trigger]]
+    * with `{"full_sync": ...}`); graph-level processing is
+    * truncate-and-reload either way, exactly as in the reference. */
+  def run(runId: String, startedAt: String, fullSync: Boolean = true): Unit = {
     store.clearGraph(gOrganizations)
     runMappings()
     addProvenance(runId, startedAt)
     finish()
+  }
+
+  /** Upstream sync gate (tasks h0–h5): trigger both sync services and
+    * poll until their jobs settle, before any clear/extract. */
+  def awaitUpstreamSync(
+      sync: HttpSync, triggerUrls: Seq[String], statusUrls: Seq[String],
+      fullSync: Boolean): Boolean = {
+    triggerUrls.foreach(u => sync.trigger(u, s"""{"full_sync": $fullSync}"""))
+    statusUrls.forall(u => sync.pollUntil(u, sync.jobNotRunning))
   }
 
   /** python urllib.parse.quote_plus — used by the reference to mint the

@@ -44,6 +44,17 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3)
   }
 
+  test("IVF-bucketed ANN reaches usable recall vs brute force") {
+    val exact = SparkEntry.queries("ann_bruteforce_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = SparkEntry.queries("ann_ivf_bucketed")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf.nonEmpty)
+    val recall = exact.count(ivf) * 1.0 / exact.size
+    info(s"IVF (${"%d".format(4)}-probe) recall: $recall")
+    assert(recall >= 0.3)
+  }
+
   test("simhash fingerprints are deterministic and 64-bit") {
     import graft.ops.Dedup
     val docs = graft.util.Tables.documents(spark, sf)
