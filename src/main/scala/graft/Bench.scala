@@ -16,8 +16,14 @@ object Bench {
       "rdf_mapping_pipeline", "rdf_sparql_update", "rdf_json_file_source")
     val results = (SparkEntry.queries -- fixtureDemos).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query must NOT report its (fast) elapsed time as if it
+      // were a result — record the -1 sentinel so regressions are visible
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

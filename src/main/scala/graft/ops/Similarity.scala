@@ -96,10 +96,17 @@ object Similarity {
     // equi-join; at scale the cell column would be the partition key.
     // Rows-only (recall vs brute force pinned in TrainingOpsSpec).
     "ann_ivf_bucketed" -> ((s, d) => {
+      import s.implicits._
       val base = vecsN(s, d)
-      val centroids = base.filter(col("vec_id") % lit(31) === 7)
-        .limit(IvfCells)
-        .select(col("vec_id").as("cell"), col("v").as("cv"))
+      // centroids collected to the driver: ordered-before-limit for
+      // determinism, and a literal DF so BOTH ivfAssign branches see the
+      // identical centroid set (an uncollected limit() subplan could
+      // resolve differently per branch)
+      val centroidRows = base.filter(col("vec_id") % lit(31) === 7)
+        .orderBy(col("vec_id")).limit(IvfCells)
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val centroids = centroidRows.toSeq.toDF("cell", "cv")
       val assigned = ivfAssign(base, centroids, keep = 1)
       val queries = ivfAssign(
         base.filter(col("vec_id") % 250 === 0), centroids, keep = IvfProbes)

@@ -59,6 +59,7 @@ final class Pipeline(store: GraphStore) {
       })
     queries.map(_.usingGraphs).distinct.foreach(scoped)
 
+    if (queries.isEmpty) return
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(queries.size, 8))
     try {
@@ -69,8 +70,10 @@ final class Pipeline(store: GraphStore) {
       val results = Await.result(Future.sequence(futures), Duration.Inf)
       val union = results.reduce(_.unionByName(_))
       store.appendDistinct(union)
-    } finally pool.shutdown()
-    scopeCache.values.forEach(_.unpersist())
+    } finally {
+      pool.shutdown()
+      scopeCache.values.forEach(_.unpersist())
+    }
   }
 
   /** PROV-O lineage (task mp, `load_knowledge_graph.py:510-545`). */
@@ -102,12 +105,11 @@ final class Pipeline(store: GraphStore) {
 
   /** Full run over already-ingested staging graphs.
     *
-    * `fullSync` mirrors the reference's `full_sync` Variable
-    * (`load_knowledge_graph.py:45`, forwarded upstream at `:227,255`):
-    * it is passed to the upstream sync trigger (see [[HttpSync.trigger]]
-    * with `{"full_sync": ...}`); graph-level processing is
-    * truncate-and-reload either way, exactly as in the reference. */
-  def run(runId: String, startedAt: String, fullSync: Boolean = true): Unit = {
+    * Upstream sync (the reference's `full_sync` flag) is a separate
+    * pre-step — call [[awaitUpstreamSync]] before ingest, as the DAG's
+    * h0–h5 gate does; graph-level processing is truncate-and-reload
+    * either way, exactly as in the reference. */
+  def run(runId: String, startedAt: String): Unit = {
     store.clearGraph(gOrganizations)
     runMappings()
     addProvenance(runId, startedAt)
@@ -119,12 +121,22 @@ final class Pipeline(store: GraphStore) {
   def awaitUpstreamSync(
       sync: HttpSync, triggerUrls: Seq[String], statusUrls: Seq[String],
       fullSync: Boolean): Boolean = {
-    triggerUrls.foreach(u => sync.trigger(u, s"""{"full_sync": $fullSync}"""))
-    statusUrls.forall(u => sync.pollUntil(u, sync.jobNotRunning))
+    // a non-2xx trigger means no sync job started — polling could then
+    // see a STALE job_running=false and wave the gate through
+    val triggered = triggerUrls.forall { u =>
+      val status = sync.trigger(u, s"""{"full_sync": $fullSync}""")
+      status >= 200 && status < 300
+    }
+    triggered && statusUrls.forall(u => sync.pollUntil(u, sync.jobNotRunning))
   }
 
   /** python urllib.parse.quote_plus — used by the reference to mint the
-    * run IRI (`load_knowledge_graph.py:55`). */
+    * run IRI (`load_knowledge_graph.py:55`). NOT java URLEncoder, which
+    * diverges on '*' (kept) and '~' (encoded); quote_plus keeps exactly
+    * the RFC 3986 unreserved set and maps space to '+'. Built on
+    * encodeForUri (same unreserved set): spaces become %20 there and are
+    * rewritten to '+'; a literal '%' in the input was already escaped to
+    * %25, so the rewrite cannot touch user data. */
   private def urlEncodePlus(s: String): String =
-    java.net.URLEncoder.encode(s, "UTF-8")
+    graft.sparql.SparqlRuntime.encodeForUri(s).replace("%20", "+")
 }

@@ -56,16 +56,26 @@ object NTriples {
 
   // ---------------------------------------------------------------- reader
 
-  /** Parse one N-Triples line; returns null for blank/comment lines. */
+  /** Parse one N-Triples line; returns null for blank/comment lines.
+    * Malformed lines raise IllegalArgumentException carrying the line —
+    * a raw index-out-of-bounds from one bad line in a huge ingest would
+    * otherwise kill the job with no pointer to the culprit. */
   def parseLine(line: String, graph: String): Quad = {
     val t = line.trim
     if (t.isEmpty || t.startsWith("#")) return null
-    val p = new LineParser(t)
-    val s = p.term()
-    val pred = p.term()
-    val obj = p.term()
-    p.expectDot()
-    Quad(graph, s._1, pred._1, obj._1, obj._3, obj._4, obj._2)
+    try {
+      val p = new LineParser(t)
+      val s = p.term()
+      val pred = p.term()
+      val obj = p.term()
+      p.expectDot()
+      Quad(graph, s._1, pred._1, obj._1, obj._3, obj._4, obj._2)
+    } catch {
+      case e: IllegalArgumentException => throw e
+      case e: Exception =>
+        throw new IllegalArgumentException(
+          s"malformed N-Triples line: $t", e)
+    }
   }
 
   /** (value, kind, datatype, lang) */

@@ -159,17 +159,19 @@ object Compiler {
         })
       case Bind(e, as) =>
         flush()
-        val base = acc.getOrElse(quads.sparkSession.range(1).toDF())
-        acc = Some(base.withColumn(as, compileExpr(e)))
+        acc = Some(acc.getOrElse(unitRow(quads)).withColumn(as, compileExpr(e)))
       case FilterE(e) =>
         flush()
-        acc = Some(acc.getOrElse(quads.sparkSession.range(1).toDF())
-          .where(compileBool(e)))
+        acc = Some(acc.getOrElse(unitRow(quads)).where(compileBool(e)))
     }
     flush()
-    acc.getOrElse(quads.sparkSession.range(1).toDF())
-      .drop("id") // drop range() helper column if it leaked
+    acc.getOrElse(unitRow(quads))
   }
+
+  /** one row, ZERO columns — a leading BIND starts from this, so no
+    * helper column can collide with a user variable (e.g. `?id`) */
+  private def unitRow(quads: DataFrame): DataFrame =
+    quads.sparkSession.range(1).toDF().drop("id")
 
   // -------------------------------------------------------- expressions
 

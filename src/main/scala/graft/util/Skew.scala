@@ -18,6 +18,11 @@ object Skew {
       leftKey: String, rightKey: String,
       saltBuckets: Int = 16,
       joinType: String = "inner"): DataFrame = {
+    // right/full outer would null-extend every replicated right copy →
+    // saltBuckets duplicates per unmatched right row
+    require(Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left join types only, got $joinType")
     val saltedLeft = left.withColumn("_salt",
       pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(saltBuckets))
         .cast("int"))

@@ -39,6 +39,14 @@ class NTriplesSpec extends AnyFunSuite {
     assert(q.o_type == null)
   }
 
+  test("malformed lines raise a diagnostic error, not a raw index crash") {
+    val e = intercept[IllegalArgumentException] {
+      NTriples.parseLine("""<http://ex/s> <http://ex/p> "unterminated""", "g")
+    }
+    assert(e.getMessage.contains("unterminated") ||
+      e.getMessage.contains("malformed"))
+  }
+
   test("file round-trip via spark") {
     import spark.implicits._
     val dir = Files.createTempDirectory("nt").toString + "/out"

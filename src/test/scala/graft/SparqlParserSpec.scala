@@ -156,6 +156,29 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(g2 == "http://ex/g" && !s2)
   }
 
+  test("unterminated string literal fails fast instead of hanging") {
+    val e = intercept[IllegalArgumentException] {
+      SparqlParser.parse(
+        """INSERT DATA { GRAPH <http://ex/g> { <http://ex/s> <http://ex/p> "unterminated } }""")
+    }
+    assert(e.getMessage.contains("unterminated"))
+  }
+
+  test("a user variable named ?id survives compilation") {
+    val text = s"""
+      PREFIX src: <$source>  PREFIX ex: <http://ex/>
+      WITH <http://ex/out>
+      INSERT { ?s ex:ident ?id }
+      USING <${gTlUsers}>
+      WHERE {
+        ?s src:id ?id .
+        BIND (URI(CONCAT('http://ex/x/', ?id)) AS ?ss)
+      }"""
+    val InsertWhere(q) = SparqlParser.parse(text): @unchecked
+    val out = Compiler.run(q, store.readGraphs(q.usingGraphs)).collect()
+    assert(out.map(_.getString(3)).toSet == Set("u-1", "u-2"))
+  }
+
   test("GraphEngine executes updates end-to-end") {
     val st = new graft.model.GraphStore(spark,
       Files.createTempDirectory("eng").toString + "/quads")
