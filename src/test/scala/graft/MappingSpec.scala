@@ -176,6 +176,26 @@ class MappingSpec extends AnyFunSuite {
     assert(prv.count(_.getString(2) == prov + "wasDerivedFrom") == 3)
   }
 
+  test("full pipeline lifecycle: run() drops staging and compacts target") {
+    val st = graft.queries.Fixtures.ingestAll(spark,
+      Files.createTempDirectory("kglife").toString + "/quads")
+    val p = new Pipeline(st)
+    p.run("run_life", "2026-01-01T00:00:00")
+    // staging graphs dropped (d1-d5)
+    p.stagingGraphs.foreach(g => assert(st.countGraph(g) == 0, g))
+    // target populated and compacted to a single file
+    assert(st.countGraph(gOrganizations) > 0)
+    assert(st.countGraph(gProvenance) == 9)
+    val dir = new java.io.File(st.path,
+      "graph=" + java.net.URLEncoder.encode(gOrganizations, "UTF-8")
+        .replace("+", "%20"))
+    // partition dir exists with exactly one parquet data file
+    if (dir.exists()) {
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, files.mkString(", "))
+    }
+  }
+
   test("set semantics: overlapping ContentPartner inserts collapse") {
     // ldap_mapping_cp and tl_companies_mapping_cp both assert rdf:type
     // ContentPartner; the merged graph holds each statement once
