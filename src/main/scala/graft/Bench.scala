@@ -14,7 +14,19 @@ object Bench {
     // so they'd pollute a throughput metric. Verify still runs them.
     val fixtureDemos = Set(
       "rdf_mapping_pipeline", "rdf_sparql_update", "rdf_json_file_source")
-    val results = (SparkEntry.queries -- fixtureDemos).map { case (name, fn) =>
+    // JVM/codegen warmup (untimed): classload Catalyst + janino + parquet
+    // reader paths so the first timed query doesn't pay one-time costs.
+    try {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .groupBy(col("n_regionkey")).agg(count(lit(1))).collect()
+    } catch { case _: Throwable => () }
+    // optional focused run: SPARK_GRAFT_ONLY=regex benches matching names
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val selected = (SparkEntry.queries -- fixtureDemos).filter { case (n, _) =>
+      only.forall(_.findFirstIn(n).isDefined)
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must NOT report its (fast) elapsed time as if it
       // were a result — record the -1 sentinel so regressions are visible

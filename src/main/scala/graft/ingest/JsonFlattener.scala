@@ -51,9 +51,21 @@ object JsonFlattener {
       graph: String,
       namespace: String,
       bnodeSeed: String,
-      instanceNs: Option[String] = None): Seq[Quad] = {
+      instanceNs: Option[String] = None): Seq[Quad] =
+    flattenRecord(sharedFactory, json, graph, namespace, bnodeSeed, instanceNs)
+
+  // JsonFactory is thread-safe and expensive to build — share one
+  private val sharedFactory = new JsonFactory()
+
+  def flattenRecord(
+      factory: JsonFactory,
+      json: String,
+      graph: String,
+      namespace: String,
+      bnodeSeed: String,
+      instanceNs: Option[String]): Seq[Quad] = {
     val out = mutable.ArrayBuffer.empty[Quad]
-    val parser = new JsonFactory().createParser(json)
+    val parser = factory.createParser(json)
     val subjectStack = mutable.ArrayDeque.empty[String]
     val arrayProperties = mutable.Map.empty[String, String]
     var property: String = null
@@ -128,11 +140,12 @@ object JsonFlattener {
       instanceNs: Option[String] = None): Dataset[Quad] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(jsonCol).cast("string")).as[String]
+    graft.util.Tables.fanOut(df.select(col(jsonCol).cast("string"))).as[String]
       .mapPartitions { rows =>
         val pid = TaskContext.getPartitionId()
+        val factory = new JsonFactory() // one per partition, not per record
         rows.zipWithIndex.flatMap { case (json, idx) =>
-          flattenRecord(json, graph, namespace, s"$pid-$idx", instanceNs)
+          flattenRecord(factory, json, graph, namespace, s"$pid-$idx", instanceNs)
         }
       }
   }

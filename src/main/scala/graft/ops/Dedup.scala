@@ -30,8 +30,12 @@ object Dedup {
     array_distinct(filter(joined, x => x.isNotNull))
   }
 
-  /** (doc_id, shingle) exploded pairs + per-doc shingle counts. The
-    * exploded table is persisted AND memoized per (session, dir):
+  /** (doc_id, hs) exploded 64-bit-hashed shingles + per-doc shingle
+    * counts. The raw shingle STRINGS never leave the first projection:
+    * every downstream join/group shuffles an 8-byte hash instead of a
+    * ~20-byte string (xxhash64 collisions among <2^32 distinct shingles
+    * are ~2^-64 per pair — far below the float-rounding noise floor).
+    * The exploded table is persisted AND memoized per (session, dir):
     * every consumer (self-join sides, signature build, verify, and the
     * sibling dedup queries) would otherwise re-tokenize and re-shingle
     * the corpus — the dominant cost at bench scale. */
@@ -39,10 +43,12 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]
   private def shingleTables(s: SparkSession, d: String): (DataFrame, DataFrame) =
     shingleCache.computeIfAbsent((s, d), { _ =>
-      val docs = Tables.documents(s, d)
+      val docs = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), shingles(TextOps.tokens(col("text"))).as("sh"))
         .filter(size(col("sh")) > 0)
-      val ex = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val ex = docs
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("hs"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val counts = docs.select(col("doc_id"), size(col("sh")).as("n"))
       (ex, counts)
@@ -60,9 +66,9 @@ object Dedup {
 
   /** All pairs sharing >= 1 shingle, with intersection sizes. */
   private def shinglePairs(ex: DataFrame): DataFrame = {
-    val a = ex.select(col("doc_id").as("i"), col("shingle"))
-    val b = ex.select(col("doc_id").as("j"), col("shingle"))
-    a.join(b, a("shingle") === b("shingle") && col("i") < col("j"))
+    val a = ex.select(col("doc_id").as("i"), col("hs"))
+    val b = ex.select(col("doc_id").as("j"), col("hs"))
+    a.join(b, a("hs") === b("hs") && col("i") < col("j"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
   }
 
@@ -73,11 +79,13 @@ object Dedup {
   private val MinhashBands = 16
   private val MinhashRows = 3
 
-  /** Per-doc MinHash signature, banded: (doc_id, band, bandHash). */
+  /** Per-doc MinHash signature, banded: (doc_id, band, bandHash). The k
+    * signature components are murmur mixes of the 8-byte shingle hash —
+    * the shingle string is hashed ONCE upstream, not k times here. */
   private def minhashBands(ex: DataFrame): DataFrame = {
     val k = MinhashBands * MinhashRows
     val sigCols = (0 until k).map(i =>
-      min(hash(lit(i), col("shingle"))).as(s"h$i"))
+      min(hash(lit(i), col("hs"))).as(s"h$i"))
     val sigs = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until MinhashBands).map { b =>
       val parts = (0 until MinhashRows).map(r => col(s"h${b * MinhashRows + r}"))
@@ -114,16 +122,19 @@ object Dedup {
     // difference between feasible and not at 100 TB.
     "dedup_minhash_lsh" -> ((s, d) => {
       val (ex, counts) = shingleTables(s, d)
+      // both self-join sides consume the banded signatures — persist so
+      // the 48-column min-hash aggregation runs once, not per side
       val bands = minhashBands(ex)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = bands.select(col("doc_id").as("i"), col("band"), col("bandHash"))
       val b = bands.select(col("doc_id").as("j"), col("band"), col("bandHash"))
       val cand = a.join(b, Seq("band", "bandHash")).where(col("i") < col("j"))
         .select(col("i"), col("j")).distinct()
       // verify candidates with exact jaccard (inter via semi-scoped join)
-      val exI = ex.select(col("doc_id").as("i"), col("shingle"))
-      val exJ = ex.select(col("doc_id").as("j"), col("shingle"))
+      val exI = ex.select(col("doc_id").as("i"), col("hs"))
+      val exJ = ex.select(col("doc_id").as("j"), col("hs"))
       val inter = cand
-        .join(exI, "i").join(exJ, Seq("j", "shingle"))
+        .join(exI, "i").join(exJ, Seq("j", "hs"))
         .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
       jaccardOf(inter, counts)
         .filter(col("jac") >= 0.8)
@@ -133,7 +144,10 @@ object Dedup {
 
     // ---- SimHash fingerprints + hamming-band near-dup candidates
     "dedup_simhash" -> ((s, d) => {
+      // fingerprints feed BOTH sides of the chunk self-join — persist so
+      // the token-vote aggregation runs once (doc_id+64-bit fp is tiny)
       val fp = simhash(Tables.documents(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // band on 4x16-bit chunks: near-dups (small hamming distance) agree
       // on >=1 chunk with high probability
       val chunks = fp.select(col("doc_id"), col("simhash"),
@@ -153,19 +167,35 @@ object Dedup {
     }))
 
   /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes;
-    * bit i of the fingerprint = sign of the +-1 vote sum on bit i). */
+    * bit i of the fingerprint = sign of the +-1 vote sum on bit i).
+    *
+    * The per-bit set-counts are packed 4-per-long into 16 agg buffers
+    * (lane g of buffer k counts bit k+16g at bit position 16g) instead
+    * of 64 separate `sum(when(...))` buffers. Lanes can't carry into
+    * each other below 65536 tokens/doc, and the signed sum stays below
+    * 2^62 under 16k tokens/doc (ANSI-safe) — chunk longer documents
+    * upstream. Bit i is set iff 2*count_i > n_tokens, identical to the
+    * sign-of-votes formulation. */
   def simhash(documents: DataFrame): DataFrame = {
-    val toks = documents
+    val toks = Tables.fanOut(documents)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map(i =>
-      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"v$i"))
-    val fp = (0 until 64).map(i =>
-      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-      .reduce((x, y) => x.bitwiseOR(y))
-    toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
+    val packed = (0 until 16).map { k =>
+      val contrib = (0 until 4).map { g =>
+        shiftleft(
+          shiftrightunsigned(col("h"), k + 16 * g).bitwiseAND(lit(1L)),
+          16 * g)
+      }.reduce(_ bitwiseOR _)
+      sum(contrib).as(s"c$k")
+    }
+    val aggs = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ntok"), packed: _*)
+    val fp = (0 until 64).map { i =>
+      val (k, g) = (i % 16, i / 16)
+      val cnt = shiftrightunsigned(col(s"c$k"), 16 * g).bitwiseAND(lit(0xffffL))
+      when(cnt * 2 > col("ntok"), shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce((x, y) => x.bitwiseOR(y))
+    aggs.select(col("doc_id"), fp.as("simhash"))
   }
 
   private val pairsOracle =

@@ -134,10 +134,14 @@ object RdfOps {
     "rdf_store_lifecycle" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-store-${System.nanoTime()}"
       val store = new GraphStore(s, dir)
+      // both appends are actions over the same flatten — persist so the
+      // JSON parse runs once, not per write
       val quads = propQuads(s, d).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       store.append(quads)
       store.clearGraph(graph)          // truncate = partition delete
       store.append(quads)              // reload
+      quads.unpersist()
       store.readGraphs(Seq(graph))     // scoped read = partition pruning
         .groupBy(col("graph"))
         .agg(count(lit(1)).as("n"))

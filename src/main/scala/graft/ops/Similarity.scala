@@ -29,8 +29,11 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** fanOut: the non-equi pair joins below are nested-loop joins whose
+    * parallelism equals the stream-side partition count — on a
+    * single-row-group local file that is 1 task without it. */
   private def vecs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+    Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
 
   /** With pre-computed norm (avoids recomputing in the pair loop). */
@@ -69,18 +72,24 @@ object Similarity {
 
     // ---- LSH-bucketed ANN (the 100-TB path): banded random-hyperplane
     // signatures — candidates share any (band, 4-bit-signature) key, so
-    // candidate generation is a band equi-join, not a cross join.
+    // candidate generation is a band equi-join, not a cross join. The
+    // candidate set is deduped as (query_id, vec_id) ID pairs BEFORE the
+    // vectors are joined back — at scale the wide embedding arrays never
+    // enter the dedup shuffle.
     // Rows-only check (recall vs brute force pinned in TrainingOpsSpec).
     "ann_lsh_bucketed" -> ((s, d) => {
-      val banded = vecsN(s, d).select(col("vec_id"), col("v"), col("nrm"),
+      val banded = vecs(s, d).select(col("vec_id"),
         posexplode(lshBands(col("v"))).as(Seq("band", "sig")))
-      val queries = banded.filter(col("vec_id") % 250 === 0)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("band"), col("sig"))
-      val cand = banded.join(broadcast(queries), Seq("band", "sig"))
+      val qkeys = banded.filter(col("vec_id") % 250 === 0)
+        .select(col("vec_id").as("query_id"), col("band"), col("sig"))
+      val candIds = banded.join(broadcast(qkeys), Seq("band", "sig"))
         .where(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("qv"), col("qn"),
-          col("vec_id"), col("v"), col("nrm")).distinct()
+        .select(col("query_id"), col("vec_id")).distinct()
+      val qvecs = vecsN(s, d).filter(col("vec_id") % 250 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val cand = candIds.join(vecsN(s, d), "vec_id")
+        .join(broadcast(qvecs), "query_id")
         .withColumn("cos",
           round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
       val w = Window.partitionBy(col("query_id"))
@@ -96,20 +105,18 @@ object Similarity {
     // equi-join; at scale the cell column would be the partition key.
     // Rows-only (recall vs brute force pinned in TrainingOpsSpec).
     "ann_ivf_bucketed" -> ((s, d) => {
-      import s.implicits._
       val base = vecsN(s, d)
       // centroids collected to the driver: ordered-before-limit for
-      // determinism, and a literal DF so BOTH ivfAssign branches see the
-      // identical centroid set (an uncollected limit() subplan could
-      // resolve differently per branch)
+      // determinism; they become plan literals so both assignment
+      // branches see the identical centroid set
       val centroidRows = base.filter(col("vec_id") % lit(31) === 7)
         .orderBy(col("vec_id")).limit(IvfCells)
         .select(col("vec_id"), col("v")).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      val centroids = centroidRows.toSeq.toDF("cell", "cv")
-      val assigned = ivfAssign(base, centroids, keep = 1)
-      val queries = ivfAssign(
-        base.filter(col("vec_id") % 250 === 0), centroids, keep = IvfProbes)
+      val assigned = base.withColumn("cell",
+        element_at(ivfCellsOf(centroidRows, keep = 1), 1))
+      val queries = base.filter(col("vec_id") % 250 === 0)
+        .withColumn("cell", explode(ivfCellsOf(centroidRows, keep = IvfProbes)))
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("cell"))
       val cand = assigned.join(broadcast(queries), Seq("cell"))
@@ -130,15 +137,20 @@ object Similarity {
   private val IvfCells = 16
   private val IvfProbes = 4
 
-  private def ivfAssign(vecsWithNorm: DataFrame, centroids: DataFrame,
-      keep: Int): DataFrame = {
-    val scored = vecsWithNorm.join(broadcast(centroids))
-      .withColumn("cdot", dot(col("v"), col("cv")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdot").desc, col("cell"))
-    scored.withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= keep)
-      .drop("cv", "cdot", "crank")
+  /** Cell assignment as a pure projection: the centroid set is a plan
+    * LITERAL (16 cells × dim doubles), so per-vector scoring is `IvfCells`
+    * codegen'd dot products + a 16-element `array_sort` — no join against
+    * a centroid table and, critically, no `Window.partitionBy(vec_id)`
+    * shuffle carrying the full embedding arrays. At 100 TB the window
+    * variant re-shuffles the whole corpus; this one is map-side only. */
+  private def ivfCellsOf(centroidRows: Array[(Long, Seq[Double])],
+      keep: Int): Column = {
+    // struct(-dot, cell) sorted ascending == (dot DESC, cell ASC)
+    val scored = array(centroidRows.map { case (cell, cv) =>
+      struct((-dot(col("v"), lit(cv.toArray))).as("nd"),
+        lit(cell).as("cell"))
+    }.toIndexedSeq: _*)
+    transform(slice(array_sort(scored), 1, keep), x => x.getField("cell"))
   }
 
   // 8 bands x 4 hyperplane bits per band. P(candidate) for angle θ:
@@ -147,18 +159,26 @@ object Similarity {
   private val LshBands = 8
   private val LshRows = 4
 
+  /** Max embedding dimension the literal hyperplanes cover. `vec_dot`
+    * stops at the shorter array, so vectors of any dim <= this work;
+    * longer embeddings would need a bigger constant. */
+  private val LshMaxDim = 1024
+
+  /** Deterministic +-1 hyperplane for plane `p` — seeded PRNG, no stored
+    * model, identical on every executor and run. */
+  private def planeVec(p: Int): Array[Double] = {
+    val rnd = new java.util.Random(0x9E3779B97F4A7C15L * (p + 1))
+    Array.fill(LshMaxDim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
   /** Banded random-hyperplane signatures: array of one r-bit signature
-    * per band. Hyperplane component j of plane p is a deterministic
-    * pseudo-random +-1 from murmur3 — no stored model, identical on
-    * every executor and run. */
+    * per band. Each sign bit is a single codegen'd `vec_dot` against a
+    * literal plane — NOT a per-element lambda: higher-order-function
+    * lambdas evaluate interpreted and re-hash per element, which made
+    * this the slowest expression in the engine before the rewrite. */
   def lshBands(v: Column): Column = {
-    def bit(p: Int): Column = {
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, j) => x * when(hash(lit(p), j) % 2 === 0, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, 1).otherwise(0)
-    }
+    def bit(p: Int): Column =
+      when(dot(v, lit(planeVec(p))) > 0, 1).otherwise(0)
     array((0 until LshBands).map { b =>
       (0 until LshRows).map(r => bit(b * LshRows + r) * (1 << r))
         .reduce(_ + _)

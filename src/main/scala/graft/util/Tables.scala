@@ -42,4 +42,15 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Fan a narrow input out to the session's full parallelism before
+    * CPU-heavy per-row work (tokenize/shingle, JSON flatten, vector
+    * math). At cluster scale inputs arrive as many splits and this is a
+    * no-op (guarded on the current partition count); on the local
+    * single-row-group test files it is the difference between 1 busy
+    * core and all of them. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }
