@@ -18,7 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Relational2.queries ++ ops.RdfOps.queries ++
       ops.TextOps.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
-      ops.Multimodal.queries ++ ops.Udafs.queries ++
+      ops.Multimodal.queries ++ ops.Udafs.queries ++ ops.Curation.queries ++
       streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -26,6 +26,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracleSql ++ ops.Relational2.oracleSql ++ ops.RdfOps.oracleSql ++
       ops.TextOps.oracleSql ++ ops.Dedup.oracleSql ++ ops.Similarity.oracleSql ++
-      ops.Multimodal.oracleSql ++ ops.Udafs.oracleSql ++
+      ops.Multimodal.oracleSql ++ ops.Udafs.oracleSql ++ ops.Curation.oracleSql ++
       streaming.EventStreams.oracleSql
 }

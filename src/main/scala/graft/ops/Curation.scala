@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** End-to-end corpus-curation operators — the composition layer a
+  * training-data pipeline runs on top of the text/dedup primitives:
+  * quality+length gating with exact-dup collapse, token-count
+  * histograms, exact per-language percentiles, and deterministic
+  * hash-Bernoulli sampling.
+  *
+  * Everything is a single groupBy/filter pipeline over `documents`
+  * (map-side work + one shuffle each) — no collects, no UDFs — so each
+  * operator's cost profile is the same at sf0.01 and at 100 TB.
+  */
+object Curation {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- the full curation funnel: quality gate -> length gate ->
+    // exact-dup collapse (keep lowest doc_id per normalized-text md5)
+    // -> per-language corpus stats
+    "curation_pipeline" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val n = size(toks).cast("double")
+      val stopRatio = size(filter(toks, t =>
+        array_contains(array(Seq("the", "a", "of", "to", "and").map(lit): _*), t))) / n
+      val shortRatio = size(filter(toks, t => length(t) <= lit(2))) / n
+      val quality = lit(1.0) - stopRatio * 0.5 - shortRatio * 0.5
+      val gated = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(toks).as("n_tokens"), quality.as("quality"),
+          md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fp"))
+        .filter(col("quality") >= 0.7 &&
+          col("n_tokens").between(20, 10000))
+      // min(struct(doc_id, ...)) = keep the lexicographically-first doc
+      // per fingerprint — one hash-agg, no window shuffle
+      val kept = gated
+        .groupBy(col("fp"))
+        .agg(min(struct(col("doc_id"), col("lang"), col("n_tokens"),
+          col("quality"))).as("keep"))
+        .select(col("keep.*"))
+      kept.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("quality")), 4).as("avg_quality"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- token-count histogram (fixed-width buckets, clamped tail)
+    "text_token_histogram" -> ((s, d) => {
+      val n = size(TextOps.tokens(col("text")))
+      Tables.documents(s, d)
+        .select(least(floor(n / 10), lit(19)).cast("int").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- exact per-language percentiles of document token counts
+    // (`percentile` = exact linear interpolation, matching DuckDB's
+    // quantile_cont; approx sketches are q25's territory)
+    "corpus_percentiles" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), size(TextOps.tokens(col("text"))).as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(round(expr("percentile(n_tokens, 0.25)"), 4).as("p25"),
+          round(expr("percentile(n_tokens, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_tokens, 0.75)"), 4).as("p75"),
+          round(expr("percentile(n_tokens, 0.95)"), 4).as("p95"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- deterministic hash-Bernoulli sample (~1/8): membership is a
+    // pure function of doc_id, so the sample is identical on every run,
+    // every executor layout, and every engine (no seed plumbing)
+    "sample_hash_bernoulli" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+          .isin("0", "1"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "curation_pipeline" ->
+      """WITH scored AS (
+           SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             1.0 - (len(list_filter(toks,
+                      t -> list_contains(['the','a','of','to','and'], t)))
+                    * 1.0 / len(toks)) * 0.5
+                 - (len(list_filter(toks, t -> length(t) <= 2))
+                    * 1.0 / len(toks)) * 0.5 AS quality,
+             md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+           FROM (SELECT doc_id, lang, text,
+                   string_split_regex(trim(text), '\s+') AS toks
+                 FROM documents) t),
+         gated AS (
+           SELECT * FROM scored
+           WHERE quality >= 0.7 AND n_tokens BETWEEN 20 AND 10000),
+         kept AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+               AS rn FROM gated) WHERE rn = 1)
+       SELECT lang, count(*) AS n_docs,
+         round(avg(quality), 4) AS avg_quality,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       FROM kept GROUP BY lang ORDER BY lang""",
+    "text_token_histogram" ->
+      """SELECT CAST(least(floor(len(string_split_regex(trim(text), '\s+'))
+                / 10.0), 19) AS INT) AS bucket,
+           count(*) AS n_docs
+         FROM documents GROUP BY bucket ORDER BY bucket""",
+    "corpus_percentiles" ->
+      """SELECT lang,
+           round(quantile_cont(n_tokens, 0.25), 4) AS p25,
+           round(quantile_cont(n_tokens, 0.5), 4) AS p50,
+           round(quantile_cont(n_tokens, 0.75), 4) AS p75,
+           round(quantile_cont(n_tokens, 0.95), 4) AS p95
+         FROM (SELECT lang, len(string_split_regex(trim(text), '\s+'))
+                 AS n_tokens FROM documents) t
+         GROUP BY lang ORDER BY lang""",
+    "sample_hash_bernoulli" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+         ORDER BY doc_id""")
+}

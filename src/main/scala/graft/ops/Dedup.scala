@@ -41,6 +41,15 @@ object Dedup {
     * the corpus — the dominant cost at bench scale. */
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** Drop the memoized shingle tables and their persisted blocks —
+    * called by Bench once the dedup family is done so later queries
+    * don't compete with a cache they never read. */
+  def clearCaches(): Unit = {
+    shingleCache.forEach((_, v) => v._1.unpersist(blocking = false))
+    shingleCache.clear()
+  }
+
   private def shingleTables(s: SparkSession, d: String): (DataFrame, DataFrame) =
     shingleCache.computeIfAbsent((s, d), { _ =>
       val docs = Tables.fanOut(Tables.documents(s, d))
@@ -164,7 +173,54 @@ object Dedup {
         .distinct()
         .filter(col("hamming") <= 6)
         .orderBy(col("i"), col("j"))
+    }),
+
+    // ---- connected components over the near-dup pair graph: the step
+    // that turns pairwise matches into "keep one doc per cluster"
+    // decisions. Min-label propagation, the Pregel pattern — O(cluster
+    // diameter) rounds of one equi-join + agg each; dup clusters are
+    // shallow (diameter ~2-3 even at corpus scale) so the loop is short.
+    "dedup_clusters" -> ((s, d) => {
+      val (ex, counts) = shingleTables(s, d)
+      val pairs = jaccardOf(shinglePairs(ex), counts)
+        .filter(col("jac") >= 0.8).select(col("i"), col("j"))
+      clusterAssign(pairs).orderBy(col("doc_id"))
     }))
+
+  /** Assign each node of the (i, j) pair graph the minimum doc_id
+    * reachable from it (its connected-component representative).
+    * Iterates `label(x) := min(label(x), min over neighbors)` to a
+    * fixpoint; every round is one shuffle on doc_id.
+    *
+    * Each round's labels are `localCheckpoint`ed: without lineage
+    * truncation the logical plan DOUBLES per iteration (labels feeds
+    * both join sides) and Catalyst analysis time goes exponential — the
+    * iterative-DataFrame pitfall, not a data-size problem. The changed
+    * count rides along as an aggregate of the same materialized result,
+    * so a round costs exactly one job. Rounds are bounded so a
+    * pathological chain can't loop forever. */
+  def clusterAssign(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .union(pairs.select(col("j").as("a"), col("i").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("b"), col("lbl").as("nlbl")), "b")
+        .groupBy(col("a").as("doc_id")).agg(min(col("nlbl")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.filter(col("lbl") < col("old")).count()
+      labels = next.select(col("doc_id"), col("lbl"))
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_rep"))
+  }
 
   /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes;
     * bit i of the fingerprint = sign of the +-1 vote sum on bit i).
@@ -198,8 +254,8 @@ object Dedup {
     aggs.select(col("doc_id"), fp.as("simhash"))
   }
 
-  private val pairsOracle =
-    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  private val pairsCtes =
+    """t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
                   FROM documents),
         s AS (SELECT doc_id, unnest(list_distinct(
                 [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
@@ -208,12 +264,26 @@ object Dedup {
         c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
         p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
               FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-      SELECT i, j,
-        round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jac
-      FROM p JOIN c ca ON ca.doc_id = i JOIN c cb ON cb.doc_id = j
-      WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.8
-      ORDER BY i, j"""
+              GROUP BY 1, 2),
+        pairs AS (
+          SELECT i, j, round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jac
+          FROM p JOIN c ca ON ca.doc_id = i JOIN c cb ON cb.doc_id = j
+          WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.8)"""
+
+  private val pairsOracle =
+    s"WITH $pairsCtes SELECT i, j, jac FROM pairs ORDER BY i, j"
+
+  // transitive closure over the near-dup graph; rep = min reachable id
+  private val clustersOracle =
+    s"""WITH RECURSIVE $pairsCtes,
+        bi AS (SELECT i AS a, j AS b FROM pairs
+               UNION SELECT j, i FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM bi
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN bi e ON r.b = e.a)
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+      FROM reach GROUP BY a ORDER BY doc_id"""
 
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -226,5 +296,6 @@ object Dedup {
     "dedup_ngram_jaccard" -> pairsOracle,
     // MinHash+LSH must find exactly the >=0.8 pairs (verify step makes
     // precision exact; band parameters make recall ~1 at this threshold)
-    "dedup_minhash_lsh" -> pairsOracle)
+    "dedup_minhash_lsh" -> pairsOracle,
+    "dedup_clusters" -> clustersOracle)
 }

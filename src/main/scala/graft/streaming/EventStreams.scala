@@ -163,6 +163,32 @@ object EventStreams {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // Append-mode emission is deterministic for a single-batch
+    // AvailableNow run: the final watermark is floor_ms(max ts) - 30min,
+    // and a session (gap-merged at >= 1800s boundaries, matching
+    // Spark's half-open [start, last+gap) windows) emits iff its window
+    // end (last event + 30min gap) has passed that watermark.
+    "stream_session_window" ->
+      """WITH b AS (SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+             FROM events),
+         m AS (SELECT user_id, ts, value,
+                 CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                      THEN 1 ELSE 0 END AS ns FROM b),
+         s AS (SELECT user_id, ts, value,
+                 sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM m),
+         a AS (SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+                 count(*) AS n_events, round(sum(value), 2) AS session_value
+               FROM s GROUP BY user_id, sid),
+         w AS (SELECT (epoch_ms(max(ts)) - 1800000) * 1000 AS wm_us
+               FROM events)
+       SELECT CAST(session_start AS TIMESTAMP) AS session_start, user_id,
+              n_events, session_value
+       FROM a, w WHERE epoch_us(last_ts) + 1800000000 <= wm_us
+       ORDER BY session_start, user_id""",
     "stream_quad_ingest" ->
       """SELECT p, n FROM (
            SELECT 'http://localhost/event_type' AS p, count(*) AS n FROM events
