@@ -81,6 +81,41 @@ object Curation {
           .isin("0", "1"))
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- tokenizer vocabulary: top-k tokens by corpus frequency,
+    // deterministic ties (count DESC, token ASC). The word-count shape:
+    // map-side partial aggregation absorbs the explode, the shuffle
+    // carries one row per distinct token, and top-k is a TakeOrdered —
+    // no global sort materializes at any scale.
+    "token_vocab" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(100)
+    }),
+
+    // ---- sequence packing: assign docs to fixed token-budget bins
+    // (context windows) by running offset — bin = the window a doc's
+    // START offset falls in, scanning docs in doc_id order per language.
+    // The running sum is a window cumsum per lang; at 100 TB the
+    // partition key would be (lang, shard) with per-shard budgets so no
+    // single partition serializes the corpus.
+    "pack_sequences" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).as("n_tokens"))
+        .withColumn("offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .withColumn("bin", floor(col("offset") / 2048).cast("long"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("bin_tokens"))
+        .orderBy(col("lang"), col("bin"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -125,5 +160,22 @@ object Curation {
     "sample_hash_bernoulli" ->
       """SELECT doc_id, lang FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+    "token_vocab" ->
+      """SELECT token, count(*) AS n
+         FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+               FROM documents) t
+         GROUP BY token ORDER BY n DESC, token LIMIT 100""",
+    "pack_sequences" ->
+      """SELECT lang, CAST(floor(start_off / 2048.0) AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         FROM (
+           SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS start_off
+           FROM (SELECT doc_id, lang,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tokens
+                 FROM documents) t1) t2
+         GROUP BY lang, bin ORDER BY lang, bin""")
 }

@@ -129,6 +129,25 @@ object Similarity {
         .filter(col("rn") <= 5)
         .select(col("query_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
         .orderBy(col("query_id"), col("rn"))
+    }),
+
+    // ---- int8 symmetric quantization of the embedding column (the
+    // 4x storage/bandwidth shrink an ANN index at 100 TB runs on):
+    // per-vector scale = max|x| / 127, elementwise floor(x/scale + 0.5).
+    // floor(+0.5) instead of round() — round() half-away/half-even
+    // semantics differ across engines, floor is exact everywhere.
+    // Map-side only: no shuffle, no UDF.
+    "embed_quantize" -> ((s, d) => {
+      val mx = array_max(transform(col("v"), x => abs(x)))
+      val q = transform(col("v"),
+        x => floor(x * 127 / col("mx") + lit(0.5)).cast("long"))
+      vecs(s, d)
+        .withColumn("mx", mx)
+        .filter(col("mx") > 0)
+        .select(col("vec_id"), round(col("mx") / 127, 6).as("scale"),
+          aggregate(q, lit(0L), (acc, x) => acc + x).as("checksum"),
+          size(col("v")).as("dim"))
+        .orderBy(col("vec_id"))
     }))
 
   /** IVF cells: deterministic coarse centroids (a fixed modulo sample of
@@ -201,5 +220,19 @@ object Similarity {
                         b.vec_id) AS rn
            FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
            WHERE q.vec_id % 250 = 0) t
-         WHERE rn <= 5 ORDER BY query_id, rn""")
+         WHERE rn <= 5 ORDER BY query_id, rn""",
+    // float->double widening is exact in both engines, so the
+    // elementwise doubles (and their floor) agree bit-for-bit; the
+    // checksum is an integer sum, immune to summation order
+    "embed_quantize" ->
+      """SELECT vec_id, round(mx / 127, 6) AS scale,
+           CAST(list_sum(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 127 / mx + 0.5) AS BIGINT)))
+             AS BIGINT) AS checksum,
+           CAST(len(embedding) AS INT) AS dim
+         FROM (SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS mx
+               FROM embeddings) t
+         WHERE mx > 0 ORDER BY vec_id""")
 }

@@ -50,6 +50,37 @@ class CurationSpec extends AnyFunSuite {
       s"${a.length} of $n sampled — expected ~1/8")
   }
 
+  test("token vocab is frequency-ordered with deterministic ties") {
+    val rows = SparkEntry.queries("token_vocab")(spark, sf).collect()
+    assert(rows.length <= 100 && rows.nonEmpty)
+    val pairs = rows.map(r => (r.getAs[Long]("n"), r.getAs[String]("token")))
+    pairs.sliding(2).foreach { case Array((n1, t1), (n2, t2)) =>
+      assert(n1 > n2 || (n1 == n2 && t1 < t2))
+    case _ => ()
+    }
+  }
+
+  test("sequence packing conserves docs and tokens") {
+    val out = SparkEntry.queries("pack_sequences")(spark, sf).collect()
+    val nDocs = out.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == graft.util.Tables.documents(spark, sf).count())
+    // bins are consecutive from 0 within each lang
+    out.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      val bins = rs.map(_.getAs[Long]("bin")).sorted
+      assert(bins.head == 0L && bins.zipWithIndex.forall { case (b, i) => b == i })
+    }
+  }
+
+  test("int8 quantization checksum is bounded by 127*dim") {
+    val rows = SparkEntry.queries("embed_quantize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dim = r.getAs[Int]("dim")
+      assert(math.abs(r.getAs[Long]("checksum")) <= 127L * dim)
+      assert(r.getAs[Double]("scale") > 0)
+    }
+  }
+
   test("cluster assignment labels every paired doc with its component min") {
     import spark.implicits._
     // two components: {1,2,3} via chain 1-2, 2-3; {10, 11}
