@@ -142,6 +142,21 @@ object EventStreams {
         .orderBy(col("user_id"))
     }),
 
+    // ---- streaming exact dedup: dropDuplicates keeps the first
+    // occurrence per (user_id, event_type) across micro-batches (state
+    // store backed) — the exactly-once ingestion dedup. Emitted rows
+    // are batch-boundary independent, so the count per type equals the
+    // batch COUNT(DISTINCT user_id) and the result is oracle-checkable.
+    "stream_dedup" -> ((s, d) => {
+      val first = eventsStream(s, d)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      runToTable(first, "append")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- batch sessionization twin (gaps-and-islands; oracle-checked)
     "sessionize_batch" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -198,6 +213,9 @@ object EventStreams {
     "stream_stateful_distinct" ->
       """SELECT user_id, count(DISTINCT event_type) AS n_types
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "stream_tumbling_agg" ->
       """SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP)
              AS window_start,

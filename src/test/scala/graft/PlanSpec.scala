@@ -74,6 +74,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(p,") || p.contains("IsNotNull(p)"), p.take(800))
   }
 
+  test("token_vocab: top-k is TakeOrdered, not a global sort") {
+    val p = plan("token_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("\nSort "), "a global Sort would materialize the " +
+      "whole vocabulary ordered — top-k must stay bounded")
+  }
+
+  test("embed_quantize: map-side only (no shuffle exchange)") {
+    val p = plan("embed_quantize")
+    // allowed: the presentation orderBy (range) and the narrow-input
+    // fanOut (round-robin); quantization itself must not introduce a
+    // key shuffle — no hashpartitioning anywhere
+    assert(!p.contains("hashpartitioning"), s"unexpected key shuffle in:\n${p.take(800)}")
+  }
+
+  test("curation_pipeline: aggregations are partial (map-side combine)") {
+    val df = SparkEntry.queries("curation_pipeline")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), p.take(800))
+  }
+
   test("flatten streams: no collect-driven stages in the quad pipeline") {
     import spark.implicits._
     val df = Seq("""{"a":1}""").toDF("json")
