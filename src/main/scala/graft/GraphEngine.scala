@@ -18,7 +18,10 @@ final class GraphEngine(val store: GraphStore) {
   def update(text: String, name: String = "update"): Unit =
     SparqlParser.parse(text, name) match {
       case InsertWhere(q) =>
-        store.appendDistinct(Compiler.run(q, store.readGraphs(q.usingGraphs)))
+        // the compiled template writes only q.targetGraph — pass it so
+        // the anti-join scope needs no extra batch computation
+        store.appendDistinct(Compiler.run(q, store.readGraphs(q.usingGraphs)),
+          Some(Seq(q.targetGraph)))
       case InsertData(quads) => store.insertData(quads)
       case ClearGraphOp(g, _) => store.clearGraph(g)
       case DropGraphOp(g, _) => store.dropGraph(g)

@@ -49,11 +49,19 @@ final class GraphStore(val spark: SparkSession, val path: String) {
 
   /** Set-semantics append: dedup batch + drop quads already present in
     * the target graphs (Q11). Null-safe join — plain equality would let
-    * every quad with a null o_type/o_lang through again. */
-  def appendDistinct(quads: DataFrame): Unit = {
+    * every quad with a null o_type/o_lang through again.
+    *
+    * `knownGraphs`: the target graphs when the CALLER knows them
+    * statically (a compiled INSERT writes only its WITH/GRAPH target).
+    * Without it the batch must be computed an extra time just to
+    * discover the graph set — for a mapping query that means running
+    * the whole WHERE-clause join tree twice. */
+  def appendDistinct(quads: DataFrame,
+      knownGraphs: Option[Seq[String]] = None): Unit = {
     val batch = quads.select(schema.fieldNames.map(col).toIndexedSeq: _*)
       .dropDuplicates(schema.fieldNames.toIndexedSeq)
-    val graphs = batch.select("graph").distinct().collect().map(_.getString(0))
+    val graphs = knownGraphs.getOrElse(
+      batch.select("graph").distinct().collect().map(_.getString(0)).toSeq)
     val existing = readGraphs(graphs.toIndexedSeq)
     val cond = schema.fieldNames.map(f => batch(f) <=> existing(f)).reduce(_ && _)
     val fresh = batch.join(existing, cond, "left_anti")
@@ -62,7 +70,7 @@ final class GraphStore(val spark: SparkSession, val path: String) {
 
   def insertData(quads: Seq[Quad]): Unit = {
     import spark.implicits._
-    appendDistinct(quads.toDF())
+    appendDistinct(quads.toDF(), Some(quads.map(_.graph).distinct))
   }
 
   private def partitionDir(graph: String): Path =

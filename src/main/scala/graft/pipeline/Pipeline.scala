@@ -69,7 +69,7 @@ final class Pipeline(store: GraphStore) {
       }
       val results = Await.result(Future.sequence(futures), Duration.Inf)
       val union = results.reduce(_.unionByName(_))
-      store.appendDistinct(union)
+      store.appendDistinct(union, Some(queries.map(_.targetGraph).distinct))
     } finally {
       pool.shutdown()
       scopeCache.values.forEach(_.unpersist())
