@@ -19,7 +19,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Relational2.queries ++ ops.RdfOps.queries ++
       ops.TextOps.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
       ops.Multimodal.queries ++ ops.Udafs.queries ++ ops.Curation.queries ++
-      streaming.EventStreams.queries
+      ops.GraphAlgos.queries ++ streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +27,5 @@ object SparkEntry {
     ops.Relational.oracleSql ++ ops.Relational2.oracleSql ++ ops.RdfOps.oracleSql ++
       ops.TextOps.oracleSql ++ ops.Dedup.oracleSql ++ ops.Similarity.oracleSql ++
       ops.Multimodal.oracleSql ++ ops.Udafs.oracleSql ++ ops.Curation.oracleSql ++
-      streaming.EventStreams.oracleSql
+      ops.GraphAlgos.oracleSql ++ streaming.EventStreams.oracleSql
 }

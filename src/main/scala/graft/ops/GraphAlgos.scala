@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Iterative graph analytics over edge DataFrames — the Pregel-style
+  * compute pattern (message = join, combine = groupBy-agg, superstep =
+  * driver loop with lineage truncation). Complements the min-label
+  * connected components in [[Dedup.clusterAssign]].
+  */
+object GraphAlgos {
+
+  /** Uniform-init PageRank: rank_{k+1}(v) = reset + damping *
+    * Σ_{u→v} rank_k(u)/outdeg(u), run for a fixed iteration count.
+    *
+    * Each superstep is one equi-join (edges ⨝ ranks on src) plus one
+    * aggregation on dst — both shuffle on node id, so a round costs two
+    * hash shuffles of O(|E|) and O(|V|) rows regardless of scale.
+    * `localCheckpoint` per round keeps the plan flat (the iterative-
+    * DataFrame lineage pitfall). Nodes with no in-edges drop out after
+    * round one (rank = reset exactly); feed undirected graphs (both
+    * edge directions) when every node must keep a rank.
+    *
+    * `reset` and `damping` are taken as separate literals, not derived
+    * (1 - 0.85 in doubles is 0.15000000000000002 — not the same double
+    * an engine parses from "0.15", and cross-engine parity needs the
+    * exact literal). */
+  def pagerank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
+      reset: Double = 0.15): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "src").localCheckpoint()
+    var ranks = e.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(1.0)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+      ranks = contribs.groupBy(col("node"))
+        .agg((lit(reset) + lit(damping) * sum(col("c"))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- PageRank over the undirected user↔event-type bipartite graph
+    // (3 supersteps): event types concentrating many users rank high,
+    // users touching many types rank above single-type users
+    "graph_pagerank" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(concat(lit("u:"), col("user_id")).as("u"),
+          concat(lit("t:"), col("event_type")).as("t"))
+        .distinct()
+      val edges = ev.select(col("u").as("src"), col("t").as("dst"))
+        .unionAll(ev.select(col("t").as("src"), col("u").as("dst")))
+      pagerank(edges, iters = 3)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("node"))
+    }))
+
+  // 3 supersteps unrolled as chained CTEs (SQL can't express the
+  // driver loop); same 0.15/0.85 literals for double parity
+  private def prStep(prev: String, next: String): String =
+    s"""$next AS (SELECT dst AS node,
+          0.15 + 0.85 * sum($prev.rank / e.deg) AS rank
+        FROM e JOIN $prev ON e.src = $prev.node GROUP BY dst)"""
+
+  def oracleSql: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH ev AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+               't:' || event_type AS t FROM events),
+          edges AS (SELECT u AS src, t AS dst FROM ev
+                    UNION ALL SELECT t, u FROM ev),
+          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+          e AS (SELECT edges.src, dst, deg FROM edges JOIN deg USING (src)),
+          r0 AS (SELECT src AS node, 1.0 AS rank FROM edges GROUP BY src),
+          ${prStep("r0", "r1")},
+          ${prStep("r1", "r2")},
+          ${prStep("r2", "r3")}
+        SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""")
+}

@@ -157,6 +157,28 @@ object EventStreams {
         .orderBy(col("event_type"))
     }),
 
+    // ---- stream-stream self join: views matched to same-user
+    // purchases within 30 minutes. Watermarks bound BOTH sides' join
+    // state; an inner join emits every match exactly once regardless of
+    // batch boundaries, so the aggregate is oracle-checkable.
+    "stream_stream_join" -> ((s, d) => {
+      val ev = eventsStream(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "30 minutes")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "30 minutes")
+      val joined = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      runToTable(joined, "append")
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- batch sessionization twin (gaps-and-islands; oracle-checked)
     "sessionize_batch" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -216,6 +238,14 @@ object EventStreams {
     "stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_stream_join" ->
+      """SELECT v.user_id AS user_id, count(*) AS n_pairs
+         FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+         JOIN (SELECT user_id, ts FROM events
+               WHERE event_type = 'purchase') p
+           ON p.user_id = v.user_id
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+         GROUP BY 1 ORDER BY 1""",
     "stream_tumbling_agg" ->
       """SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP)
              AS window_start,
