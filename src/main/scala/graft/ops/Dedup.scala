@@ -42,13 +42,30 @@ object Dedup {
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]
 
-  /** Drop the memoized shingle tables and their persisted blocks —
+  /** Drop the memoized shingle/pair tables and their persisted blocks —
     * called by Bench once the dedup family is done so later queries
     * don't compete with a cache they never read. */
   def clearCaches(): Unit = {
     shingleCache.forEach((_, v) => v._1.unpersist(blocking = false))
     shingleCache.clear()
+    neardupCache.forEach((_, v) => v.unpersist(blocking = false))
+    neardupCache.clear()
   }
+
+  /** Exact >=0.8-Jaccard near-dup pairs (i, j, jac), memoized+persisted
+    * per (session, dir): the shared input of the pair listing query and
+    * the cluster-assignment query — the shingle self-join behind it is
+    * the most expensive single stage in the dedup family. */
+  private val neardupCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def neardupPairs(s: SparkSession, d: String): DataFrame =
+    neardupCache.computeIfAbsent((s, d), { _ =>
+      val (ex, counts) = shingleTables(s, d)
+      jaccardOf(shinglePairs(ex), counts)
+        .filter(col("jac") >= 0.8)
+        .select(col("i"), col("j"), round(col("jac"), 4).as("jac"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   private def shingleTables(s: SparkSession, d: String): (DataFrame, DataFrame) =
     shingleCache.computeIfAbsent((s, d), { _ =>
@@ -117,13 +134,8 @@ object Dedup {
     }),
 
     // ---- exact n-gram Jaccard near-dup pairs (shingle-join candidates)
-    "dedup_ngram_jaccard" -> ((s, d) => {
-      val (ex, counts) = shingleTables(s, d)
-      jaccardOf(shinglePairs(ex), counts)
-        .filter(col("jac") >= 0.8)
-        .select(col("i"), col("j"), round(col("jac"), 4).as("jac"))
-        .orderBy(col("i"), col("j"))
-    }),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      neardupPairs(s, d).orderBy(col("i"), col("j"))),
 
     // ---- MinHash + LSH: banded candidates, then exact-Jaccard verify.
     // Same final answer as dedup_ngram_jaccard (the oracle), but the
@@ -180,12 +192,9 @@ object Dedup {
     // decisions. Min-label propagation, the Pregel pattern — O(cluster
     // diameter) rounds of one equi-join + agg each; dup clusters are
     // shallow (diameter ~2-3 even at corpus scale) so the loop is short.
-    "dedup_clusters" -> ((s, d) => {
-      val (ex, counts) = shingleTables(s, d)
-      val pairs = jaccardOf(shinglePairs(ex), counts)
-        .filter(col("jac") >= 0.8).select(col("i"), col("j"))
-      clusterAssign(pairs).orderBy(col("doc_id"))
-    }))
+    "dedup_clusters" -> ((s, d) =>
+      clusterAssign(neardupPairs(s, d).select(col("i"), col("j")))
+        .orderBy(col("doc_id"))))
 
   /** Assign each node of the (i, j) pair graph the minimum doc_id
     * reachable from it (its connected-component representative).
