@@ -79,6 +79,26 @@ object Multimodal {
         .select(col("doc_id"), col("kind"), col("n_bytes"),
           col("feature_dim"), col("n_frames"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- frame sampling: explode every 4th FrameBytes-sized chunk of
+    // the binary payload into its own row (the video-frame / audio-
+    // window sampling stage). Pure codegen'd exprs — sequence + binary
+    // substring — so the fan-out never materializes unsampled frames;
+    // per-frame md5 digests make the byte-exactness oracle-checkable.
+    "multimodal_frame_sample" -> ((s, d) => {
+      val media = asMedia(Tables.documents(s, d))
+        .filter(length(col("media")) > 0)
+        .withColumn("n_frames",
+          ceil(length(col("media")) / lit(FrameBytes.toDouble)).cast("int"))
+      media
+        .withColumn("frame_idx",
+          explode(sequence(lit(0), col("n_frames") - 1, lit(4))))
+        .withColumn("frame",
+          expr(s"substring(media, frame_idx * $FrameBytes + 1, $FrameBytes)"))
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).as("n_bytes"), md5(col("frame")).as("digest"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -96,5 +116,18 @@ object Multimodal {
            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            16 AS feature_dim,
            CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    // text is ASCII (verified octet_length == length), so DuckDB's
+    // character substr equals the engine's byte slice
+    "multimodal_frame_sample" ->
+      """SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(length(substr(text, frame_idx * 64 + 1, 64)) AS INT)
+             AS n_bytes,
+           md5(substr(text, frame_idx * 64 + 1, 64)) AS digest
+         FROM (
+           SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 4))
+               AS frame_idx
+           FROM documents WHERE length(text) > 0) t
+         ORDER BY doc_id, frame_idx""")
 }

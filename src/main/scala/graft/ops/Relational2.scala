@@ -75,6 +75,55 @@ object Relational2 {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- as-of join (an operator Spark lacks natively): each purchase
+    // picks the most recent view at-or-before it for the same user.
+    // Spark-first composition — union both sides, ONE shuffle on
+    // user_id, and a carry-forward window (`last(_, ignoreNulls)`)
+    // instead of a per-row probe or a range cross-join; views sort
+    // before purchases at equal ts, giving inclusive <= semantics.
+    // At 100 TB both inputs would be bucketed by user_id so even that
+    // single shuffle disappears. Oracle: DuckDB's native ASOF JOIN.
+    "q27_events_asof" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(lit(null).cast("long").as("event_id"), col("user_id"),
+          col("ts"), lit(0).as("side"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("side"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.unionAll(purchases)
+        .withColumn("view_ts",
+          last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1 && col("view_ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts").as("p_ts"),
+          col("view_ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- range (interval) join: parts banded by retail-price ranges.
+    // The interval table is tiny → broadcast nested-loop join, the
+    // right physical plan for a small range dimension; a big-big range
+    // join would instead equi-join on an overlapping bucket key
+    // (floor(price / width)) and post-filter, same as the near-dup
+    // candidate pattern.
+    "q28_price_band_join" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        ("budget", 0.0, 925.0), ("mid", 925.0, 950.0),
+        ("upper", 950.0, 975.0), ("premium", 975.0, 1e9))
+        .toDF("band", "lo", "hi")
+      Tables.part(s, d)
+        .join(broadcast(bands),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(avg(col("p_retailprice")), 2).as("avg_price"))
+        .orderBy(col("band"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -109,5 +158,22 @@ object Relational2 {
            round(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN c_acctbal END), 2) AS "FURNITURE",
            round(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN c_acctbal END), 2) AS "HOUSEHOLD",
            round(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END), 2) AS "MACHINERY"
-         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")
+         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q27_events_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts AS p_ts, v.ts AS view_ts
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase') p
+         ASOF JOIN (SELECT user_id, ts FROM events
+                    WHERE event_type = 'view') v
+           ON p.user_id = v.user_id AND v.ts <= p.ts
+         ORDER BY p.event_id""",
+    "q28_price_band_join" ->
+      """SELECT band, count(*) AS n_parts,
+           round(avg(p_retailprice), 2) AS avg_price
+         FROM part JOIN (VALUES
+             ('budget', 0.0, 925.0), ('mid', 925.0, 950.0),
+             ('upper', 950.0, 975.0), ('premium', 975.0, 1e9))
+           b(band, lo, hi)
+           ON p_retailprice >= lo AND p_retailprice < hi
+         GROUP BY band ORDER BY band""")
 }
