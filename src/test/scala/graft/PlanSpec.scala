@@ -96,6 +96,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p.take(800))
   }
 
+  test("q27 as-of join: one key shuffle, no nested-loop probe") {
+    val p = plan("q27_events_asof")
+    val hashEx = p.linesIterator.count(_.contains("hashpartitioning"))
+    assert(hashEx == 1, s"as-of must shuffle once on user_id:\n${p.take(900)}")
+    assert(!p.contains("NestedLoop"), "carry-forward window, not a probe join")
+  }
+
+  test("q28 range join: small interval side broadcasts") {
+    val p = plan("q28_price_band_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
   test("flatten streams: no collect-driven stages in the quad pipeline") {
     import spark.implicits._
     val df = Seq("""{"a":1}""").toDF("json")
