@@ -43,7 +43,7 @@ object Curation {
         .select(col("keep.*"))
       kept.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          round(avg(col("quality")), 4).as("avg_quality"),
+          TextOps.round4(avg(col("quality"))).as("avg_quality"),
           sum(col("n_tokens")).cast("long").as("total_tokens"))
         .orderBy(col("lang"))
     }),
@@ -140,7 +140,7 @@ object Curation {
              SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
                AS rn FROM gated) WHERE rn = 1)
        SELECT lang, count(*) AS n_docs,
-         round(avg(quality), 4) AS avg_quality,
+         floor(avg(quality) * 10000 + 0.5) / 10000 AS avg_quality,
          CAST(sum(n_tokens) AS BIGINT) AS total_tokens
        FROM kept GROUP BY lang ORDER BY lang""",
     "text_token_histogram" ->

@@ -17,6 +17,14 @@ object TextOps {
   /** whitespace tokens of `text` */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Deterministic 4-decimal rounding for NON-NEGATIVE ratios of small
+    * integers: floor(x*10^4 + 0.5)/10^4. Such ratios (e.g. 153/160 =
+    * 0.95625) land EXACTLY on 5-decimal rounding ties, where Spark's
+    * round (HALF_UP over the full binary expansion) and DuckDB's
+    * disagree; floor over the identical double is bit-deterministic in
+    * every engine. */
+  def round4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
+
   private val stopwords = Seq("the", "a", "of", "to", "and")
 
   /** per-language marker words (vocabulary-derived heuristic stand-in for
@@ -38,8 +46,8 @@ object TextOps {
         .select(col("doc_id"),
           size(tokens(col("text"))).as("n_tokens"),
           length(col("text")).as("len_chars"),
-          round(length(regexp_replace(trim(col("text")), "\\s+", ""))
-            / size(tokens(col("text"))), 4).as("avg_token_len"))
+          round4(length(regexp_replace(trim(col("text")), "\\s+", ""))
+            / size(tokens(col("text")))).as("avg_token_len"))
         .orderBy(col("doc_id"))
     }),
 
@@ -52,9 +60,9 @@ object TextOps {
       val shortRatio = size(filter(toks, t => length(t) <= lit(2))) / n
       Tables.documents(s, d)
         .select(col("doc_id"),
-          round(stopRatio, 4).as("stopword_ratio"),
-          round(shortRatio, 4).as("short_token_ratio"),
-          round(lit(1.0) - stopRatio * 0.5 - shortRatio * 0.5, 4).as("quality"))
+          round4(stopRatio).as("stopword_ratio"),
+          round4(shortRatio).as("short_token_ratio"),
+          round4(lit(1.0) - stopRatio * 0.5 - shortRatio * 0.5).as("quality"))
         .orderBy(col("doc_id"))
     }),
 
@@ -140,16 +148,18 @@ object TextOps {
       """SELECT doc_id,
            CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
            CAST(length(text) AS INT) AS len_chars,
-           round(length(regexp_replace(trim(text), '\s+', '', 'g'))
-             * 1.0 / len(string_split_regex(trim(text), '\s+')), 4)
-             AS avg_token_len
+           floor(length(regexp_replace(trim(text), '\s+', '', 'g'))
+             * 1.0 / len(string_split_regex(trim(text), '\s+'))
+             * 10000 + 0.5) / 10000 AS avg_token_len
          FROM documents ORDER BY doc_id""",
     "text_quality" ->
       """SELECT doc_id,
-           round(stop_n * 1.0 / n, 4) AS stopword_ratio,
-           round(short_n * 1.0 / n, 4) AS short_token_ratio,
-           round(1.0 - (stop_n * 1.0 / n) * 0.5
-                     - (short_n * 1.0 / n) * 0.5, 4) AS quality
+           floor(stop_n * 1.0 / n * 10000 + 0.5) / 10000 AS stopword_ratio,
+           floor(short_n * 1.0 / n * 10000 + 0.5) / 10000
+             AS short_token_ratio,
+           floor((1.0 - (stop_n * 1.0 / n) * 0.5
+                      - (short_n * 1.0 / n) * 0.5) * 10000 + 0.5) / 10000
+             AS quality
          FROM (
            SELECT doc_id,
              len(toks) AS n,
