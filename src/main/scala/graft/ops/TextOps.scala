@@ -116,6 +116,32 @@ object TextOps {
         .select(col("doc_id"),
           md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fingerprint"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- TF-IDF: top-5 distinguishing tokens per document with
+    // smoothed idf = ln((N+1)/(df+1)). Three aggregations — tf per
+    // (doc, token), df per token, N — then a rank; tf and df shuffle on
+    // their group keys, N broadcasts. Ranking uses the ROUNDED score
+    // (then token) so cross-engine rank order never depends on the last
+    // ulp of ln.
+    "text_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = toks.groupBy(col("token"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "token").join(broadcast(n))
+        .withColumn("score", round4(col("tf") *
+          log((col("n_docs") + 1) / (col("df") + 1))))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("doc_id"), col("rank"), col("token"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
     }))
 
   /** Winnowing-style rolling-hash fingerprint: polynomial rolling hash
@@ -195,5 +221,24 @@ object TextOps {
     "text_fingerprint" ->
       """SELECT doc_id,
            md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS token
+             FROM documents),
+          tf AS (SELECT doc_id, token, count(*) AS tf
+                 FROM toks GROUP BY 1, 2),
+          dfreq AS (SELECT token, count(DISTINCT doc_id) AS df
+                    FROM toks GROUP BY 1),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          scored AS (SELECT doc_id, token,
+              floor(tf * ln((n_docs + 1.0) / (df + 1.0)) * 10000 + 0.5)
+                / 10000 AS score
+            FROM tf JOIN dfreq USING (token), n)
+        SELECT doc_id, CAST(rank AS INT) AS rank, token, score FROM (
+          SELECT doc_id, token, score,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, token) AS rank
+          FROM scored) t
+        WHERE rank <= 5 ORDER BY doc_id, rank""")
 }
