@@ -119,21 +119,22 @@ object TextOps {
     }),
 
     // ---- TF-IDF: top-5 distinguishing tokens per document with
-    // smoothed idf = ln((N+1)/(df+1)). Three aggregations — tf per
-    // (doc, token), df per token, N — then a rank; tf and df shuffle on
-    // their group keys, N broadcasts. Ranking uses the ROUNDED score
-    // (then token) so cross-engine rank order never depends on the last
-    // ulp of ln.
+    // smoothed idf = ln((N+1)/(df+1)). ONE corpus pass: tf aggregates
+    // on (doc, token); df is a count-over-token window on the tf table
+    // itself (each tf row is one distinct containing doc) — no second
+    // explode, no df join; the corpus count broadcasts. Ranking uses
+    // the ROUNDED score (then token) so cross-engine rank order never
+    // depends on the last ulp of ln.
     "text_tfidf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val toks = Tables.documents(s, d)
+      val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
-      val dfreq = toks.groupBy(col("token"))
-        .agg(countDistinct(col("doc_id")).as("df"))
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(dfreq, "token").join(broadcast(n))
+      val scored = tf
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+        .join(broadcast(n))
         .withColumn("score", round4(col("tf") *
           log((col("n_docs") + 1) / (col("df") + 1))))
       val w = Window.partitionBy(col("doc_id"))
