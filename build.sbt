@@ -14,6 +14,10 @@ run / fork := true
 // Forked `run` output must reach stdout RAW (no "[info] " logger prefix):
 // the bench driver parses the JSON line Bench prints.
 run / outputStrategy := Some(StdoutOutput)
+// ... and that JSON line must be the LAST stdout line: suppress sbt's
+// trailing "[success] Total time: ..." banner (exit code still signals
+// success; both rounds' BENCH_r*.json show parsed:null with the banner).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -16,16 +16,20 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.Relational2.queries ++ ops.RdfOps.queries ++
+    ops.Relational.queries ++ ops.Relational2.queries ++ ops.Relational3.queries ++
+      ops.RdfOps.queries ++
       ops.TextOps.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
       ops.Multimodal.queries ++ ops.Udafs.queries ++ ops.Curation.queries ++
+      ops.Sampling.queries ++ ops.Contamination.queries ++
       ops.GraphAlgos.queries ++ streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracleSql ++ ops.Relational2.oracleSql ++ ops.RdfOps.oracleSql ++
+    ops.Relational.oracleSql ++ ops.Relational2.oracleSql ++ ops.Relational3.oracleSql ++
+      ops.RdfOps.oracleSql ++
       ops.TextOps.oracleSql ++ ops.Dedup.oracleSql ++ ops.Similarity.oracleSql ++
       ops.Multimodal.oracleSql ++ ops.Udafs.oracleSql ++ ops.Curation.oracleSql ++
+      ops.Sampling.oracleSql ++ ops.Contamination.oracleSql ++
       ops.GraphAlgos.oracleSql ++ streaming.EventStreams.oracleSql
 }

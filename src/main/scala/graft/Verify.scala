@@ -24,7 +24,12 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     try {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-      val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      // optional focused run (local iteration): SPARK_GRAFT_ONLY=regex
+      val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+      val selected = SparkEntry.queries.toSeq.filter { case (n, _) =>
+        only.forall(_.findFirstIn(n).isDefined)
+      }
+      val futures = selected.map { case (name, fn) =>
         Future {
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")

@@ -110,3 +110,73 @@ object GraphStore {
     StructField("o_lang", StringType),
     StructField("o_kind", StringType)))
 }
+
+/** Merge-on-read variant of the quad store (the incremental-dedup design
+  * in README "Scale design"): `appendDistinct`'s read-before-write scan
+  * per insert dominates once the base is large, so writers here append
+  * RAW deltas — inserts or tombstones — tagged with a caller-supplied
+  * monotonically increasing batch id. Ingest is O(delta) with no
+  * coordination between writers; readers reconstruct set semantics with
+  * one latest-batch-wins aggregation per quad identity, which the next
+  * aggregation downstream usually absorbs. `compact` collapses a graph
+  * partition back to a pure-insert base so read amplification stays
+  * bounded. The Iceberg/Hudi merge-on-read trade, on a plain
+  * partitioned-parquet layout.
+  */
+final class MergeOnReadStore(val spark: SparkSession, val path: String) {
+  import GraphStore.schema
+
+  private def fs =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val deltaSchema: StructType = StructType(schema.fields ++ Seq(
+    StructField("batch_id", LongType), StructField("op", StringType)))
+
+  /** O(delta) write: no existing data is read. `op` = "i" (insert) or
+    * "d" (delete tombstone masking every earlier batch of that quad). */
+  def appendDelta(quads: DataFrame, batchId: Long, op: String = "i"): Unit =
+    quads.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("op", lit(op))
+      .write.partitionBy("graph").mode("append").parquet(path)
+
+  /** Raw deltas (all batches, tombstones included). */
+  def readDeltas(): DataFrame =
+    if (!fs.exists(new Path(path)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], deltaSchema)
+    else spark.read.schema(deltaSchema).option("basePath", path).parquet(path)
+      .select(deltaSchema.fieldNames.map(col).toIndexedSeq: _*)
+
+  /** Set-semantics view: per quad identity the LATEST batch wins, and it
+    * must be an insert. One hash aggregation on the quad key (max_by —
+    * no window sort needed; batch ids are unique per quad write), which
+    * also dedups identical re-inserted quads. Graph-scoped reads prune
+    * delta partitions exactly like the base store. */
+  def readMerged(): DataFrame = {
+    val keys = schema.fieldNames.toIndexedSeq
+    readDeltas()
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(col("op"), col("batch_id")).as("last_op"))
+      .filter(col("last_op") === "i")
+      .select(keys.map(col): _*)
+  }
+
+  def readGraphs(graphs: Seq[String]): DataFrame =
+    readMerged().where(col("graph").isin(graphs: _*))
+
+  /** Collapse one graph partition: rewrite its merged view as a single
+    * batch-0 insert delta and drop the masked history. */
+  def compact(graph: String, numFiles: Int = 1): Unit = {
+    val merged = readGraphs(Seq(graph)).coalesce(numFiles)
+      .withColumn("batch_id", lit(0L)).withColumn("op", lit("i"))
+    val tmp = new Path(path + s".compact-${System.nanoTime()}")
+    merged.write.partitionBy("graph").parquet(tmp.toString)
+    val part = "graph=" + ExternalCatalogUtils.escapePathName(graph)
+    val dst = new Path(path, part)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    val src = new Path(tmp, part)
+    if (fs.exists(src)) fs.rename(src, dst)
+    fs.delete(tmp, true)
+  }
+}

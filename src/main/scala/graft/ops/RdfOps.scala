@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.JsonFlattener
@@ -130,6 +130,37 @@ object RdfOps {
         .orderBy(col("s"), col("p"), col("o_value"))
     }),
 
+    // S6 merge-on-read: O(delta) writer batches (inserts + tombstones +
+    // revives + exact re-inserts) reconstructed into set semantics by
+    // one latest-batch-wins aggregation at read time. Row-level output:
+    // the oracle recomputes the expected merged set from `nation`.
+    "rdf_store_mor" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-mor-${System.nanoTime()}"
+      val store = new graft.model.MergeOnReadStore(s, dir)
+      val g = "http://ex/nations"
+      def quads(df: DataFrame, value: Column) = df.select(
+        lit(g).as("graph"),
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+        lit("name").as("p"), value.as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      val nation = Tables.nation(s, d)
+      val key = col("n_nationkey")
+      // b1: full load; b2: tombstone every 5th; b3: updated value for
+      // every 10th (new quad identity); b4: re-insert every 4th verbatim
+      // — revives the tombstoned ones among them (insert-after-delete)
+      // and exact-dup-collapses against the live ones
+      store.appendDelta(quads(nation, col("n_name")), 1L)
+      store.appendDelta(quads(nation.filter(key % 5 === 0), col("n_name")), 2L, op = "d")
+      store.appendDelta(quads(nation.filter(key % 10 === 0),
+        concat(col("n_name"), lit("#v2"))), 3L)
+      store.appendDelta(quads(nation.filter(key % 4 === 0), col("n_name")), 4L)
+      store.readGraphs(Seq(g))
+        .select(col("s"), col("p"), col("o_value"))
+        .orderBy(col("s"), col("o_value"))
+    }),
+
     // S6/S9/Q13: store lifecycle — append, clear, re-append, scoped read
     "rdf_store_lifecycle" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-store-${System.nanoTime()}"
@@ -172,5 +203,22 @@ object RdfOps {
          WHERE props IS NOT NULL""",
     "rdf_store_lifecycle" ->
       s"""SELECT '$graph' AS graph, count(*) AS n FROM events
-          WHERE props IS NOT NULL""")
+          WHERE props IS NOT NULL""",
+    // expected merged set: %5<>0 keep their b1 insert; %20=0 (= %4 AND
+    // %5) are tombstoned then revived by the b4 re-insert; %10=0 carry
+    // the b3 updated value as an additional quad identity. The plain
+    // %4=0 re-inserts collapse into their live b1 rows (no extra rows).
+    "rdf_store_mor" ->
+      """SELECT s, p, o_value FROM (
+           SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS s,
+             'name' AS p, n_name AS o_value
+           FROM nation WHERE n_nationkey % 5 <> 0
+           UNION ALL
+           SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), 'name', n_name
+           FROM nation WHERE n_nationkey % 20 = 0
+           UNION ALL
+           SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), 'name',
+             n_name || '#v2'
+           FROM nation WHERE n_nationkey % 10 = 0) t
+         ORDER BY s, o_value""")
 }

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Third relational batch: the navigation/distribution window functions
+  * (lag, lead, ntile, percent_rank, partition-first) the first two
+  * batches didn't cover, and ordered-sequence (funnel) analysis over the
+  * event stream.
+  */
+object Relational3 {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q29: one pass over orders computing every navigation window
+    // next to each other — all five share ONE window definition, so
+    // Catalyst evaluates them in a single Window operator after a single
+    // shuffle on o_custkey (visible in the plan: one Exchange, one
+    // Window). percent_rank is a small-rational ratio -> round4 floor
+    // (cross-engine tie rule).
+    "q29_window_suite" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .withColumn("gap_days", datediff(to_date(col("o_orderdate")),
+          to_date(lag(col("o_orderdate"), 1).over(w))))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", TextOps.round4(percent_rank().over(w)))
+        .withColumn("first_key", first(col("o_orderkey")).over(w))
+        .select(col("o_orderkey"), col("o_custkey"), col("prev_price"),
+          col("next_price"), col("gap_days"), col("quartile"),
+          col("pct_rank"), col("first_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ---- q30: ordered-event funnel (view -> click -> purchase): each
+    // stage keeps users whose first stage-N event strictly follows their
+    // first stage-(N-1) event. Three filtered min-aggregations chained
+    // by equi-joins on user_id — every stage shuffles only (user_id,
+    // ts) pairs, never raw events, and the event scan is pushed-filter
+    // pruned to one event_type per pass. Timestamp gaps average exact
+    // integer micros before the single double division (deterministic
+    // across engines).
+    "q30_events_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("v_ts"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("c_ts"), min(col("v_ts")).as("v_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("c_ts"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("p_ts"), min(col("c_ts")).as("c_ts"))
+      def gapSecs(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        TextOps.round4(avg(unix_micros(a) - unix_micros(b)) / 1e6)
+      v.agg(count(lit(1)).as("n_users"),
+          lit(null).cast("double").as("avg_gap_secs"))
+        .select(lit("1_view").as("stage"), col("n_users"), col("avg_gap_secs"))
+        .unionAll(c.agg(count(lit(1)).as("n_users"),
+            gapSecs(col("c_ts"), col("v_ts")).as("avg_gap_secs"))
+          .select(lit("2_click").as("stage"), col("n_users"), col("avg_gap_secs")))
+        .unionAll(p.agg(count(lit(1)).as("n_users"),
+            gapSecs(col("p_ts"), col("c_ts")).as("avg_gap_secs"))
+          .select(lit("3_purchase").as("stage"), col("n_users"), col("avg_gap_secs")))
+        .orderBy(col("stage"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q29_window_suite" ->
+      """SELECT o_orderkey, o_custkey,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(date_diff('day',
+             CAST(lag(o_orderdate) OVER w AS DATE),
+             CAST(o_orderdate AS DATE)) AS INT) AS gap_days,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS pct_rank,
+           first_value(o_orderkey) OVER w AS first_key
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q30_events_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+          c AS (SELECT e.user_id, min(e.ts) AS c_ts, min(v.v_ts) AS v_ts
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.v_ts
+                GROUP BY e.user_id),
+          p AS (SELECT e.user_id, min(e.ts) AS p_ts, min(c.c_ts) AS c_ts
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+                GROUP BY e.user_id)
+        SELECT '1_view' AS stage, count(*) AS n_users,
+          CAST(NULL AS DOUBLE) AS avg_gap_secs FROM v
+        UNION ALL
+        SELECT '2_click', count(*),
+          floor(avg(epoch_us(c_ts) - epoch_us(v_ts)) / 1e6 * 10000 + 0.5)
+            / 10000 FROM c
+        UNION ALL
+        SELECT '3_purchase', count(*),
+          floor(avg(epoch_us(p_ts) - epoch_us(c_ts)) / 1e6 * 10000 + 0.5)
+            / 10000 FROM p
+        ORDER BY stage""")
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Corpus rebalancing samplers — the selection step between curation and
+  * training-mix assembly. Both are DETERMINISTIC functions of the row
+  * key (no RNG, no seed plumbing): the sample is identical on every run,
+  * executor layout, and engine, so downstream shards are reproducible
+  * and the oracle can replay them exactly.
+  */
+object Sampling {
+
+  /** md5-hex bucket of a row key: 2 hex chars = 256 uniform buckets.
+    * Plain string comparison against a hex threshold implements "keep
+    * with probability k/256" identically in any engine (hex digits sort
+    * by value; md5 output is lowercase everywhere). */
+  private def hexBucket(key: org.apache.spark.sql.Column) =
+    substring(md5(key.cast("string")), 1, 2)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- stratified (per-language) downsampling: rebalance a corpus
+    // dominated by one language. en keeps 64/256 = 25%, the rest keep
+    // 192/256 = 75%. Pure map-side filter — the predicate is a function
+    // of (doc_id, lang) alone, so at 100 TB this is a scan with zero
+    // shuffles and the filter sits on top of the parquet scan.
+    "sample_stratified" -> ((s, d) => {
+      val b = hexBucket(col("doc_id"))
+      Tables.documents(s, d)
+        .filter(when(col("lang") === "en", b < "40").otherwise(b < "c0"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- fixed-size uniform sample per stratum ("reservoir" semantics,
+    // k=10 per language): rank docs by a hash of their key and keep the
+    // k smallest — the same marginal distribution as one-pass reservoir
+    // sampling, but stateless and mergeable. The window is a rank-per-
+    // group top-k, which Spark executes with partial TopK under AQE; at
+    // 100 TB the k smallest hashes per stratum can be pre-reduced per
+    // partition (min-k sketch) before the per-stratum shuffle.
+    "sample_reservoir" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .orderBy(col("lang"), col("rk"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CASE WHEN lang = 'en'
+                 THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+                 ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0' END
+         ORDER BY doc_id""",
+    "sample_reservoir" ->
+      """SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents) t
+         WHERE rk <= 10 ORDER BY lang, rk""")
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{MergeOnReadStore, Quad}
+
+/** Merge-on-read store semantics: latest-batch-wins per quad identity,
+  * tombstones, revive-after-delete, exact-dup collapse, and compaction
+  * preserving the merged view while collapsing history.
+  */
+class MorStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def store() = new MergeOnReadStore(spark,
+    Files.createTempDirectory("mor").toString + "/quads")
+
+  private def q(s: String, v: String) = Quad.lit("g", s, "http://ex/p", v)
+
+  private def merged(st: MergeOnReadStore): Set[(String, String)] =
+    st.readMerged().collect().map(r =>
+      (r.getAs[String]("s"), r.getAs[String]("o_value"))).toSet
+
+  test("latest batch wins: delete masks insert, later insert revives") {
+    val st = store()
+    st.appendDelta(Seq(q("a", "1"), q("b", "1")).toDF(), 1L)
+    st.appendDelta(Seq(q("a", "1")).toDF(), 2L, op = "d")
+    assert(merged(st) == Set(("b", "1")))
+    st.appendDelta(Seq(q("a", "1")).toDF(), 3L)
+    assert(merged(st) == Set(("a", "1"), ("b", "1")))
+  }
+
+  test("identical re-inserts collapse; distinct o_value is a new identity") {
+    val st = store()
+    st.appendDelta(Seq(q("a", "1")).toDF(), 1L)
+    st.appendDelta(Seq(q("a", "1"), q("a", "2")).toDF(), 2L)
+    assert(st.readMerged().count() == 2)
+    assert(merged(st) == Set(("a", "1"), ("a", "2")))
+  }
+
+  test("tombstone of a never-inserted quad stays absent") {
+    val st = store()
+    st.appendDelta(Seq(q("a", "1")).toDF(), 1L)
+    st.appendDelta(Seq(q("zz", "9")).toDF(), 2L, op = "d")
+    assert(merged(st) == Set(("a", "1")))
+  }
+
+  test("compact collapses history but preserves the merged view") {
+    val st = store()
+    st.appendDelta(Seq(q("a", "1"), q("b", "1")).toDF(), 1L)
+    st.appendDelta(Seq(q("a", "1")).toDF(), 2L, op = "d")
+    st.appendDelta(Seq(q("c", "1")).toDF(), 3L)
+    val before = merged(st)
+    st.compact("g")
+    assert(merged(st) == before)
+    // history gone: every surviving delta row is the batch-0 rewrite
+    val deltas = st.readDeltas().collect()
+    assert(deltas.forall(r => r.getAs[Long]("batch_id") == 0L))
+    assert(deltas.length == before.size)
+  }
+
+  test("null object-type fields are part of the quad identity (null-safe)") {
+    val st = store()
+    val plain = Quad.lit("g", "s", "p", "v")           // o_type = null
+    val typed = Quad.typed("g", "s", "p", "v", Quad.xsd.integer)
+    st.appendDelta(Seq(plain, typed).toDF(), 1L)
+    st.appendDelta(Seq(plain).toDF(), 2L, op = "d")
+    val left = st.readMerged().collect()
+    assert(left.length == 1 && left.head.getAs[String]("o_type") == Quad.xsd.integer)
+  }
+}

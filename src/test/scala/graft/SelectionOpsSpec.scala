@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Contamination
+
+/** Semantics of the round-3 selection operators (sampling, benchmark
+  * decontamination, funnel, window suite) beyond the DuckDB oracle:
+  * planted-positive detection, determinism, and plan shape.
+  */
+class SelectionOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("decontamination flags a planted benchmark passage") {
+    import spark.implicits._
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "intro words then alpha beta gamma delta copied verbatim"),
+      (2L, "completely unrelated text with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val out = Contamination.flagContaminated(train, eval).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+    // "alpha beta gamma" and "beta gamma delta" are the shared 3-grams
+    assert(out.head.getAs[Long]("n_shared") == 2L)
+  }
+
+  test("decontamination broadcasts the eval shingle set") {
+    val df = SparkEntry.queries("text_decontaminate")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("stratified sample is deterministic and a subset per stratum") {
+    val q = SparkEntry.queries("sample_stratified")
+    val a = q(spark, sf).collect().map(_.getLong(0))
+    val b = q(spark, sf).collect().map(_.getLong(0))
+    assert(a.sameElements(b))
+    assert(a.nonEmpty)
+  }
+
+  test("reservoir sample keeps exactly min(k, stratum size) per language") {
+    val rows = SparkEntry.queries("sample_reservoir")(spark, sf)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"), max(col("rk")).as("m"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") <= 10)
+      // ranks are contiguous 1..n
+      assert(r.getAs[Int]("m").toLong == r.getAs[Long]("n"))
+    }
+  }
+
+  test("funnel stages are monotonically non-increasing with positive gaps") {
+    val rows = SparkEntry.queries("q30_events_funnel")(spark, sf)
+      .collect().sortBy(_.getString(0))
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_view", "2_click", "3_purchase"))
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2) && ns(0) > 0)
+    rows.drop(1).filter(_.getAs[Long]("n_users") > 0).foreach { r =>
+      assert(r.getAs[Double]("avg_gap_secs") > 0.0)
+    }
+  }
+
+  test("window suite computes all five navigation functions in one Window") {
+    val df = SparkEntry.queries("q29_window_suite")(spark, sf)
+    df.collect()
+    // AQE's toString prints Final AND Initial plan sections — count the
+    // final one only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("Window"), p.take(800))
+    // all five functions share the sort order, so however Catalyst
+    // groups them into Window operators there is ONE o_custkey shuffle
+    val nExchanges = p.linesIterator.count(_.contains("hashpartitioning(o_custkey"))
+    assert(nExchanges <= 1, s"expected one o_custkey shuffle:\n${p.take(1200)}")
+  }
+}
