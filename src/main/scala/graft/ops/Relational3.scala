@@ -72,9 +72,60 @@ object Relational3 {
             gapSecs(col("p_ts"), col("c_ts")).as("avg_gap_secs"))
           .select(lit("3_purchase").as("stage"), col("n_users"), col("avg_gap_secs")))
         .orderBy(col("stage"))
+    }),
+
+    // ---- q31: explicit GROUPING SETS (disjoint one-dimension rollups
+    // in ONE pass — CUBE/ROLLUP are q19/q11; this is the general form)
+    // through the SQL text front end. grouping_id() disambiguates which
+    // set produced a row, so NULL-as-data never collides with NULL-as-
+    // subtotal.
+    "q31_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("g31_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM g31_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag, l_linestatus""")
+    }),
+
+    // ---- q32: correlated EXISTS in SQL text, both as a filter and as a
+    // projected value — Catalyst decorrelates them into one left-semi
+    // and one existence hash join on s_suppkey (no per-row subquery
+    // execution at any scale).
+    "q32_exists_suppliers" -> ((s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("g32_supplier")
+      Tables.lineitem(s, d).createOrReplaceTempView("g32_lineitem")
+      s.sql("""
+        SELECT s.s_suppkey, s.s_name,
+               EXISTS (SELECT 1 FROM g32_lineitem l
+                       WHERE l.l_suppkey = s.s_suppkey
+                         AND l.l_quantity >= 49) AS has_bulk
+        FROM g32_supplier s
+        WHERE EXISTS (SELECT 1 FROM g32_lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey)
+        ORDER BY s.s_suppkey""")
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "q31_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT)
+             AS gid,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY gid, l_returnflag, l_linestatus""",
+    "q32_exists_suppliers" ->
+      """SELECT s.s_suppkey, s.s_name,
+           EXISTS (SELECT 1 FROM lineitem l
+                   WHERE l.l_suppkey = s.s_suppkey
+                     AND l.l_quantity >= 49) AS has_bulk
+         FROM supplier s
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_suppkey = s.s_suppkey)
+         ORDER BY s.s_suppkey""",
     "q29_window_suite" ->
       """SELECT o_orderkey, o_custkey,
            lag(o_totalprice) OVER w AS prev_price,

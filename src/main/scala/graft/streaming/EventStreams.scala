@@ -42,17 +42,33 @@ object EventStreams {
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and
-    * return the materialized result. */
+    * return the materialized result.
+    *
+    * Stateful streaming cost at this scale is state-store COMMIT
+    * overhead, not data: every micro-batch writes one delta file per
+    * state store per partition (a stream-stream join keeps 4 stores per
+    * partition), so 32 shuffle partitions mean ~100+ tiny files per
+    * commit. State partitioning is fixed by `shuffle.partitions` at
+    * query start, so start streams with a smaller count — on a real
+    * cluster this maps to sizing state partitions to the STATE volume
+    * (keys in flight), which is orders of magnitude below the scan
+    * parallelism the batch side wants. */
   private def runToTable(df: DataFrame, mode: String): DataFrame = {
+    val sess = df.sparkSession
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = sess.conf.get(key)
+    sess.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+    val q = try {
+      df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally sess.conf.set(key, prev) // conf is captured at query start
     q.awaitTermination()
-    df.sparkSession.table(name)
+    sess.table(name)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
