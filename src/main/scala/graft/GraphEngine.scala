@@ -27,6 +27,17 @@ final class GraphEngine(val store: GraphStore) {
       case DropGraphOp(g, _) => store.dropGraph(g)
     }
 
+  /** Execute a SPARQL SELECT (read side): FROM graphs scope the store
+    * read (partition pruning, like USING), the WHERE group compiles to
+    * the same DataFrame plan as a mapping query, and the projection
+    * returns one column per selected variable. */
+  def select(text: String, name: String = "select"): DataFrame = {
+    val q = SparqlParser.parseSelect(text, name)
+    val scoped =
+      if (q.fromGraphs.isEmpty) store.read() else store.readGraphs(q.fromGraphs)
+    Compiler.runSelect(q, scoped)
+  }
+
   /** Compile an INSERT..WHERE update and return the quads it would
     * produce, without writing (for inspection / testing). */
   def preview(text: String, name: String = "preview"): DataFrame =

@@ -130,6 +130,31 @@ object RdfOps {
         .orderBy(col("s"), col("p"), col("o_value"))
     }),
 
+    // Read-side SPARQL: SELECT DISTINCT + FILTER + FROM scoping +
+    // ORDER/LIMIT compiled onto the quad store (partition-pruned scan,
+    // BGP self-join, TakeOrderedAndProject for the limit). The oracle
+    // recomputes the same answer relationally from `events`.
+    "rdf_sparql_select" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-sel-${System.nanoTime()}"
+      val g = "https://data.example.org/graph/events_rdf"
+      val docs = Tables.events(s, d).select(to_json(struct(
+        col("event_type"), col("user_id"), col("event_id"))).as("json"))
+      val store = new graft.model.GraphStore(s, dir)
+      store.append(graft.ingest.JsonFlattener.flatten(docs, "json", g, ns).toDF())
+      val engine = new graft.GraphEngine(store)
+      engine.select(s"""
+        PREFIX src: <$ns>
+        SELECT DISTINCT ?etype ?uid
+        FROM <$g>
+        WHERE {
+          ?e src:event_type ?etype ;
+             src:user_id ?uid .
+          FILTER (STRSTARTS(?etype, 'p'))
+        }
+        ORDER BY ?etype ?uid
+        LIMIT 100""")
+    }),
+
     // S6 merge-on-read: O(delta) writer batches (inserts + tombstones +
     // revives + exact re-inserts) reconstructed into set semantics by
     // one latest-batch-wins aggregation at read time. Row-level output:
@@ -204,6 +229,11 @@ object RdfOps {
     "rdf_store_lifecycle" ->
       s"""SELECT '$graph' AS graph, count(*) AS n FROM events
           WHERE props IS NOT NULL""",
+    "rdf_sparql_select" ->
+      """SELECT DISTINCT event_type AS etype,
+           CAST(user_id AS VARCHAR) AS uid
+         FROM events WHERE event_type LIKE 'p%'
+         ORDER BY etype, uid LIMIT 100""",
     // expected merged set: %5<>0 keep their b1 insert; %20=0 (= %4 AND
     // %5) are tombstoned then revived by the b4 re-insert; %10=0 carry
     // the b3 updated value as an additional quad identity. The plain

@@ -67,6 +67,17 @@ object Algebra {
       where: Group,
       template: Seq[TriplePattern])
 
+  /** A SPARQL SELECT query (read side). Empty `vars` = `SELECT *` (all
+    * bound variables, name-sorted). `fromGraphs` scope like USING. */
+  final case class SelectQuery(
+      name: String,
+      vars: Seq[String],
+      distinct: Boolean,
+      fromGraphs: Seq[String],
+      where: Group,
+      orderBy: Seq[String],
+      limit: Option[Int])
+
   // ---- DSL sugar for transcribing queries ----------------------------
   object dsl {
     val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"

@@ -271,4 +271,23 @@ object Compiler {
     val bindings = compileGroup(scopedQuads, query.where, None)
     instantiate(bindings, query.template, query.targetGraph)
   }
+
+  /** Run a SELECT against the FROM-scoped quads. Result columns are the
+    * projected variables' term VALUES (IRI or literal lexical form) —
+    * the shape a DataFrame consumer wants; kind/datatype stay internal.
+    * DISTINCT / ORDER BY / LIMIT compile to dropDuplicates / orderBy /
+    * limit, so Catalyst plans them (a LIMIT under ORDER BY becomes
+    * TakeOrderedAndProject — no global sort materializes). */
+  def runSelect(query: SelectQuery, scopedQuads: DataFrame): DataFrame = {
+    val bindings = compileGroup(scopedQuads, query.where, None)
+    val vars =
+      if (query.vars.nonEmpty) query.vars
+      else bindings.columns.toSeq.sorted // SELECT *: every bound variable
+    var out = bindings.select(vars.map(v =>
+      col(v).getField("v").as(v)): _*)
+    if (query.distinct) out = out.dropDuplicates()
+    if (query.orderBy.nonEmpty) out = out.orderBy(query.orderBy.map(col): _*)
+    query.limit.foreach(n => out = out.limit(n))
+    out
+  }
 }

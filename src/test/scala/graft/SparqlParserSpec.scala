@@ -197,4 +197,51 @@ class SparqlParserSpec extends AnyFunSuite {
     engine.update("CLEAR SILENT GRAPH <http://ex/out>")
     assert(st.countGraph("http://ex/out") == 0)
   }
+
+  test("SELECT parses projection, DISTINCT, FROM, ORDER BY, LIMIT") {
+    val q = SparqlParser.parseSelect("""
+      PREFIX ex: <http://ex/>
+      SELECT DISTINCT ?a ?b FROM <http://ex/g1> FROM <http://ex/g2>
+      WHERE { ?a ex:p ?b . FILTER (STRSTARTS(?b, 'x')) }
+      ORDER BY ?b ?a LIMIT 7""")
+    assert(q.vars == Seq("a", "b") && q.distinct)
+    assert(q.fromGraphs == Seq("http://ex/g1", "http://ex/g2"))
+    assert(q.orderBy == Seq("b", "a") && q.limit.contains(7))
+  }
+
+  test("GraphEngine SELECT answers over the store with FROM scoping") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("sel").toString + "/quads")
+    val engine = new GraphEngine(st)
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/src> {
+        ex:a ex:name "Alpha" . ex:a ex:score "10"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        ex:b ex:name "Beta" .  ex:b ex:score "7"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        ex:c ex:name "Alpha" . } }""")
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/other> { ex:z ex:name "Zeta" . } }""")
+    // FROM scopes to src: Zeta invisible; DISTINCT collapses dup names
+    val names = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT DISTINCT ?n FROM <http://ex/src>
+      WHERE { ?s ex:name ?n } ORDER BY ?n""").collect().map(_.getString(0))
+    assert(names.toSeq == Seq("Alpha", "Beta"))
+    // BGP join + FILTER + projection order
+    val rows = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?n ?sc FROM <http://ex/src>
+      WHERE { ?s ex:name ?n ; ex:score ?sc .
+              FILTER (STRSTARTS(?n, 'A')) } ORDER BY ?n""").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "Alpha" && rows.head.getString(1) == "10")
+    // SELECT * projects every bound variable, name-sorted
+    val star = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT * FROM <http://ex/src>
+      WHERE { ?s ex:score ?sc } ORDER BY ?sc LIMIT 1""")
+    assert(star.columns.toSeq == Seq("s", "sc"))
+    assert(star.collect().head.getString(1) == "10")
+  }
 }
