@@ -118,6 +118,52 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- intra-document repetition (the C4/Gopher-family quality rule
+    // cross-doc dedup does NOT cover): duplicate 3-gram fraction and the
+    // most-frequent-token share of each doc. Pure per-row array math for
+    // the n-gram part (no shuffle); the token-mode part is one partial-
+    // aggregated (doc, token) count — both scale linearly.
+    "text_repetition" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val perDoc = Tables.documents(s, d)
+        .select(col("doc_id"),
+          greatest(size(toks) - 2, lit(0)).as("total3"),
+          size(Dedup.shingles(toks, 3)).as("distinct3"))
+      val mode = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_tok"), sum(col("c")).cast("long").as("n_toks"))
+      perDoc.join(mode, "doc_id")
+        .select(col("doc_id"),
+          round4(when(col("total3") > 0,
+            lit(1.0) - col("distinct3") / col("total3")).otherwise(0.0))
+            .as("dup_3gram_frac"),
+          round4(col("top_tok") / col("n_toks")).as("top_token_share"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- unigram-LM surprise (perplexity proxy): mean -ln p(token)
+    // under the corpus' own unigram distribution — the cheap stand-in
+    // for model-based quality filtering. One corpus pass builds the
+    // vocabulary (map-side partial agg); the per-doc score joins tf
+    // rows to vocab on token (8-byte-ish keys) and re-aggregates per
+    // doc. The corpus total rides along as a broadcast scalar.
+    "text_unigram_surprise" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val vocab = tf.groupBy(col("token"))
+        .agg(sum(col("tf")).cast("long").as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).cast("long").as("n_total"))
+      tf.join(vocab, "token").join(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(round4(sum(-log(col("cnt") / col("n_total")) * col("tf"))
+          / sum(col("tf"))).as("surprise"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- TF-IDF: top-5 distinguishing tokens per document with
     // smoothed idf = ln((N+1)/(df+1)). ONE corpus pass: tf aggregates
     // on (doc, token); df is a count-over-token window on the tf table
@@ -223,6 +269,37 @@ object TextOps {
       """SELECT doc_id,
            md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint
          FROM documents ORDER BY doc_id""",
+    "text_repetition" ->
+      """SELECT doc_id,
+           floor(CASE WHEN greatest(len(toks) - 2, 0) > 0
+             THEN 1.0 - len(list_distinct(
+                    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     for i in range(1, len(toks) - 1)]))
+                  * 1.0 / (len(toks) - 2)
+             ELSE 0.0 END * 10000 + 0.5) / 10000 AS dup_3gram_frac,
+           floor(top_tok * 1.0 / n_toks * 10000 + 0.5) / 10000
+             AS top_token_share
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+               FROM documents) a
+         JOIN (SELECT doc_id, max(c) AS top_tok, sum(c) AS n_toks FROM (
+                 SELECT doc_id, tok, count(*) AS c FROM (
+                   SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+                     AS tok FROM documents) t1
+                 GROUP BY doc_id, tok) t2
+               GROUP BY doc_id) b USING (doc_id)
+         ORDER BY doc_id""",
+    "text_unigram_surprise" ->
+      """WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+               AS token FROM documents) t GROUP BY doc_id, token),
+           vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt
+                     FROM tf GROUP BY token),
+           tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab)
+         SELECT doc_id,
+           floor(sum(-ln(cnt * 1.0 / n_total) * tf) / sum(tf)
+                 * 10000 + 0.5) / 10000 AS surprise
+         FROM tf JOIN vocab USING (token), tot
+         GROUP BY doc_id ORDER BY doc_id""",
     "text_tfidf" ->
       """WITH toks AS (SELECT doc_id,
                unnest(string_split_regex(trim(text), '\s+')) AS token

@@ -65,6 +65,34 @@ class SelectionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition scoring: a one-token loop maxes both signals") {
+    val rows = SparkEntry.queries("text_repetition")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dup = r.getAs[Double]("dup_3gram_frac")
+      val share = r.getAs[Double]("top_token_share")
+      assert(dup >= 0.0 && dup <= 1.0)
+      assert(share > 0.0 && share <= 1.0)
+    }
+    // planted degenerate doc exercised through the same column exprs
+    import spark.implicits._
+    import graft.ops.{Dedup, TextOps}
+    val planted = Seq((1L, "spam spam spam spam spam spam"))
+      .toDF("doc_id", "text")
+      .select(
+        (lit(1.0) - size(Dedup.shingles(TextOps.tokens(col("text")), 3)) /
+          (size(TextOps.tokens(col("text"))) - 2)).as("dup"))
+      .head()
+    assert(planted.getDouble(0) == 0.75) // 4 trigram slots, 1 distinct
+  }
+
+  test("unigram surprise: rarer-token docs score higher") {
+    val rows = SparkEntry.queries("text_unigram_surprise")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("surprise") > 0.0))
+  }
+
   test("window suite computes all five navigation functions in one Window") {
     val df = SparkEntry.queries("q29_window_suite")(spark, sf)
     df.collect()
