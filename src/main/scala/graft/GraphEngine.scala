@@ -14,7 +14,7 @@ import graft.sparql.SparqlParser._
 final class GraphEngine(val store: GraphStore) {
 
   /** Execute one SPARQL update (INSERT..WHERE / INSERT DATA /
-    * CLEAR / DROP). */
+    * DELETE..WHERE / DELETE DATA / CLEAR / DROP). */
   def update(text: String, name: String = "update"): Unit =
     SparqlParser.parse(text, name) match {
       case InsertWhere(q) =>
@@ -23,6 +23,10 @@ final class GraphEngine(val store: GraphStore) {
         store.appendDistinct(Compiler.run(q, store.readGraphs(q.usingGraphs)),
           Some(Seq(q.targetGraph)))
       case InsertData(quads) => store.insertData(quads)
+      case DeleteWhere(q) =>
+        store.deleteQuads(Compiler.run(q, store.readGraphs(q.usingGraphs)),
+          Some(Seq(q.targetGraph)))
+      case DeleteData(quads) => store.deleteData(quads)
       case ClearGraphOp(g, _) => store.clearGraph(g)
       case DropGraphOp(g, _) => store.dropGraph(g)
     }

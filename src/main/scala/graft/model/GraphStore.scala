@@ -73,6 +73,37 @@ final class GraphStore(val spark: SparkSession, val path: String) {
     appendDistinct(quads.toDF(), Some(quads.map(_.graph).distinct))
   }
 
+  /** Remove exact quads (SPARQL DELETE DATA / DELETE..WHERE). Only the
+    * affected graph partitions are rewritten: survivors = existing
+    * anti-join delete set (null-safe — null o_type/o_lang are part of
+    * the identity), written to a fresh partition dir and swapped in.
+    * Untouched graphs never move. For high-churn deletes at scale,
+    * [[MergeOnReadStore]] tombstones replace the rewrite entirely. */
+  def deleteQuads(quads: DataFrame,
+      knownGraphs: Option[Seq[String]] = None): Unit = {
+    val del = quads.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val graphs = knownGraphs.getOrElse(
+      del.select("graph").distinct().collect().map(_.getString(0)).toSeq)
+      .filter(g => fs.exists(partitionDir(g)))
+    if (graphs.isEmpty) return
+    val existing = readGraphs(graphs.toIndexedSeq)
+    val cond = schema.fieldNames.map(f => existing(f) <=> del(f)).reduce(_ && _)
+    val remaining = existing.join(del, cond, "left_anti")
+    val tmp = new Path(path + s".delete-${System.nanoTime()}")
+    remaining.write.partitionBy("graph").parquet(tmp.toString)
+    graphs.foreach { g =>
+      clearGraph(g)
+      val src = new Path(tmp, "graph=" + ExternalCatalogUtils.escapePathName(g))
+      if (fs.exists(src)) fs.rename(src, partitionDir(g))
+    }
+    fs.delete(tmp, true)
+  }
+
+  def deleteData(quads: Seq[Quad]): Unit = {
+    import spark.implicits._
+    deleteQuads(quads.toDF(), Some(quads.map(_.graph).distinct))
+  }
+
   private def partitionDir(graph: String): Path =
     new Path(path, "graph=" + ExternalCatalogUtils.escapePathName(graph))
 

@@ -58,7 +58,7 @@ object Dedup {
     * the most expensive single stage in the dedup family. */
   private val neardupCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private def neardupPairs(s: SparkSession, d: String): DataFrame =
+  private[ops] def neardupPairs(s: SparkSession, d: String): DataFrame =
     neardupCache.computeIfAbsent((s, d), { _ =>
       val (ex, counts) = shingleTables(s, d)
       jaccardOf(shinglePairs(ex), counts)
@@ -262,6 +262,9 @@ object Dedup {
     }.reduce((x, y) => x.bitwiseOR(y))
     aggs.select(col("doc_id"), fp.as("simhash"))
   }
+
+  /** shared with [[GraphAlgos]]' triangle oracle */
+  private[ops] def pairsCtesSql: String = pairsCtes
 
   private val pairsCtes =
     """t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks

@@ -57,6 +57,26 @@ object GraphAlgos {
       pagerank(edges, iters = 3)
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy(col("node"))
+    }),
+
+    // ---- triangle counting on the near-dup pair graph (reuses the
+    // memoized pair table the dedup family builds): with edges oriented
+    // a<b, each triangle a<b<c is found exactly once by the two-hop
+    // join — the standard distributed formulation; at scale the joins
+    // shuffle on node id and high-degree nodes are the salting
+    // candidates. Triangle density distinguishes tight dup-clusters
+    // (cliques) from chains.
+    "graph_triangles" -> ((s, d) => {
+      val e = Dedup.neardupPairs(s, d).select(col("i"), col("j"))
+      val e1 = e.select(col("i").as("a"), col("j").as("b"))
+      val e2 = e.select(col("i").as("b"), col("j").as("c"))
+      val e3 = e.select(col("i").as("a"), col("j").as("c"))
+      val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
+      val nodes = e.select(col("i").as("n")).unionAll(e.select(col("j").as("n")))
+        .distinct()
+      tri.agg(count(lit(1)).as("n_triangles"))
+        .join(e.agg(count(lit(1)).as("n_edges")))
+        .join(nodes.agg(count(lit(1)).as("n_nodes")))
     }))
 
   // 3 supersteps unrolled as chained CTEs (SQL can't express the
@@ -78,5 +98,15 @@ object GraphAlgos {
           ${prStep("r0", "r1")},
           ${prStep("r1", "r2")},
           ${prStep("r2", "r3")}
-        SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""")
+        SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""",
+    // same >=0.8-Jaccard pair graph as the dedup oracles
+    "graph_triangles" ->
+      s"""WITH ${Dedup.pairsCtesSql}
+        SELECT
+          (SELECT count(*) FROM pairs p1
+             JOIN pairs p2 ON p2.i = p1.j
+             JOIN pairs p3 ON p3.i = p1.i AND p3.j = p2.j) AS n_triangles,
+          (SELECT count(*) FROM pairs) AS n_edges,
+          (SELECT count(*) FROM (SELECT i AS n FROM pairs
+             UNION SELECT j FROM pairs) t) AS n_nodes""")
 }

@@ -23,6 +23,23 @@ object RdfOps {
   private def propQuads(s: SparkSession, d: String) =
     JsonFlattener.flatten(Tables.events(s, d), "props", graph, ns)
 
+  /** Read-only staging store (events flattened to quads), built once per
+    * (session, sfDir) and shared by every read-side SPARQL query — the
+    * flatten+write would otherwise repeat identically per query. Queries
+    * that MUTATE a store (mapping_scale, delete, mor) build their own. */
+  private val eventStoreGraph = "https://data.example.org/graph/events_rdf"
+  private val eventStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), GraphStore]
+  private def eventStore(s: SparkSession, d: String): GraphStore =
+    eventStoreCache.computeIfAbsent((s, d), { _ =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-evstore-${System.nanoTime()}"
+      val store = new GraphStore(s, dir)
+      val docs = Tables.events(s, d).select(to_json(struct(
+        col("event_type"), col("user_id"), col("event_id"))).as("json"))
+      store.append(JsonFlattener.flatten(docs, "json", eventStoreGraph, ns).toDF())
+      store
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T1: direct mapping — predicate IRIs minted from JSON keys
     "rdf_flatten_predicates" -> ((s, d) => {
@@ -135,13 +152,8 @@ object RdfOps {
     // BGP self-join, TakeOrderedAndProject for the limit). The oracle
     // recomputes the same answer relationally from `events`.
     "rdf_sparql_select" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-sel-${System.nanoTime()}"
-      val g = "https://data.example.org/graph/events_rdf"
-      val docs = Tables.events(s, d).select(to_json(struct(
-        col("event_type"), col("user_id"), col("event_id"))).as("json"))
-      val store = new graft.model.GraphStore(s, dir)
-      store.append(graft.ingest.JsonFlattener.flatten(docs, "json", g, ns).toDF())
-      val engine = new graft.GraphEngine(store)
+      val g = eventStoreGraph
+      val engine = new graft.GraphEngine(eventStore(s, d))
       engine.select(s"""
         PREFIX src: <$ns>
         SELECT DISTINCT ?etype ?uid
@@ -153,6 +165,51 @@ object RdfOps {
         }
         ORDER BY ?etype ?uid
         LIMIT 100""")
+    }),
+
+    // SPARQL UNION: per-branch BIND marker + branch-aligned bindings
+    // (union-all of the two filtered BGP compiles, one scan each with
+    // the predicate pushed down — no distinct until the SELECT asks).
+    "rdf_sparql_union" -> ((s, d) => {
+      val g = eventStoreGraph
+      val engine = new graft.GraphEngine(eventStore(s, d))
+      engine.select(s"""
+        PREFIX src: <$ns>
+        SELECT DISTINCT ?uid ?kind
+        FROM <$g>
+        WHERE {
+          { ?e src:event_type 'view' ; src:user_id ?uid .
+            BIND ('v' AS ?kind) }
+          UNION
+          { ?e src:event_type 'purchase' ; src:user_id ?uid .
+            BIND ('p' AS ?kind) }
+        }
+        ORDER BY ?uid ?kind""")
+    }),
+
+    // SPARQL DELETE..WHERE: compute-then-remove against one graph
+    // partition (anti-join + partition swap; untouched graphs never
+    // rewrite). The oracle recomputes the surviving set from `nation`.
+    "rdf_sparql_delete" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-del-${System.nanoTime()}"
+      val g = "http://ex/nations"
+      val store = new graft.model.GraphStore(s, dir)
+      store.append(Tables.nation(s, d).select(
+        lit(g).as("graph"),
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+        lit("name").as("p"), col("n_name").as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind")))
+      val engine = new graft.GraphEngine(store)
+      engine.update(s"""
+        WITH <$g>
+        DELETE { ?s <name> ?n }
+        USING <$g>
+        WHERE { ?s <name> ?n . FILTER (STRSTARTS(?n, 'NATION_1')) }""")
+      store.readGraphs(Seq(g))
+        .select(col("s"), col("o_value"))
+        .orderBy(col("s"))
     }),
 
     // S6 merge-on-read: O(delta) writer batches (inserts + tombstones +
@@ -234,6 +291,19 @@ object RdfOps {
            CAST(user_id AS VARCHAR) AS uid
          FROM events WHERE event_type LIKE 'p%'
          ORDER BY etype, uid LIMIT 100""",
+    "rdf_sparql_union" ->
+      """SELECT uid, kind FROM (
+           SELECT DISTINCT CAST(user_id AS VARCHAR) AS uid, 'v' AS kind
+           FROM events WHERE event_type = 'view'
+           UNION
+           SELECT DISTINCT CAST(user_id AS VARCHAR), 'p'
+           FROM events WHERE event_type = 'purchase') t
+         ORDER BY uid, kind""",
+    "rdf_sparql_delete" ->
+      """SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS s,
+           n_name AS o_value
+         FROM nation WHERE NOT starts_with(n_name, 'NATION_1')
+         ORDER BY s""",
     // expected merged set: %5<>0 keep their b1 insert; %20=0 (= %4 AND
     // %5) are tombstoned then revived by the b4 re-insert; %10=0 carry
     // the b3 updated value as an additional quad identity. The plain

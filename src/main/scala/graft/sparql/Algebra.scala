@@ -32,6 +32,10 @@ object Algebra {
   final case class Opt(group: Group) extends Element
   final case class Bind(expr: Expr, as: String) extends Element
   final case class FilterE(expr: Expr) extends Element
+  /** `{g1} UNION {g2} UNION ...` (single branch = plain nested group).
+    * Variables bound in one branch only are unbound (null) in rows from
+    * the others. */
+  final case class UnionE(branches: Seq[Group]) extends Element
 
   final case class Group(elems: Seq[Element]) {
     def vars: Set[String] = elems.flatMap {

@@ -163,6 +163,20 @@ object Compiler {
       case FilterE(e) =>
         flush()
         acc = Some(acc.getOrElse(unitRow(quads)).where(compileBool(e)))
+      case UnionE(branches) =>
+        flush()
+        val dfs = branches.map(b => compileGroup(quads, b, None))
+        // align branch schemas: a variable bound in one branch only is
+        // unbound (null term) in rows from the others
+        val allVars = dfs.flatMap(_.columns).distinct
+        val nullTerm = lit(null)
+          .cast("struct<v:string,k:string,dt:string,lg:string>")
+        val unioned = dfs.map { df =>
+          val have = df.columns.toSet
+          df.select(allVars.map(v =>
+            (if (have(v)) col(v) else nullTerm).as(v)): _*)
+        }.reduce(_ unionAll _)
+        acc = Some(joinStep(acc, unioned))
     }
     flush()
     acc.getOrElse(unitRow(quads))

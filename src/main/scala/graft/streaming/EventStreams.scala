@@ -134,6 +134,37 @@ object EventStreams {
         .orderBy(col("p"))
     }),
 
+    // ---- streaming ingestion into the MERGE-ON-READ store: each
+    // micro-batch appends O(batch) insert deltas tagged with the
+    // micro-batch id. A replayed batch (failure/restart) appends the
+    // same (quad, batch_id) rows again and the latest-wins read
+    // collapses them — effectively-once ingestion WITHOUT the
+    // read-before-write that makes appendDistinct O(store) per batch.
+    "stream_mor_ingest" -> ((s, d) => {
+      val g = "http://ex/stream_mor"
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-smor-${System.nanoTime()}"
+      val store = new graft.model.MergeOnReadStore(s, s"$dir/quads")
+      val quads = eventsStream(s, d).select(
+        lit(g).as("graph"),
+        concat(lit("event:"), col("event_id").cast("string")).as("s"),
+        lit("etype").as("p"), col("event_type").as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      val q = quads.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          store.appendDelta(batch, id)
+          store.appendDelta(batch, id) // simulated replay — must collapse
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      store.readGraphs(Seq(g))
+        .groupBy(col("o_value")).agg(count(lit(1)).as("n_events"))
+        .orderBy(col("o_value"))
+    }),
+
     // ---- custom streaming state: flatMapGroupsWithState tracks the
     // set of event types seen per user and emits only newly-seen ones;
     // summing emissions = distinct types per user (batch-boundary
@@ -248,6 +279,10 @@ object EventStreams {
            UNION ALL
            SELECT 'http://localhost/user_id', count(*) FROM events) t
          ORDER BY p""",
+    // one quad per event survives the doubled delta writes
+    "stream_mor_ingest" ->
+      """SELECT event_type AS o_value, count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "stream_stateful_distinct" ->
       """SELECT user_id, count(DISTINCT event_type) AS n_types
          FROM events GROUP BY user_id ORDER BY user_id""",

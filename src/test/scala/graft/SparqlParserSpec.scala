@@ -198,6 +198,53 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(st.countGraph("http://ex/out") == 0)
   }
 
+  test("UNION merges branch bindings; branch-only vars are unbound") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("uni").toString + "/quads")
+    val engine = new GraphEngine(st)
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/src> {
+        ex:a ex:mail "a@x" . ex:b ex:tel "123" . } }""")
+    val rows = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?s ?contact ?kind FROM <http://ex/src>
+      WHERE {
+        { ?s ex:mail ?contact . BIND ('mail' AS ?kind) }
+        UNION
+        { ?s ex:tel ?contact . BIND ('tel' AS ?kind) }
+      } ORDER BY ?kind""").collect()
+    assert(rows.length == 2)
+    assert(rows.map(r => (r.getString(1), r.getString(2))).toSeq ==
+      Seq(("a@x", "mail"), ("123", "tel")))
+  }
+
+  test("DELETE DATA and DELETE..WHERE remove quads; others survive") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("del").toString + "/quads")
+    val engine = new GraphEngine(st)
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/g> {
+        ex:a ex:name "Alpha" . ex:b ex:name "Beta" .
+        ex:c ex:name "Ceta" .  ex:a ex:keep "yes" . } }""")
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      DELETE DATA { GRAPH <http://ex/g> { ex:b ex:name "Beta" . } }""")
+    assert(st.countGraph("http://ex/g") == 3)
+    // delete every name NOT starting with 'A', keep other predicates
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      WITH <http://ex/g>
+      DELETE { ?s ex:name ?n }
+      USING <http://ex/g>
+      WHERE { ?s ex:name ?n .
+              FILTER (STRSTARTS(?n, 'C')) }""")
+    val left = st.readGraphs(Seq("http://ex/g")).collect()
+      .map(r => (r.getAs[String]("s"), r.getAs[String]("o_value"))).toSet
+    assert(left == Set(("http://ex/a", "Alpha"), ("http://ex/a", "yes")))
+  }
+
   test("SELECT parses projection, DISTINCT, FROM, ORDER BY, LIMIT") {
     val q = SparqlParser.parseSelect("""
       PREFIX ex: <http://ex/>
