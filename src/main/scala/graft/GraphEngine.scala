@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.model.GraphStore
+import graft.model.QuadStore
 import graft.sparql.{Compiler, SparqlParser}
 import graft.sparql.SparqlParser._
 
@@ -10,8 +10,13 @@ import graft.sparql.SparqlParser._
   * `SparqlUpdateHook.sparql_update`, `sparql_update.py:77-106`, re-homed:
   * instead of POSTing text to a store, the text is parsed, compiled to
   * DataFrame ops, and executed against the partitioned quad store).
+  *
+  * Backend-agnostic: runs on the merge-on-write [[graft.model.GraphStore]]
+  * or the O(delta) [[graft.model.MergeOnReadStore]] — INSERT/DELETE map
+  * to eager dedup/rewrite on the former, delta/tombstone appends on the
+  * latter, with identical observable graph state.
   */
-final class GraphEngine(val store: GraphStore) {
+final class GraphEngine(val store: QuadStore) {
 
   /** Execute one SPARQL update (INSERT..WHERE / INSERT DATA /
     * DELETE..WHERE / DELETE DATA / CLEAR / DROP). */

@@ -6,6 +6,29 @@ import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** The statement-store contract the SPARQL engine runs against. Two
+  * backends ship: [[GraphStore]] (merge-on-write — dedup at insert,
+  * reads are plain scans) and [[MergeOnReadStore]] (O(delta) writes,
+  * set semantics reconstructed at read). Same observable graph state,
+  * opposite read/write amplification trade — pick per workload.
+  */
+trait QuadStore {
+  def spark: SparkSession
+  def read(): DataFrame
+  /** The merge (union) of the given named graphs — SPARQL `USING`. */
+  def readGraphs(graphs: Seq[String]): DataFrame
+  /** Set-semantics insert (Q11): the graph state afterwards contains
+    * each distinct quad once, regardless of batch overlap or replays. */
+  def appendDistinct(quads: DataFrame, knownGraphs: Option[Seq[String]] = None): Unit
+  def insertData(quads: Seq[Quad]): Unit
+  /** SPARQL DELETE: the given quads are absent afterwards. */
+  def deleteQuads(quads: DataFrame, knownGraphs: Option[Seq[String]] = None): Unit
+  def deleteData(quads: Seq[Quad]): Unit
+  def clearGraph(graph: String): Unit
+  def dropGraph(graph: String): Unit
+  def countGraph(graph: String): Long = readGraphs(Seq(graph)).count()
+}
+
 /** Parquet-backed quad store partitioned by named graph.
   *
   * Replaces the reference's Stardog endpoint as the statement store
@@ -21,7 +44,7 @@ import org.apache.spark.sql.types._
   * graphs, so the 16 mapping tasks can insert overlapping triples in any
   * order with an order-independent final state.
   */
-final class GraphStore(val spark: SparkSession, val path: String) {
+final class GraphStore(val spark: SparkSession, val path: String) extends QuadStore {
   import GraphStore._
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -127,8 +150,6 @@ final class GraphStore(val spark: SparkSession, val path: String) {
     if (fs.exists(src)) fs.rename(src, partitionDir(graph))
     fs.delete(tmp, true)
   }
-
-  def countGraph(graph: String): Long = readGraphs(Seq(graph)).count()
 }
 
 object GraphStore {
@@ -154,7 +175,8 @@ object GraphStore {
   * bounded. The Iceberg/Hudi merge-on-read trade, on a plain
   * partitioned-parquet layout.
   */
-final class MergeOnReadStore(val spark: SparkSession, val path: String) {
+final class MergeOnReadStore(val spark: SparkSession, val path: String)
+    extends QuadStore {
   import GraphStore.schema
 
   private def fs =
@@ -162,6 +184,17 @@ final class MergeOnReadStore(val spark: SparkSession, val path: String) {
 
   private val deltaSchema: StructType = StructType(schema.fields ++ Seq(
     StructField("batch_id", LongType), StructField("op", StringType)))
+
+  /** Writer-local monotonic batch ids for the [[QuadStore]] surface
+    * (callers that manage their own batches pass explicit ids to
+    * [[appendDelta]]). Wall-clock-seeded so ids stay monotonic across
+    * process restarts; concurrent writers get distinct ids with
+    * overwhelming probability, and quad-level last-wins only needs
+    * order between CONFLICTING writes, which a sane ingest pipeline
+    * serializes per key anyway. */
+  private val batchCounter =
+    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis() * 1000L)
+  private def nextBatchId(): Long = batchCounter.incrementAndGet()
 
   /** O(delta) write: no existing data is read. `op` = "i" (insert) or
     * "d" (delete tombstone masking every earlier batch of that quad). */
@@ -195,6 +228,40 @@ final class MergeOnReadStore(val spark: SparkSession, val path: String) {
 
   def readGraphs(graphs: Seq[String]): DataFrame =
     readMerged().where(col("graph").isin(graphs: _*))
+
+  // ---- QuadStore surface: the engine's set-semantics ops re-expressed
+  // as O(delta) writes (insert deltas / tombstones); the latest-wins
+  // read supplies the dedup appendDistinct does eagerly.
+  def read(): DataFrame = readMerged()
+
+  def appendDistinct(quads: DataFrame,
+      knownGraphs: Option[Seq[String]] = None): Unit =
+    appendDelta(quads, nextBatchId())
+
+  def insertData(quads: Seq[Quad]): Unit = {
+    import spark.implicits._
+    appendDistinct(quads.toDF())
+  }
+
+  /** DELETE as tombstones — O(delta), no partition rewrite. */
+  def deleteQuads(quads: DataFrame,
+      knownGraphs: Option[Seq[String]] = None): Unit =
+    appendDelta(quads, nextBatchId(), op = "d")
+
+  def deleteData(quads: Seq[Quad]): Unit = {
+    import spark.implicits._
+    deleteQuads(quads.toDF())
+  }
+
+  /** CLEAR/DROP stay physical: every delta of the graph lives in its
+    * partition directory, so deleting it empties the merged view too. */
+  def clearGraph(graph: String): Unit = {
+    val dir = new Path(path,
+      "graph=" + ExternalCatalogUtils.escapePathName(graph))
+    if (fs.exists(dir)) fs.delete(dir, true)
+  }
+
+  def dropGraph(graph: String): Unit = clearGraph(graph)
 
   /** Collapse one graph partition: rewrite its merged view as a single
     * batch-0 insert delta and drop the masked history. */

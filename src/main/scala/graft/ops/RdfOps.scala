@@ -212,6 +212,32 @@ object RdfOps {
         .orderBy(col("s"))
     }),
 
+    // Backend parity: the SAME SPARQL delete scenario on the
+    // merge-on-read store — DELETE lands as tombstone deltas (no
+    // partition rewrite) yet the observable graph state, and so the
+    // oracle, is identical to rdf_sparql_delete's.
+    "rdf_sparql_delete_mor" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-delmor-${System.nanoTime()}"
+      val g = "http://ex/nations"
+      val store = new graft.model.MergeOnReadStore(s, dir)
+      store.appendDistinct(Tables.nation(s, d).select(
+        lit(g).as("graph"),
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+        lit("name").as("p"), col("n_name").as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind")))
+      val engine = new graft.GraphEngine(store)
+      engine.update(s"""
+        WITH <$g>
+        DELETE { ?s <name> ?n }
+        USING <$g>
+        WHERE { ?s <name> ?n . FILTER (STRSTARTS(?n, 'NATION_1')) }""")
+      store.readGraphs(Seq(g))
+        .select(col("s"), col("o_value"))
+        .orderBy(col("s"))
+    }),
+
     // S6 merge-on-read: O(delta) writer batches (inserts + tombstones +
     // revives + exact re-inserts) reconstructed into set semantics by
     // one latest-batch-wins aggregation at read time. Row-level output:
@@ -300,6 +326,11 @@ object RdfOps {
            FROM events WHERE event_type = 'purchase') t
          ORDER BY uid, kind""",
     "rdf_sparql_delete" ->
+      """SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS s,
+           n_name AS o_value
+         FROM nation WHERE NOT starts_with(n_name, 'NATION_1')
+         ORDER BY s""",
+    "rdf_sparql_delete_mor" ->
       """SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS s,
            n_name AS o_value
          FROM nation WHERE NOT starts_with(n_name, 'NATION_1')

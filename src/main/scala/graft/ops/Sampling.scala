@@ -35,6 +35,29 @@ object Sampling {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- training-mix assembly: per-SOURCE keep rates (the "data
+    // mixture" step that turns raw corpus proportions into target
+    // proportions). Sources map to one of four weight tiers (1.0 /
+    // 0.75 / 0.5 / 0.25 via hex thresholds); output is the mixture
+    // manifest — kept docs and kept tokens per source. Map-side filter
+    // + one aggregation; the manifest is what a 100 TB run would feed
+    // to the shard writer.
+    "corpus_mixture_sample" -> ((s, d) => {
+      val tier = regexp_extract(col("source"), "(\\d+)$", 1).cast("int") % 4
+      val b = hexBucket(col("doc_id"))
+      val keep = when(tier === 0, lit(true))
+        .when(tier === 1, b < "c0")
+        .when(tier === 2, b < "80")
+        .otherwise(b < "40")
+      Tables.documents(s, d)
+        .filter(keep)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(size(TextOps.tokens(col("text")))).cast("long")
+            .as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // ---- fixed-size uniform sample per stratum ("reservoir" semantics,
     // k=10 per language): rank docs by a hash of their key and keep the
     // k smallest — the same marginal distribution as one-pass reservoir
@@ -59,6 +82,17 @@ object Sampling {
                  THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
                  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0' END
          ORDER BY doc_id""",
+    "corpus_mixture_sample" ->
+      """SELECT source, count(*) AS n_kept,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+             AS kept_tokens
+         FROM documents
+         WHERE CASE CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 4
+             WHEN 0 THEN TRUE
+             WHEN 1 THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+             WHEN 2 THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+             ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40' END
+         GROUP BY source ORDER BY source""",
     "sample_reservoir" ->
       """SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (
            SELECT doc_id, lang,
