@@ -317,6 +317,20 @@ object RdfOps {
            CAST(user_id AS VARCHAR) AS uid
          FROM events WHERE event_type LIKE 'p%'
          ORDER BY etype, uid LIMIT 100""",
+    // fixture-driven but fully deterministic: the oracle CONSTRUCTS the
+    // expected graph state (skolem IRIs + md5 hashes) in SQL
+    "rdf_sparql_update" ->
+      """SELECT * FROM (
+           SELECT 'http://ex/out' AS graph, 'http://ex/u/' || n AS s,
+             'http://ex/hash' AS p, md5(n || sc) AS o_value,
+             CAST(NULL AS VARCHAR) AS o_type, CAST(NULL AS VARCHAR) AS o_lang,
+             'literal' AS o_kind
+           FROM (VALUES ('Alpha', '10'), ('Beta', '7')) t(n, sc)
+           UNION ALL
+           SELECT 'http://ex/out', 'http://ex/u/' || n, 'http://ex/label',
+             n, NULL, NULL, 'literal'
+           FROM (VALUES ('Alpha'), ('Beta')) t(n)) u
+         ORDER BY s, p, o_value""",
     "rdf_sparql_union" ->
       """SELECT uid, kind FROM (
            SELECT DISTINCT CAST(user_id AS VARCHAR) AS uid, 'v' AS kind
