@@ -26,6 +26,9 @@ trait QuadStore {
   def deleteData(quads: Seq[Quad]): Unit
   def clearGraph(graph: String): Unit
   def dropGraph(graph: String): Unit
+  /** Store maintenance (S9): rewrite one graph's files into `numFiles`
+    * for scan efficiency — and, on merge-on-read, collapse history. */
+  def compact(graph: String, numFiles: Int = 1): Unit
   def countGraph(graph: String): Long = readGraphs(Seq(graph)).count()
 }
 

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
 
-import graft.model.{GraphStore, Quad}
+import graft.model.{Quad, QuadStore}
 import graft.queries.ReferenceMappings._
 import graft.sparql.{Algebra, Compiler}
 
@@ -22,7 +22,7 @@ import graft.sparql.{Algebra, Compiler}
   *    graph — order-independent, one shuffle — rather than 16 sequential
   *    endpoint updates.
   */
-final class Pipeline(store: GraphStore) {
+final class Pipeline(store: QuadStore) {
 
   val stagingGraphs: Seq[String] =
     Seq(gLdap, gTlUsers, gTlCompanies, gTlCustomFields, gMamTenants)

@@ -82,11 +82,18 @@ object Fixtures {
     """[{"Name": "Tenant display name", "ExternalId": "OR-w66976m"}]""")
 
   /** Ingest all fixtures into a fresh store at `path`. */
-  def ingestAll(spark: SparkSession, path: String): GraphStore = {
-    val st = new GraphStore(spark, path)
+  def ingestAll(spark: SparkSession, path: String): GraphStore =
+    ingestAllInto(new GraphStore(spark, path)).asInstanceOf[GraphStore]
+
+  /** Backend-agnostic fixture ingest (set-semantics append works on
+    * both the merge-on-write and merge-on-read stores). */
+  def ingestAllInto(st: graft.model.QuadStore): graft.model.QuadStore = {
+    val spark = st.spark
     import spark.implicits._
     def ingest(docs: Seq[String], graph: String): Unit =
-      st.append(JsonFlattener.flatten(docs.toDF("json"), "json", graph, source).toDF())
+      st.appendDistinct(
+        JsonFlattener.flatten(docs.toDF("json"), "json", graph, source).toDF(),
+        Some(Seq(graph)))
     ingest(ldapDocs, gLdap)
     ingest(tlCompanyDocs, gTlCompanies)
     ingest(customFieldDocs, gTlCustomFields)

@@ -88,6 +88,23 @@ class MorStoreSpec extends AnyFunSuite {
     assert(st.countGraph("http://ex/out") == 0)
   }
 
+  test("the full reference mapping pipeline is backend-equivalent") {
+    import graft.queries.{Fixtures, ReferenceMappings}
+    def orgQuads(st: graft.model.QuadStore): Set[String] = {
+      val p = new graft.pipeline.Pipeline(st)
+      p.runMappings()
+      st.readGraphs(Seq(ReferenceMappings.gOrganizations)).collect()
+        .map(r => (0 until 7).map(i => String.valueOf(r.get(i))).mkString("|"))
+        .toSet
+    }
+    val mow = orgQuads(Fixtures.ingestAll(spark,
+      Files.createTempDirectory("pmow").toString + "/quads"))
+    val mor = orgQuads(Fixtures.ingestAllInto(new MergeOnReadStore(spark,
+      Files.createTempDirectory("pmor").toString + "/quads")))
+    assert(mor == mow)
+    assert(mow.nonEmpty)
+  }
+
   test("null object-type fields are part of the quad identity (null-safe)") {
     val st = store()
     val plain = Quad.lit("g", "s", "p", "v")           // o_type = null
