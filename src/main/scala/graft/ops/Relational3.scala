@@ -74,6 +74,27 @@ object Relational3 {
         .orderBy(col("stage"))
     }),
 
+    // ---- q33: weekly cohort retention — users grouped by first-seen
+    // week, activity counted per offset week. Two aggregations (first
+    // week per user, distinct active weeks per user) joined on user_id
+    // — the dimensionless cohort matrix never materializes raw events
+    // past the first aggregation, so the shape holds at any event
+    // volume.
+    "q33_retention_cohorts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      val firstWeek = ev.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      ev.distinct()
+        .join(firstWeek, "user_id")
+        .withColumn("week_n",
+          (datediff(to_date(col("week")), to_date(col("cohort_week"))) / 7)
+            .cast("int"))
+        .groupBy(col("cohort_week"), col("week_n"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_n"))
+    }),
+
     // ---- q31: explicit GROUPING SETS (disjoint one-dimension rollups
     // in ONE pass — CUBE/ROLLUP are q19/q11; this is the general form)
     // through the SQL text front end. grouping_id() disambiguates which
@@ -109,6 +130,18 @@ object Relational3 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "q33_retention_cohorts" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events),
+          fw AS (SELECT user_id, min(week) AS cohort_week
+                 FROM ev GROUP BY user_id)
+        SELECT cohort_week,
+          CAST(date_diff('day', CAST(cohort_week AS DATE),
+                 CAST(week AS DATE)) / 7 AS INT) AS week_n,
+          count(DISTINCT ev.user_id) AS n_users
+        FROM ev JOIN fw ON ev.user_id = fw.user_id
+        GROUP BY cohort_week, week_n
+        ORDER BY cohort_week, week_n""",
     "q31_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT)
