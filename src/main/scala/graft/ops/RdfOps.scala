@@ -212,6 +212,36 @@ object RdfOps {
         .orderBy(col("s"))
     }),
 
+    // SPARQL MINUS (anti-join on shared vars) + VALUES (inline binding
+    // table): customers in the VALUES-restricted market segments,
+    // minus those based in nation 7. MINUS compiles to a left-anti
+    // hash join; VALUES to a joined literal table.
+    "rdf_sparql_minus" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-min-${System.nanoTime()}"
+      val g = "http://ex/customers"
+      val store = new graft.model.GraphStore(s, dir)
+      val cust = Tables.customer(s, d)
+      def custQuads(p: String, value: Column) = cust.select(
+        lit(g).as("graph"),
+        concat(lit("cust:"), col("c_custkey").cast("string")).as("s"),
+        lit(p).as("p"), value.as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      store.append(custQuads("segment", col("c_mktsegment"))
+        .unionAll(custQuads("nation", col("c_nationkey").cast("string"))))
+      val engine = new graft.GraphEngine(store)
+      engine.select(s"""
+        SELECT ?c ?seg
+        FROM <$g>
+        WHERE {
+          ?c <segment> ?seg .
+          VALUES ?seg { 'BUILDING' 'MACHINERY' }
+          MINUS { ?c <nation> '7' }
+        }
+        ORDER BY ?c""")
+    }),
+
     // Backend parity: the SAME SPARQL delete scenario on the
     // merge-on-read store — DELETE lands as tombstone deltas (no
     // partition rewrite) yet the observable graph state, and so the
@@ -331,6 +361,13 @@ object RdfOps {
              n, NULL, NULL, 'literal'
            FROM (VALUES ('Alpha'), ('Beta')) t(n)) u
          ORDER BY s, p, o_value""",
+    "rdf_sparql_minus" ->
+      """SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS c,
+           c_mktsegment AS seg
+         FROM customer
+         WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+           AND c_nationkey <> 7
+         ORDER BY c""",
     "rdf_sparql_union" ->
       """SELECT uid, kind FROM (
            SELECT DISTINCT CAST(user_id AS VARCHAR) AS uid, 'v' AS kind

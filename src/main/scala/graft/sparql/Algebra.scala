@@ -36,6 +36,13 @@ object Algebra {
     * Variables bound in one branch only are unbound (null) in rows from
     * the others. */
   final case class UnionE(branches: Seq[Group]) extends Element
+  /** `MINUS {g}` — drop bindings that join (on the shared variables)
+    * with some solution of the inner group; no shared variables = no
+    * removal, per SPARQL MINUS. */
+  final case class MinusE(group: Group) extends Element
+  /** `VALUES ?v { term term ... }` — inline binding table (single-var
+    * form; each term is an IRI or literal Node). */
+  final case class ValuesE(varName: String, terms: Seq[Node]) extends Element
 
   final case class Group(elems: Seq[Element]) {
     def vars: Set[String] = elems.flatMap {

@@ -177,6 +177,28 @@ object Compiler {
             (if (have(v)) col(v) else nullTerm).as(v)): _*)
         }.reduce(_ unionAll _)
         acc = Some(joinStep(acc, unioned))
+      case MinusE(inner) =>
+        flush()
+        val innerDf = compileGroup(quads, inner, None)
+        acc = Some(acc match {
+          case None => unitRow(quads) // MINUS with empty base — degenerate
+          case Some(a) =>
+            val shared = sharedVars(a, innerDf)
+            // SPARQL MINUS: disjoint domains remove nothing
+            if (shared.isEmpty) a
+            else a.join(innerDf.select(shared.map(col): _*)
+              .dropDuplicates(), shared, "left_anti")
+        })
+      case ValuesE(v, terms) =>
+        flush()
+        val rows = terms.map {
+          case I(iri) => unitRow(quads).select(iriTerm(lit(iri)).as(v))
+          case L(value, dt, lang) => unitRow(quads).select(
+            litTerm(lit(value), Option(dt).map(lit).getOrElse(nullStr),
+              Option(lang).map(lit).getOrElse(nullStr)).as(v))
+          case V(_) => throw new IllegalArgumentException("VALUES needs ground terms")
+        }.reduce(_ unionAll _)
+        acc = Some(joinStep(acc, rows))
     }
     flush()
     acc.getOrElse(unitRow(quads))

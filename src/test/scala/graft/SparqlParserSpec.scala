@@ -219,6 +219,32 @@ class SparqlParserSpec extends AnyFunSuite {
       Seq(("a@x", "mail"), ("123", "tel")))
   }
 
+  test("MINUS removes join-compatible bindings; VALUES constrains inline") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("min").toString + "/quads")
+    val engine = new GraphEngine(st)
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/g> {
+        ex:a ex:type "good" . ex:b ex:type "good" . ex:c ex:type "bad" .
+        ex:b ex:flag "x" . } }""")
+    // good-typed subjects minus flagged ones
+    val minus = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?s FROM <http://ex/g>
+      WHERE { ?s ex:type "good" .
+              MINUS { ?s ex:flag ?f } } ORDER BY ?s""")
+      .collect().map(_.getString(0))
+    assert(minus.toSeq == Seq("http://ex/a"))
+    // VALUES restricts ?t to an inline set
+    val vals = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?s ?t FROM <http://ex/g>
+      WHERE { ?s ex:type ?t . VALUES ?t { 'bad' } } ORDER BY ?s""")
+      .collect().map(_.getString(0))
+    assert(vals.toSeq == Seq("http://ex/c"))
+  }
+
   test("DELETE DATA and DELETE..WHERE remove quads; others survive") {
     val st = new graft.model.GraphStore(spark,
       Files.createTempDirectory("del").toString + "/quads")
