@@ -50,6 +50,9 @@ object Algebra {
       case Opt(g) => g.vars
       case Bind(_, as) => Seq(as)
       case FilterE(_) => Seq.empty
+      case UnionE(bs) => bs.flatMap(_.vars)
+      case MinusE(_) => Seq.empty // MINUS binds nothing outward
+      case ValuesE(v, _) => Seq(v)
     }.toSet
   }
 
@@ -69,6 +72,40 @@ object Algebra {
   final case class IfE(cond: Expr, thenE: Expr, elseE: Expr) extends Expr
   final case class BoundE(varName: String) extends Expr
   final case class StrStartsE(arg: Expr, prefix: Expr) extends Expr
+
+  // ---- operator / builtin surface (SPARQL 1.1 §17 expression grammar;
+  // the reference's own queries only need the constructs above, so these
+  // are the engine's read-side extension) -------------------------------
+  /** numeric literal; `lexical` keeps the written form (`42`, `-3.5`).
+    * Integer vs double decided by the presence of `.`/exponent. */
+  final case class NumLit(lexical: String) extends Expr {
+    def isDouble: Boolean = lexical.exists(c => c == '.' || c == 'e' || c == 'E')
+  }
+  final case class BoolLit(value: Boolean) extends Expr
+  /** op ∈ { = != < <= > >= }; numeric comparison when either side is
+    * statically numeric, lexical-value comparison otherwise. */
+  final case class CmpE(op: String, l: Expr, r: Expr) extends Expr
+  final case class AndE(l: Expr, r: Expr) extends Expr
+  final case class OrE(l: Expr, r: Expr) extends Expr
+  final case class NotE(e: Expr) extends Expr
+  /** `?x IN (e1, e2, ...)` / `?x NOT IN (...)` */
+  final case class InE(e: Expr, terms: Seq[Expr], negated: Boolean) extends Expr
+  /** op ∈ { + - * / }; evaluated as double arithmetic. */
+  final case class ArithE(op: String, l: Expr, r: Expr) extends Expr
+  /** XPath-regex match; flags subset: `i` (case-insensitive). */
+  final case class RegexE(arg: Expr, pattern: String, flags: String) extends Expr
+  final case class ContainsE(arg: Expr, sub: Expr) extends Expr
+  final case class StrEndsE(arg: Expr, suffix: Expr) extends Expr
+  /** STR(term) — the lexical form, for IRIs the IRI string. */
+  final case class StrE(arg: Expr) extends Expr
+  /** LANG(term) — language tag or "" (per spec, never null on literals). */
+  final case class LangE(arg: Expr) extends Expr
+  /** DATATYPE(term) — xsd:string for plain literals per RDF 1.1. */
+  final case class DatatypeE(arg: Expr) extends Expr
+  final case class StrLenE(arg: Expr) extends Expr
+  final case class IsIriE(arg: Expr) extends Expr
+  final case class IsLiteralE(arg: Expr) extends Expr
+  final case class IsBlankE(arg: Expr) extends Expr
 
   /** One SPARQL-update mapping task. */
   final case class MappingQuery(

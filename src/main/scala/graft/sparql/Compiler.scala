@@ -238,8 +238,31 @@ object Compiler {
     case StrLangE(a, lang) => litTerm(valueOf(a), nullStr, lit(lang))
     case IfE(c, t, f) =>
       when(compileBool(c), compileExpr(t)).otherwise(compileExpr(f))
-    case BoundE(_) | StrStartsE(_, _) =>
-      throw new IllegalArgumentException(s"boolean expr in term position: $e")
+    case NumLit(lex) =>
+      litTerm(lit(lex),
+        lit(if (e.asInstanceOf[NumLit].isDouble) Quad.xsd.double else Quad.xsd.integer),
+        nullStr)
+    case BoolLit(b) =>
+      litTerm(lit(if (b) "true" else "false"), lit(Quad.xsd.boolean), nullStr)
+    case ArithE(_, _, _) =>
+      // numeric result; lexical form via Spark's double→string cast
+      litTerm(numValueOf(e).cast("string"), lit(Quad.xsd.double), nullStr)
+    case StrE(a) => litTerm(valueOf(a), nullStr, nullStr)
+    case LangE(a) =>
+      litTerm(coalesce(compileExpr(a).getField("lg"), lit("")), nullStr, nullStr)
+    case DatatypeE(a) =>
+      val t = compileExpr(a)
+      // plain literal → xsd:string per RDF 1.1; IRIs/bnodes → unbound
+      litTerm(when(t.getField("k") === Quad.KindLiteral,
+        coalesce(t.getField("dt"), lit(Quad.xsd.string))), nullStr, nullStr)
+    case StrLenE(a) =>
+      litTerm(length(valueOf(a)).cast("string"), lit(Quad.xsd.integer), nullStr)
+    case BoundE(_) | StrStartsE(_, _) | CmpE(_, _, _) | AndE(_, _) | OrE(_, _) |
+         NotE(_) | InE(_, _, _) | RegexE(_, _, _) | ContainsE(_, _) |
+         StrEndsE(_, _) | IsIriE(_) | IsLiteralE(_) | IsBlankE(_) =>
+      // boolean expr used in term position (e.g. BIND(?a > ?b AS ?x))
+      litTerm(when(compileBool(e), lit("true")).otherwise(lit("false")),
+        lit(Quad.xsd.boolean), nullStr)
   }
 
   private def substring_index_after(s: Column, pos: Column, sep: String): Column =
