@@ -12,7 +12,7 @@ import graft.util.Tables
   * The eval set here is the deterministic slice `doc_id % 97 == 0` of
   * `documents` (a stand-in for an external benchmark table; the operator
   * takes any (doc_id, text) DataFrame). Shape: explode both sides to
-  * distinct 5-gram shingles, hash-join train shingles against the
+  * distinct 3-gram shingles, hash-join train shingles against the
   * BROADCAST eval shingle set, count matches per training doc. Eval
   * sets are tiny relative to a 100 TB corpus, so the broadcast removes
   * the corpus-side shuffle entirely — the scan + map-side semi-join is
@@ -32,7 +32,7 @@ object Contamination {
       .select(col("doc_id"), size(col("sh")).as("n_shingles"),
         explode(col("sh")).as("shingle"))
 
-  /** Training docs sharing >=1 5-gram with the eval set, with the
+  /** Training docs sharing >=1 3-gram with the eval set, with the
     * shared-shingle count and contaminated fraction of the doc. */
   def flagContaminated(train: DataFrame, eval: DataFrame): DataFrame = {
     val evalShingles = shingled(eval).select(col("shingle")).distinct()

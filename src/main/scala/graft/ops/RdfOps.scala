@@ -28,11 +28,15 @@ object RdfOps {
     * flatten+write would otherwise repeat identically per query. Queries
     * that MUTATE a store (mapping_scale, delete, mor) build their own. */
   private val eventStoreGraph = "https://data.example.org/graph/events_rdf"
+  // keyed by session UUID (not the SparkSession itself — that would pin
+  // the session for the process lifetime); store dirs are registered for
+  // JVM-exit deletion so repeated runs don't accumulate tmp data
   private val eventStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), GraphStore]
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), GraphStore]
   private def eventStore(s: SparkSession, d: String): GraphStore =
-    eventStoreCache.computeIfAbsent((s, d), { _ =>
+    eventStoreCache.computeIfAbsent((System.identityHashCode(s), d), { _ =>
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-evstore-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val store = new GraphStore(s, dir)
       val docs = Tables.events(s, d).select(to_json(struct(
         col("event_type"), col("user_id"), col("event_id"))).as("json"))
@@ -242,6 +246,46 @@ object RdfOps {
         ORDER BY ?c""")
     }),
 
+    // SPARQL 1.1 §17 expression surface end-to-end: the parser builds
+    // comparison / arithmetic / IN / NOT IN / REGEX / CONTAINS / STRLEN /
+    // term-check nodes and the compiler evaluates them with numeric
+    // promotion (lexical→double; type error = unbound = row dropped).
+    // Everything is map-side over one partition-pruned scan + one BGP
+    // self-join; the oracle recomputes relationally from `customer`.
+    // Output arithmetic sticks to integral doubles ("85.0") — fractional
+    // double→string formatting is engine-specific (see pitfalls), the
+    // fractional arithmetic is exercised inside the FILTER instead.
+    "rdf_sparql_filter_expr" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-fexpr-${System.nanoTime()}"
+      val g = "http://ex/custx"
+      val store = new graft.model.GraphStore(s, dir)
+      val cust = Tables.customer(s, d)
+      def custQuads(p: String, value: Column, dt: Column) = cust.select(
+        lit(g).as("graph"),
+        concat(lit("cust:"), col("c_custkey").cast("string")).as("s"),
+        lit(p).as("p"), value.cast("string").as("o_value"),
+        dt.as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      store.append(
+        custQuads("bal", col("c_acctbal"), lit(Quad.xsd.double))
+          .unionAll(custQuads("segment", col("c_mktsegment"),
+            lit(null).cast("string"))))
+      val engine = new graft.GraphEngine(store)
+      engine.select(s"""
+        SELECT ?c ?seg ?n
+        FROM <$g>
+        WHERE {
+          ?c <bal> ?bal ; <segment> ?seg .
+          FILTER (?bal * 2 - 100 > 1900 && ?bal <= 9000)
+          FILTER (?seg IN ('BUILDING', 'MACHINERY') || REGEX(?seg, '^auto', 'i'))
+          FILTER (?seg NOT IN ('FURNITURE') && CONTAINS(?seg, 'I'))
+          FILTER (STRLEN(?seg) >= 8 && ISIRI(?c) && !ISBLANK(?c) && ISLITERAL(?seg))
+          BIND (STRLEN(?seg) * 10 + 5 AS ?n)
+        }
+        ORDER BY ?c""")
+    }),
+
     // Backend parity: the SAME SPARQL delete scenario on the
     // merge-on-read store — DELETE lands as tombstone deltas (no
     // partition rewrite) yet the observable graph state, and so the
@@ -376,6 +420,20 @@ object RdfOps {
            SELECT DISTINCT CAST(user_id AS VARCHAR), 'p'
            FROM events WHERE event_type = 'purchase') t
          ORDER BY uid, kind""",
+    // integral-double lexical forms ("85.0") match across engines;
+    // the fractional arithmetic lives in the WHERE predicate only
+    "rdf_sparql_filter_expr" ->
+      """SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS c,
+           c_mktsegment AS seg,
+           CAST(length(c_mktsegment) * 10.0 + 5 AS VARCHAR) AS n
+         FROM customer
+         WHERE c_acctbal * 2 - 100 > 1900 AND c_acctbal <= 9000
+           AND (c_mktsegment IN ('BUILDING', 'MACHINERY')
+                OR regexp_matches(c_mktsegment, '^auto', 'i'))
+           AND c_mktsegment NOT IN ('FURNITURE')
+           AND contains(c_mktsegment, 'I')
+           AND length(c_mktsegment) >= 8
+         ORDER BY c""",
     "rdf_sparql_delete" ->
       """SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS s,
            n_name AS o_value

@@ -102,13 +102,40 @@ object Compiler {
   private def sharedVars(a: DataFrame, b: DataFrame): Seq[String] =
     a.columns.intersect(b.columns).toSeq
 
-  private def joinStep(acc: Option[DataFrame], next: DataFrame): DataFrame =
+  /** SPARQL-compatible join (§18.5): two solutions join when every shared
+    * variable is equal OR unbound on either side. Shared vars that are
+    * statically never-null on both sides (the overwhelmingly common case
+    * — pattern-bound vars) join as plain equi keys, keeping the hash
+    * join; only maybe-unbound vars (OPTIONAL / union-padded / BIND) get
+    * the null-tolerant disjunction, and the merged column takes the
+    * bound side (coalesce). */
+  private def compatJoin(a: DataFrame, aNullable: Set[String],
+      b: DataFrame, bNullable: Set[String], joinType: String): DataFrame = {
+    val shared = sharedVars(a, b)
+    if (shared.isEmpty) return a.crossJoin(b)
+    val soft = shared.filter(v => aNullable(v) || bNullable(v))
+    if (soft.isEmpty) return a.join(b, shared, joinType)
+    val hard = shared.filterNot(soft.contains)
+    val l = a.alias("_l"); val r = b.alias("_r")
+    val conds =
+      hard.map(v => col(s"_l.$v") === col(s"_r.$v")) ++
+      soft.map(v => col(s"_l.$v").isNull || col(s"_r.$v").isNull ||
+        col(s"_l.$v") === col(s"_r.$v"))
+    val joined = l.join(r, conds.reduce(_ && _), joinType)
+    val aOnly = a.columns.filterNot(shared.contains).toSeq
+    val bOnly = b.columns.filterNot(shared.contains).toSeq
+    joined.select(
+      hard.map(v => col(s"_l.$v").as(v)) ++
+      soft.map(v => coalesce(col(s"_l.$v"), col(s"_r.$v")).as(v)) ++
+      aOnly.map(v => col(s"_l.$v").as(v)) ++
+      bOnly.map(v => col(s"_r.$v").as(v)): _*)
+  }
+
+  private def joinStep(acc: Option[DataFrame], accNullable: Set[String],
+      next: DataFrame, nextNullable: Set[String]): DataFrame =
     acc match {
       case None => next
-      case Some(a) =>
-        val shared = sharedVars(a, next)
-        if (shared.isEmpty) a.crossJoin(next)
-        else a.join(next, shared, "inner")
+      case Some(a) => compatJoin(a, accNullable, next, nextNullable, "inner")
     }
 
   // ------------------------------------------------------------- groups
@@ -117,31 +144,43 @@ object Compiler {
     * far (None = start of a fresh group). Consecutive triple patterns are
     * batched and greedily reordered before joining. */
   private[sparql] def compileGroup(
-      quads: DataFrame, group: Group, outer: Option[DataFrame]): DataFrame = {
+      quads: DataFrame, group: Group, outer: Option[DataFrame]): DataFrame =
+    compileGroupTracked(quads, group, outer.map((_, Set.empty[String])))._1
 
-    def joinPatternBatch(acc: Option[DataFrame], batch: Seq[TriplePattern]): Option[DataFrame] = {
-      if (batch.isEmpty) return acc
-      var remaining = batch.sortBy(rank).toBuffer
-      var current = acc
+  /** compileGroup + static per-variable nullability: the returned set
+    * holds every variable that MAY be unbound (null) in some row —
+    * introduced under OPTIONAL, missing from a UNION branch, or computed
+    * by BIND. Joins consult it so that only those vars pay for SPARQL's
+    * null-tolerant compatible-join; everything else stays an equi key. */
+  private def compileGroupTracked(
+      quads: DataFrame, group: Group,
+      outer: Option[(DataFrame, Set[String])]): (DataFrame, Set[String]) = {
+
+    var acc: Option[DataFrame] = outer.map(_._1)
+    var nullable: Set[String] = outer.map(_._2).getOrElse(Set.empty)
+
+    def joinPatternBatch(batch: Seq[TriplePattern]): Unit = {
+      if (batch.isEmpty) return
+      val remaining = batch.sortBy(rank).toBuffer
       while (remaining.nonEmpty) {
         val boundVars: Set[String] =
-          current.map(_.columns.toSet).getOrElse(Set.empty)
+          acc.map(_.columns.toSet).getOrElse(Set.empty)
         // prefer a connected pattern; among connected, most selective
         val idx = remaining.indexWhere(tp => tp.vars.exists(boundVars)) match {
-          case -1 if current.isEmpty => 0
+          case -1 if acc.isEmpty => 0
           case -1 => 0 // disconnected → crossJoin (explicit, SURVEY §7.4.6)
           case j => j
         }
         val tp = remaining.remove(idx)
-        current = Some(joinStep(current, compilePattern(quads, tp)))
+        acc = Some(joinStep(acc, nullable, compilePattern(quads, tp), Set.empty))
+        // an (inner) join against a pattern leaves its vars bound
+        nullable --= tp.vars
       }
-      current
     }
 
-    var acc: Option[DataFrame] = outer
     var patternBatch = Vector.empty[TriplePattern]
     def flush(): Unit = {
-      acc = joinPatternBatch(acc, patternBatch)
+      joinPatternBatch(patternBatch)
       patternBatch = Vector.empty
     }
 
@@ -149,45 +188,76 @@ object Compiler {
       case Pat(tp) => patternBatch :+= tp
       case Opt(inner) =>
         flush()
-        val innerDf = compileGroup(quads, inner, None)
-        acc = Some(acc match {
-          case None => innerDf // OPTIONAL with empty base — degenerate
+        val (innerDf, innerNullable) = compileGroupTracked(quads, inner, None)
+        acc match {
+          case None => // OPTIONAL with empty base — degenerate
+            acc = Some(innerDf); nullable ++= innerNullable
           case Some(a) =>
-            val shared = sharedVars(a, innerDf)
-            if (shared.isEmpty) a.crossJoin(innerDf) // unlikely; keeps semantics
-            else a.join(innerDf, shared, "left_outer")
-        })
+            val newVars = innerDf.columns.toSet -- a.columns.toSet
+            acc = Some(compatJoin(a, nullable, innerDf, innerNullable, "left_outer"))
+            nullable ++= newVars // unmatched base rows leave them unbound
+        }
       case Bind(e, as) =>
         flush()
         acc = Some(acc.getOrElse(unitRow(quads)).withColumn(as, compileExpr(e)))
+        nullable += as // expression errors surface as unbound
       case FilterE(e) =>
         flush()
         acc = Some(acc.getOrElse(unitRow(quads)).where(compileBool(e)))
       case UnionE(branches) =>
         flush()
-        val dfs = branches.map(b => compileGroup(quads, b, None))
+        val compiled = branches.map(b => compileGroupTracked(quads, b, None))
         // align branch schemas: a variable bound in one branch only is
         // unbound (null term) in rows from the others
-        val allVars = dfs.flatMap(_.columns).distinct
+        val allVars = compiled.flatMap(_._1.columns).distinct
         val nullTerm = lit(null)
           .cast("struct<v:string,k:string,dt:string,lg:string>")
-        val unioned = dfs.map { df =>
+        val unioned = compiled.map { case (df, _) =>
           val have = df.columns.toSet
           df.select(allVars.map(v =>
             (if (have(v)) col(v) else nullTerm).as(v)): _*)
         }.reduce(_ unionAll _)
-        acc = Some(joinStep(acc, unioned))
+        val unionNullable = allVars.filterNot(v =>
+          compiled.forall { case (df, ns) => df.columns.contains(v) && !ns(v) }).toSet
+        acc match {
+          case None =>
+            acc = Some(unioned); nullable ++= unionNullable
+          case Some(a) =>
+            val nonNullLeft = a.columns.toSet -- nullable
+            val nonNullRight = unioned.columns.toSet -- unionNullable
+            acc = Some(compatJoin(a, nullable, unioned, unionNullable, "inner"))
+            // after the inner compat join a shared var is bound whenever
+            // EITHER side binds it (coalesce)
+            nullable = (nullable ++ unionNullable) -- nonNullLeft -- nonNullRight
+        }
       case MinusE(inner) =>
         flush()
-        val innerDf = compileGroup(quads, inner, None)
+        val (innerDf, _) = compileGroupTracked(quads, inner, None)
         acc = Some(acc match {
           case None => unitRow(quads) // MINUS with empty base — degenerate
           case Some(a) =>
             val shared = sharedVars(a, innerDf)
             // SPARQL MINUS: disjoint domains remove nothing
             if (shared.isEmpty) a
-            else a.join(innerDf.select(shared.map(col): _*)
-              .dropDuplicates(), shared, "left_anti")
+            else if (shared.forall(v => !nullable(v)))
+              a.join(innerDf.select(shared.map(col): _*)
+                .dropDuplicates(), shared, "left_anti")
+            else {
+              // maybe-unbound shared vars: remove a row iff some inner
+              // row is compatible on every shared var AND the bound
+              // domains actually overlap (§18.5 Minus)
+              val l = a.alias("_l")
+              val r = innerDf.select(shared.map(col): _*)
+                .dropDuplicates().alias("_r")
+              val compat = shared.map(v =>
+                col(s"_l.$v").isNull || col(s"_r.$v").isNull ||
+                  col(s"_l.$v") === col(s"_r.$v")).reduce(_ && _)
+              val overlaps = shared.map(v =>
+                col(s"_l.$v").isNotNull && col(s"_r.$v").isNotNull)
+                .reduce(_ || _)
+              l.join(r, compat && overlaps, "left_anti")
+                .select(a.columns.toSeq.map(v => col(s"_l.$v").as(v)): _*)
+            }
         })
       case ValuesE(v, terms) =>
         flush()
@@ -198,10 +268,11 @@ object Compiler {
               Option(lang).map(lit).getOrElse(nullStr)).as(v))
           case V(_) => throw new IllegalArgumentException("VALUES needs ground terms")
         }.reduce(_ unionAll _)
-        acc = Some(joinStep(acc, rows))
+        acc = Some(joinStep(acc, nullable, rows, Set.empty))
+        nullable -= v
     }
     flush()
-    acc.getOrElse(unitRow(quads))
+    (acc.getOrElse(unitRow(quads)), nullable)
   }
 
   /** one row, ZERO columns — a leading BIND starts from this, so no
@@ -268,13 +339,84 @@ object Compiler {
   private def substring_index_after(s: Column, pos: Column, sep: String): Column =
     s.substr(pos + lit(sep.length), length(s))
 
-  /** Boolean-valued expressions (filters / IF conditions). */
+  /** Boolean-valued expressions (filters / IF conditions). Every boolean
+    * Algebra node terminates here — no fall-through back to compileExpr
+    * for these shapes, so the two functions cannot mutually recurse. */
   private[sparql] def compileBool(e: Expr): Column = e match {
     case BoundE(v) => col(v).isNotNull
+    case BoolLit(b) => lit(b)
     case StrStartsE(a, p) => valueOf(a).startsWith(valueOf(p))
+    case StrEndsE(a, s) => valueOf(a).endsWith(valueOf(s))
+    case ContainsE(a, s) => valueOf(a).contains(valueOf(s))
+    case RegexE(a, pattern, flags) =>
+      // XPath flag subset: `i` → Java embedded case-insensitivity
+      val p = if (flags != null && flags.contains("i")) "(?i)" + pattern else pattern
+      valueOf(a).rlike(p)
+    case AndE(l, r) => compileBool(l) && compileBool(r)
+    case OrE(l, r) => compileBool(l) || compileBool(r)
+    case NotE(x) => !compileBool(x)
+    case CmpE(op, l, r) => compileCmp(op, l, r)
+    case InE(x, terms, negated) =>
+      // SPARQL §17.4.1.9: IN == chained `=`; same numeric-vs-lexical
+      // promotion per member as a standalone comparison
+      val any = terms.map(t => compileCmp("=", x, t)).reduce(_ || _)
+      if (negated) !any else any
+    case IsIriE(a) => compileExpr(a).getField("k") === Quad.KindIri
+    case IsLiteralE(a) => compileExpr(a).getField("k") === Quad.KindLiteral
+    case IsBlankE(a) => compileExpr(a).getField("k") === Quad.KindBnode
+    case IfE(c, t, f) =>
+      when(compileBool(c), compileBool(t)).otherwise(compileBool(f))
     case other =>
-      // truthy literal — not used by the reference subset
+      // truthy literal — effective boolean value of a term expression
       valueOf(other) === lit("true")
+  }
+
+  /** Comparison with SPARQL §17.3 operator promotion: numeric comparison
+    * when either side is statically numeric (a variable's lexical form is
+    * then cast to double — non-numeric lexical forms become null, i.e.
+    * type-error-as-unbound, which drops the row in a FILTER); plain
+    * lexical comparison otherwise. */
+  private def compileCmp(op: String, l: Expr, r: Expr): Column = {
+    val (a, b) =
+      if (isNumericExpr(l) || isNumericExpr(r)) (numValueOf(l), numValueOf(r))
+      else (valueOf(l), valueOf(r))
+    op match {
+      case "=" => a === b
+      case "!=" => a =!= b
+      case "<" => a < b
+      case "<=" => a <= b
+      case ">" => a > b
+      case ">=" => a >= b
+      case other => throw new IllegalArgumentException(s"comparison op $other")
+    }
+  }
+
+  private def isNumericExpr(e: Expr): Boolean = e match {
+    case NumLit(_) | ArithE(_, _, _) | StrLenE(_) => true
+    case TypedLit(_, dt) => dt == Quad.xsd.integer || dt == Quad.xsd.double
+    case IfE(_, t, f) => isNumericExpr(t) && isNumericExpr(f)
+    case _ => false
+  }
+
+  /** Numeric value of an expression: its lexical form try_cast to double
+    * — null for non-numeric forms, i.e. SPARQL type error → unbound
+    * (a plain cast would THROW under Spark's ANSI mode). ArithE recurses
+    * directly so nested arithmetic stays in the double domain instead of
+    * round-tripping through a string literal. */
+  private[sparql] def numValueOf(e: Expr): Column = e match {
+    case NumLit(lex) => lit(lex.toDouble)
+    case StrLenE(a) => length(valueOf(a)).cast("double")
+    case ArithE(op, l, r) =>
+      val (a, b) = (numValueOf(l), numValueOf(r))
+      op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        // ANSI mode raises DIVIDE_BY_ZERO; SPARQL wants type error → unbound
+        case "/" => when(b =!= 0.0, a / b)
+        case other => throw new IllegalArgumentException(s"arithmetic op $other")
+      }
+    case other => valueOf(other).try_cast("double")
   }
 
   /** Lexical value of an expression (the `v` field of its term). */

@@ -248,9 +248,9 @@ object SparqlParser {
           elems += Bind(e, v)
           tryEat('.')
         } else if (keyword("FILTER")) {
-          // FILTER (expr) — brackettedExpression — or FILTER builtInCall
-          val e = if (tryEat('(')) { val x = expr(); eat(')'); x } else expr()
-          elems += FilterE(e)
+          // FILTER Constraint — brackettedExpression or builtInCall; both
+          // are primary() productions now, so one expr() call covers them
+          elems += FilterE(expr())
           tryEat('.')
         } else if (keyword("MINUS")) {
           elems += MinusE(group())
@@ -287,11 +287,104 @@ object SparqlParser {
       Group(elems.toSeq)
     }
 
-    // ---------------- expressions ----------------
+    // ------- expressions (SPARQL 1.1 §17 grammar, precedence-climbing) --
+
+    /** Expression := ConditionalOrExpression */
     private def expr(): Expr = {
+      var e = andExpr()
+      while ({ ws(); peek == '|' && pos + 1 < input.length && input(pos + 1) == '|' }) {
+        pos += 2; e = OrE(e, andExpr())
+      }
+      e
+    }
+
+    private def andExpr(): Expr = {
+      var e = relExpr()
+      while ({ ws(); peek == '&' && pos + 1 < input.length && input(pos + 1) == '&' }) {
+        pos += 2; e = AndE(e, relExpr())
+      }
+      e
+    }
+
+    /** RelationalExpression: at most one comparison / IN / NOT IN. */
+    private def relExpr(): Expr = {
+      val l = addExpr()
+      ws()
+      val save = pos
+      if (keyword("NOT")) {
+        if (keyword("IN")) return InE(l, argList(), negated = true)
+        pos = save // NOT here belongs to something else (shouldn't happen)
+      } else if (keyword("IN")) return InE(l, argList(), negated = false)
+      val op = peek match {
+        case '=' => pos += 1; "="
+        case '!' if pos + 1 < input.length && input(pos + 1) == '=' => pos += 2; "!="
+        case '<' => pos += 1; if (peek == '=') { pos += 1; "<=" } else "<"
+        case '>' => pos += 1; if (peek == '=') { pos += 1; ">=" } else ">"
+        case _ => null
+      }
+      if (op == null) l else CmpE(op, l, addExpr())
+    }
+
+    private def addExpr(): Expr = {
+      var e = mulExpr()
+      var more = true
+      while (more) {
+        ws()
+        if (peek == '+') { pos += 1; e = ArithE("+", e, mulExpr()) }
+        else if (peek == '-') { pos += 1; e = ArithE("-", e, mulExpr()) }
+        else more = false
+      }
+      e
+    }
+
+    private def mulExpr(): Expr = {
+      var e = unaryExpr()
+      var more = true
+      while (more) {
+        ws()
+        if (peek == '*') { pos += 1; e = ArithE("*", e, unaryExpr()) }
+        else if (peek == '/') { pos += 1; e = ArithE("/", e, unaryExpr()) }
+        else more = false
+      }
+      e
+    }
+
+    private def unaryExpr(): Expr = {
+      ws()
+      if (peek == '!' && !(pos + 1 < input.length && input(pos + 1) == '=')) {
+        pos += 1; NotE(unaryExpr())
+      } else if (peek == '-' && pos + 1 < input.length && input(pos + 1).isDigit) {
+        pos += 1; NumLit("-" + numericLexical()) // negative numeric literal
+      } else if (peek == '-') {
+        pos += 1; ArithE("-", NumLit("0"), unaryExpr())
+      } else if (peek == '+' && !(pos + 1 < input.length && input(pos + 1).isWhitespace)) {
+        pos += 1; unaryExpr()
+      } else primary()
+    }
+
+    private def numericLexical(): String = {
+      val start = pos
+      while (pos < input.length && input(pos).isDigit) pos += 1
+      if (peek == '.' && pos + 1 < input.length && input(pos + 1).isDigit) {
+        pos += 1
+        while (pos < input.length && input(pos).isDigit) pos += 1
+      }
+      if ((peek == 'e' || peek == 'E') && pos + 1 < input.length &&
+          (input(pos + 1).isDigit || input(pos + 1) == '-' || input(pos + 1) == '+')) {
+        pos += 2
+        while (pos < input.length && input(pos).isDigit) pos += 1
+      }
+      input.substring(start, pos)
+    }
+
+    /** PrimaryExpression: brackets, var, literal, IRI constant, builtin. */
+    private def primary(): Expr = {
       ws()
       peek match {
+        case '(' => pos += 1; val e = expr(); eat(')'); e
         case '?' | '$' => VarRef(varName())
+        case '<' => UriE(StrLit(iriRef())) // IRI constant in expr position
+        case c if c.isDigit => NumLit(numericLexical())
         case '"' | '\'' =>
           literalNode() match {
             case L(v, null, null) => StrLit(v)
@@ -302,8 +395,28 @@ object SparqlParser {
           val start = pos
           while (pos < input.length &&
             (input(pos).isLetterOrDigit || input(pos) == '_')) pos += 1
+          if (peek == ':') { // prefixed-name IRI constant (e.g. xsd:integer)
+            pos = start
+            return UriE(StrLit(prefixedName()))
+          }
           val fn = input.substring(start, pos).toUpperCase
           fn match {
+            case "TRUE" => BoolLit(true)
+            case "FALSE" => BoolLit(false)
+            case "REGEX" => argList() match {
+              case Seq(a, StrLit(p)) => RegexE(a, p, "")
+              case Seq(a, StrLit(p), StrLit(f)) => RegexE(a, p, f)
+              case _ => fail("REGEX(expr, 'pat'[, 'flags']) expected")
+            }
+            case "CONTAINS" => argList() match { case Seq(a, b) => ContainsE(a, b) }
+            case "STRENDS" => argList() match { case Seq(a, b) => StrEndsE(a, b) }
+            case "STR" => argList() match { case Seq(a) => StrE(a) }
+            case "LANG" => argList() match { case Seq(a) => LangE(a) }
+            case "DATATYPE" => argList() match { case Seq(a) => DatatypeE(a) }
+            case "STRLEN" => argList() match { case Seq(a) => StrLenE(a) }
+            case "ISIRI" | "ISURI" => argList() match { case Seq(a) => IsIriE(a) }
+            case "ISLITERAL" => argList() match { case Seq(a) => IsLiteralE(a) }
+            case "ISBLANK" => argList() match { case Seq(a) => IsBlankE(a) }
             case "CONCAT" => ConcatE(argList())
             case "URI" | "IRI" => argList() match { case Seq(a) => UriE(a) }
             case "MD5" => argList() match { case Seq(a) => Md5E(a) }

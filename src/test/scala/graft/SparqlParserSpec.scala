@@ -317,4 +317,74 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(star.columns.toSeq == Seq("s", "sc"))
     assert(star.collect().head.getString(1) == "10")
   }
+
+  test("§17 expression grammar: precedence, IN, REGEX, arithmetic") {
+    import Algebra._
+    def filterOf(text: String): Expr = {
+      val q = SparqlParser.parseSelect(
+        s"SELECT ?x WHERE { ?x <p> ?y . FILTER ($text) }")
+      q.where.elems.collectFirst { case FilterE(e) => e }.get
+    }
+    // || binds looser than &&, comparisons looser than + and *
+    assert(filterOf("?a > 5 && ?b < 3 || ?c = 'x'") ==
+      OrE(AndE(CmpE(">", VarRef("a"), NumLit("5")),
+               CmpE("<", VarRef("b"), NumLit("3"))),
+          CmpE("=", VarRef("c"), StrLit("x"))))
+    assert(filterOf("?a + 2 * ?b >= 10") ==
+      CmpE(">=", ArithE("+", VarRef("a"), ArithE("*", NumLit("2"), VarRef("b"))),
+        NumLit("10")))
+    // brackets override precedence; unary ! and negative literals
+    assert(filterOf("(?a + 2) * 3 != -1.5") ==
+      CmpE("!=", ArithE("*", ArithE("+", VarRef("a"), NumLit("2")), NumLit("3")),
+        NumLit("-1.5")))
+    assert(filterOf("!BOUND(?a) || !(?b = 1)") ==
+      OrE(NotE(BoundE("a")), NotE(CmpE("=", VarRef("b"), NumLit("1")))))
+    assert(filterOf("?s IN ('a', 'b') && ?t NOT IN (1, 2)") ==
+      AndE(InE(VarRef("s"), Seq(StrLit("a"), StrLit("b")), negated = false),
+           InE(VarRef("t"), Seq(NumLit("1"), NumLit("2")), negated = true)))
+    assert(filterOf("REGEX(?n, '^A', 'i') && CONTAINS(?n, 'x') && STRENDS(?n, 'z')") ==
+      AndE(AndE(RegexE(VarRef("n"), "^A", "i"), ContainsE(VarRef("n"), StrLit("x"))),
+           StrEndsE(VarRef("n"), StrLit("z"))))
+    assert(filterOf("ISIRI(?x) && ISLITERAL(?y) && !ISBLANK(?z)") ==
+      AndE(AndE(IsIriE(VarRef("x")), IsLiteralE(VarRef("y"))),
+           NotE(IsBlankE(VarRef("z")))))
+    // IRI constants (angle-bracket and prefixed) in expression position
+    val dtq = SparqlParser.parseSelect("""
+      PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+      SELECT ?x WHERE { ?x <p> ?y . FILTER (DATATYPE(?y) = xsd:integer) }""")
+    assert(dtq.where.elems.collectFirst { case FilterE(e) => e }.get ==
+      CmpE("=", DatatypeE(VarRef("y")),
+        UriE(StrLit("http://www.w3.org/2001/XMLSchema#integer"))))
+    assert(filterOf("STRLEN(STR(?x)) + LANG(?y) = 3") ==
+      CmpE("=", ArithE("+", StrLenE(StrE(VarRef("x"))), LangE(VarRef("y"))),
+        NumLit("3")))
+  }
+
+  test("numeric FILTER + arithmetic BIND evaluate over the store") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("fexpr").toString + "/quads")
+    val engine = new GraphEngine(st)
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/src> {
+        ex:a ex:score "10"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        ex:b ex:score "7"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        ex:c ex:score "oops" . } }""")
+    // numeric promotion: ?sc cast to double; "oops" → null → dropped
+    val rows = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?s ?d FROM <http://ex/src>
+      WHERE { ?s ex:score ?sc .
+              FILTER (?sc * 2 > 15 && ?sc IN (7, 10, 99))
+              BIND (?sc * 10 - 1 AS ?d) } ORDER BY ?s""").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("http://ex/a", "99.0")))
+    // NOT IN keeps the non-numeric row out too (type error = unbound)
+    val notIn = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?s FROM <http://ex/src>
+      WHERE { ?s ex:score ?sc . FILTER (?sc NOT IN (10)) } ORDER BY ?s""")
+      .collect().map(_.getString(0))
+    assert(notIn.toSeq == Seq("http://ex/b"))
+  }
 }
