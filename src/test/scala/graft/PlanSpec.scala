@@ -108,6 +108,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
   }
 
+  test("embed_neardup: banded equi-join candidates, no all-pairs NLJ") {
+    val df = SparkEntry.queries("embed_neardup")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p.take(900))
+    // the vector join-back may broadcast-HASH (equi); what must never
+    // appear is a nested-loop pair scan over the full base
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(900))
+  }
+
   test("flatten streams: no collect-driven stages in the quad pipeline") {
     import spark.implicits._
     val df = Seq("""{"a":1}""").toDF("json")
