@@ -90,11 +90,42 @@ object Dedup {
       .withColumn("jac", col("inter") / (col("ni") + col("nj") - col("inter")))
   }
 
-  /** All pairs sharing >= 1 shingle, with intersection sizes. */
-  private def shinglePairs(ex: DataFrame): DataFrame = {
-    val a = ex.select(col("doc_id").as("i"), col("hs"))
-    val b = ex.select(col("doc_id").as("j"), col("hs"))
-    a.join(b, a("hs") === b("hs") && col("i") < col("j"))
+  /** Document-frequency cap for CANDIDATE generation: a shingle shared
+    * by k documents contributes C(k,2) rows to the self-join bucket, so
+    * one boilerplate shingle (a license header, a template sentence)
+    * with df=10⁶ would put 5·10¹¹ rows in a single reducer. Shingles
+    * with df above the cap are excluded from candidate generation —
+    * but still counted in the exact-intersection verify, so Jaccard
+    * values stay exact. Pairs whose ONLY shared shingles are above-cap
+    * boilerplate are (deliberately) not candidates; at 0.8 Jaccard a
+    * real near-dup pair shares many shingles, and a cap this high only
+    * ever drops corpus-wide boilerplate. Test-data max df is 25 at
+    * sf0.1, so the cap is semantics-neutral for every oracle run;
+    * `SkewAndFingerprintSpec` pins the capped behavior explicitly. */
+  private[ops] val ShingleDfCap = 1000
+
+  /** Near-dup pairs sharing >= 1 below-cap shingle, with EXACT
+    * intersection sizes (counted over all shingles, capped and not). */
+  private def shinglePairs(ex: DataFrame): DataFrame =
+    shinglePairsCapped(ex, ShingleDfCap)
+
+  private[graft] def shinglePairsCapped(ex: DataFrame, cap: Int): DataFrame = {
+    val hot = ex.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .select(col("hs"))
+    // candidates from rare shingles only: bucket size is capped, so the
+    // per-key join fan-out is bounded by C(cap, 2) no matter the corpus
+    val rare = ex.join(hot, Seq("hs"), "left_anti")
+    val a = rare.select(col("doc_id").as("i"), col("hs"))
+    val b = rare.select(col("doc_id").as("j"), col("hs"))
+    val cand = a.join(b, a("hs") === b("hs") && col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+    // exact intersection for surviving candidates — over ALL shingles,
+    // so the capped ones still count toward the Jaccard numerator
+    val exI = ex.select(col("doc_id").as("i"), col("hs"))
+    val exJ = ex.select(col("doc_id").as("j"), col("hs"))
+    cand
+      .join(exI, "i").join(exJ, Seq("j", "hs"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
   }
 

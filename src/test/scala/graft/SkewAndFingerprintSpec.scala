@@ -23,6 +23,31 @@ class SkewSpec extends AnyFunSuite {
   }
 }
 
+class ShingleDfCapSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("hot shingles are capped out of candidates but still count in inter") {
+    import spark.implicits._
+    // 40 docs all share boilerplate shingle B (df=40 > cap=10);
+    // docs 1 and 2 additionally share rare shingles r1..r3
+    val boiler = (1L to 40L).map(id => (id, "B"))
+    val rare = Seq((1L, "r1"), (1L, "r2"), (1L, "r3"),
+      (2L, "r1"), (2L, "r2"), (2L, "r3"))
+    val ex = (boiler ++ rare).toDF("doc_id", "shingle")
+      .select(col("doc_id"), xxhash64(col("shingle")).as("hs"))
+    val pairs = graft.ops.Dedup.shinglePairsCapped(ex, cap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // boilerplate-only pairs (C(40,2) = 780 of them) never materialize…
+    assert(pairs.length == 1)
+    // …but the surviving candidate's intersection still counts B
+    assert(pairs.head == ((1L, 2L, 4L)))
+    // and with the cap above every df, the same input yields the full
+    // uncapped pair set (the oracle-parity configuration)
+    val uncapped = graft.ops.Dedup.shinglePairsCapped(ex, cap = 1000)
+    assert(uncapped.count() == 780)
+  }
+}
+
 class RollingFingerprintSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
