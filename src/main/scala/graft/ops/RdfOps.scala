@@ -126,6 +126,23 @@ object RdfOps {
         .orderBy(col("s"), col("p"))
     }),
 
+    // S4b: Turtle file source — a fixture document written to a temp
+    // file and read back through the document-scoped parser. Bnode
+    // labels are normalized (per-document content-hash tag stripped) so
+    // the output is fully deterministic and the oracle CONSTRUCTS the
+    // expected graph in SQL VALUES.
+    "rdf_turtle_source" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ttl")
+      java.nio.file.Files.writeString(dir.resolve("org.ttl"), turtleFixture)
+      graft.rdf.Turtle.read(s, dir.toString, "http://g/ttl").toDF()
+        .select(
+          regexp_replace(col("s"), "_:t[0-9a-f]+_", "_:").as("s"),
+          col("p"),
+          regexp_replace(col("o_value"), "_:t[0-9a-f]+_", "_:").as("o_value"),
+          col("o_type"), col("o_lang"), col("o_kind"))
+        .orderBy(col("s"), col("p"), col("o_value"))
+    }),
+
     // S7: SPARQL-update text front end — INSERT DATA, INSERT..WHERE with
     // bnode paths + BIND, CLEAR, executed by GraphEngine from raw text
     "rdf_sparql_update" -> ((s, _) => {
@@ -361,7 +378,47 @@ object RdfOps {
         .orderBy(col("graph"))
     }))
 
+  private val turtleFixture = """
+    |@prefix ex: <http://ex/> .
+    |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    |@base <http://base/> .
+    |
+    |ex:alpha a ex:Org ;
+    |    ex:name "Alpha Corp"@en ;
+    |    ex:founded "2001-05-04"^^xsd:date ;
+    |    ex:employees 42 ;
+    |    ex:score 4.5 ;
+    |    ex:active true ;
+    |    ex:contact [ ex:email "a@example.org" ; ex:phone "123" ] .
+    |
+    |<rel> ex:name "Relative" .
+    |_:m ex:memberOf ex:alpha .
+    |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "rdf_turtle_source" ->
+      """SELECT * FROM (VALUES
+           (CAST('_:1' AS VARCHAR), CAST('http://ex/email' AS VARCHAR),
+            CAST('a@example.org' AS VARCHAR), CAST(NULL AS VARCHAR),
+            CAST(NULL AS VARCHAR), CAST('literal' AS VARCHAR)),
+           ('_:1', 'http://ex/phone', '123', NULL, NULL, 'literal'),
+           ('_:m', 'http://ex/memberOf', 'http://ex/alpha', NULL, NULL, 'iri'),
+           ('http://base/rel', 'http://ex/name', 'Relative', NULL, NULL, 'literal'),
+           ('http://ex/alpha',
+            'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+            'http://ex/Org', NULL, NULL, 'iri'),
+           ('http://ex/alpha', 'http://ex/active', 'true',
+            'http://www.w3.org/2001/XMLSchema#boolean', NULL, 'literal'),
+           ('http://ex/alpha', 'http://ex/contact', '_:1', NULL, NULL, 'bnode'),
+           ('http://ex/alpha', 'http://ex/employees', '42',
+            'http://www.w3.org/2001/XMLSchema#integer', NULL, 'literal'),
+           ('http://ex/alpha', 'http://ex/founded', '2001-05-04',
+            'http://www.w3.org/2001/XMLSchema#date', NULL, 'literal'),
+           ('http://ex/alpha', 'http://ex/name', 'Alpha Corp', NULL, 'en', 'literal'),
+           ('http://ex/alpha', 'http://ex/score', '4.5',
+            'http://www.w3.org/2001/XMLSchema#decimal', NULL, 'literal')
+         ) t(s, p, o_value, o_type, o_lang, o_kind)
+         ORDER BY s, p, o_value""",
     "rdf_mapping_scale" ->
       """SELECT DISTINCT
            'http://ex/user_activity' AS graph,

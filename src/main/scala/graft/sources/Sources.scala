@@ -86,6 +86,13 @@ object Sources {
     spark.read.text(path).select(col("value").as("json"))
       .where(length(trim(col("json"))) > 0)
 
+  /** S4b: Turtle file → quads — the `Graph().parse(file)` equivalent
+    * for .ttl input (see [[graft.rdf.Turtle]] for the supported subset
+    * and the document-scoped-parse scale note). */
+  def turtleFileToQuads(
+      spark: SparkSession, path: String, graph: String): Dataset[graft.model.Quad] =
+    graft.rdf.Turtle.read(spark, path, graph)
+
   /** S3 composed with T1: JSON file → quads. */
   def jsonFileToQuads(
       spark: SparkSession,
