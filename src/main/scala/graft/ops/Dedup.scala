@@ -200,11 +200,13 @@ object Dedup {
       // the token-vote aggregation runs once (doc_id+64-bit fp is tiny)
       val fp = simhash(Tables.documents(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // band on 4x16-bit chunks: near-dups (small hamming distance) agree
-      // on >=1 chunk with high probability
+      // band on 8x8-bit chunks: by pigeonhole, any pair within hamming
+      // distance 7 leaves >=1 chunk untouched, so candidate generation
+      // is LOSSLESS for the <=6 output threshold (recall misses can
+      // only come from the simhash signal itself, not the banding)
       val chunks = fp.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(c =>
-          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+        posexplode(array((0 until 8).map(c =>
+          shiftrightunsigned(col("simhash"), c * 8).bitwiseAND(lit(0xffL))): _*))
           .as(Seq("chunk", "chunkVal")))
       val a = chunks.select(col("doc_id").as("i"), col("simhash").as("fi"),
         col("chunk"), col("chunkVal"))
@@ -216,6 +218,22 @@ object Dedup {
         .distinct()
         .filter(col("hamming") <= 6)
         .orderBy(col("i"), col("j"))
+    }),
+
+    // ---- driver-visible recall audit: simhash is a sketch with no
+    // SQL-expressible oracle (xxhash64 fingerprints), so its own row is
+    // rows-only; this twin measures its candidate recall against the
+    // EXACT >=0.8-Jaccard pair set — whose count the DuckDB oracle
+    // recomputes independently — and bounds it (>=0.9, same floor the
+    // unit spec pins). Deterministic: fixed hashes, fixed data.
+    "dedup_simhash_recall" -> ((s, d) => {
+      val exact = neardupPairs(s, d).select(col("i"), col("j"))
+      val sim = queries("dedup_simhash")(s, d).select(col("i"), col("j"))
+      val hits = exact.join(sim, Seq("i", "j"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"),
+          (col("n_hit") >= col("n_exact") * 0.9).cast("int").as("recall_ok"))
     }),
 
     // ---- connected components over the near-dup pair graph: the step
@@ -340,5 +358,11 @@ object Dedup {
     // MinHash+LSH must find exactly the >=0.8 pairs (verify step makes
     // precision exact; band parameters make recall ~1 at this threshold)
     "dedup_minhash_lsh" -> pairsOracle,
-    "dedup_clusters" -> clustersOracle)
+    "dedup_clusters" -> clustersOracle,
+    // the exact-pair COUNT comes from SQL; the recall bound is the
+    // deterministic sketch property the audit asserts
+    "dedup_simhash_recall" ->
+      s"""WITH $pairsCtes
+          SELECT CAST(count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
+          FROM pairs""")
 }

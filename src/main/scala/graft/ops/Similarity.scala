@@ -174,6 +174,16 @@ object Similarity {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // ---- driver-visible recall audits: the two bucketed ANN variants
+    // are sketches with no SQL-expressible oracle, so their CORRECTNESS
+    // row was rows-only. These twins compute recall against the
+    // brute-force exact top-k INSIDE the query and emit a one-row
+    // summary the oracle CAN bound: n_exact is 5 × the query-point
+    // count (pure SQL), recall_ok asserts the deterministic (fixed
+    // planes / fixed centroids) recall stays above the pinned floor.
+    "ann_lsh_recall" -> ((s, d) => annRecall(s, d, "ann_lsh_bucketed", 0.3)),
+    "ann_ivf_recall" -> ((s, d) => annRecall(s, d, "ann_ivf_bucketed", 0.3)),
+
     // ---- int8 symmetric quantization of the embedding column (the
     // 4x storage/bandwidth shrink an ANN index at 100 TB runs on):
     // per-vector scale = max|x| / 127, elementwise floor(x/scale + 0.5).
@@ -192,6 +202,22 @@ object Similarity {
           size(col("v")).as("dim"))
         .orderBy(col("vec_id"))
     }))
+
+  /** Recall of an approximate ANN variant vs the brute-force exact
+    * top-k, as a one-row (n_exact, recall_ok) summary. Runs BOTH
+    * pipelines — an audit query costs two ANN queries by design. */
+  private def annRecall(s: SparkSession, d: String,
+      approxName: String, floor: Double): DataFrame = {
+    val exact = queries("ann_bruteforce_topk")(s, d)
+      .select(col("query_id"), col("neighbor"))
+    val approx = queries(approxName)(s, d)
+      .select(col("query_id"), col("neighbor"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"),
+        (col("n_hit") >= col("n_exact") * floor).cast("int").as("recall_ok"))
+  }
 
   /** IVF cells: deterministic coarse centroids (a fixed modulo sample of
     * the corpus — a stand-in for trained k-means that needs no stored
@@ -294,6 +320,15 @@ object Similarity {
            FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
            WHERE q.vec_id % 250 = 0) t
          WHERE rn <= 5 ORDER BY query_id, rn""",
+    // query-point count is SQL (vec_id % 250 = 0), top-k depth is 5,
+    // and the recall floor is a deterministic property of the fixed
+    // planes/centroids on this dataset — so the audit row IS checkable
+    "ann_lsh_recall" ->
+      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
+         FROM embeddings WHERE vec_id % 250 = 0""",
+    "ann_ivf_recall" ->
+      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
+         FROM embeddings WHERE vec_id % 250 = 0""",
     // float->double widening is exact in both engines, so the
     // elementwise doubles (and their floor) agree bit-for-bit; the
     // checksum is an integer sum, immune to summation order

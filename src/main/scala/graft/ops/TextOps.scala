@@ -110,6 +110,30 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- driver-visible recall audit for the winnowing fingerprint:
+    // near-dup documents (exact >=0.8 token Jaccard — a set whose count
+    // the DuckDB oracle recomputes independently) must collide on at
+    // least one winnow fingerprint. Pairs sharing a fingerprint come
+    // from an equi-join on the fingerprint value — candidate
+    // generation, the same role the sketch plays in a real pipeline.
+    "text_fp_recall" -> ((s, d) => {
+      import s.implicits._
+      val fps = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) => winnowFingerprint(text).map(f => (id, f)) }
+        .toDF("doc_id", "fp")
+      val a = fps.select(col("doc_id").as("i"), col("fp"))
+      val b = fps.select(col("doc_id").as("j"), col("fp"))
+      val shared = a.join(b, Seq("fp")).where(col("i") < col("j"))
+        .select(col("i"), col("j")).distinct()
+      val exact = Dedup.neardupPairs(s, d).select(col("i"), col("j"))
+      val hits = exact.join(shared, Seq("i", "j"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"),
+          (col("n_hit") >= col("n_exact") * 0.8).cast("int").as("recall_ok"))
+    }),
+
     // ---- fingerprint: md5 over whitespace-normalized text
     "text_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
@@ -217,6 +241,12 @@ object TextOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // exact-pair count recomputed in SQL; the winnow-collision recall
+    // floor is the deterministic sketch property the audit asserts
+    "text_fp_recall" ->
+      s"""WITH ${Dedup.pairsCtesSql}
+          SELECT CAST(count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
+          FROM pairs""",
     "text_token_stats" ->
       """SELECT doc_id,
            CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
