@@ -42,9 +42,23 @@ object Bench {
     // intra-family reuse can be dropped at the family boundary — cached
     // blocks a later query never reads otherwise inflate its GC time.
     def family(n: String) = if (n.matches("^q\\d.*")) "q" else n.takeWhile(_ != '_')
+    // the dedup shingle/pair caches are read OUTSIDE the dedup family
+    // too (graph_triangles, text_fp_recall); dropping them at every
+    // family boundary made each later consumer rebuild the whole
+    // pipeline cold (~10 s of pure recompute per family at sf0.1).
+    // Clear them only once no remaining query consumes them.
+    def consumesDedupCache(n: String) =
+      n.startsWith("dedup_") || n == "graph_triangles" || n == "text_fp_recall"
+    val ordered = selected.toSeq.sortBy(_._1)
+    val lastConsumerIdx = ordered.lastIndexWhere(q => consumesDedupCache(q._1))
     var prevFamily: String = null
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      if (prevFamily != null && family(name) != prevFamily) {
+    val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
+      if (prevFamily != null && family(name) != prevFamily &&
+          idx > lastConsumerIdx) {
+        // catalog.clearCache() would ALSO evict the memoized dedup
+        // frames (it unpersists everything), so both clears wait until
+        // the last consumer has run; leftover per-query blocks before
+        // that point are small at bench scale
         graft.ops.Dedup.clearCaches()
         spark.catalog.clearCache()
       }
