@@ -47,6 +47,26 @@ final class GraphEngine(val store: QuadStore) {
     Compiler.runSelect(q, scoped)
   }
 
+  /** Execute a SPARQL ASK: true iff any solution exists (short-
+    * circuiting LIMIT 1 under the hood). */
+  def ask(text: String, name: String = "ask"): Boolean = {
+    val q = SparqlParser.parseAsk(text, name)
+    val scoped =
+      if (q.fromGraphs.isEmpty) store.read() else store.readGraphs(q.fromGraphs)
+    Compiler.runAsk(q, scoped)
+  }
+
+  /** Execute a SPARQL CONSTRUCT: returns the instantiated template as a
+    * quad DataFrame bound to `targetGraph` (a graph VALUE — nothing is
+    * written to the store). */
+  def construct(text: String, name: String = "construct",
+      targetGraph: String = "urn:graft:construct"): DataFrame = {
+    val q = SparqlParser.parseConstruct(text, name)
+    val scoped =
+      if (q.fromGraphs.isEmpty) store.read() else store.readGraphs(q.fromGraphs)
+    Compiler.runConstruct(q, scoped, targetGraph)
+  }
+
   /** Compile an INSERT..WHERE update and return the quads it would
     * produce, without writing (for inspection / testing). */
   def preview(text: String, name: String = "preview"): DataFrame =

@@ -303,6 +303,82 @@ object RdfOps {
         ORDER BY ?c""")
     }),
 
+    // SPARQL aggregates end-to-end: GROUP BY compiles to groupBy-agg
+    // (map-side partial combine for free), HAVING filters native agg
+    // aliases, ORDER BY DESC + tiebreaker keep the output total-ordered.
+    // AVG is floor-rounded to 4 decimals on both sides (float-sum
+    // pitfall). The oracle recomputes relationally from `customer`.
+    "rdf_sparql_groupby" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-gby-${System.nanoTime()}"
+      val g = "http://ex/custg"
+      val store = new graft.model.GraphStore(s, dir)
+      val cust = Tables.customer(s, d)
+      def custQuads(p: String, value: Column, dt: Column) = cust.select(
+        lit(g).as("graph"),
+        concat(lit("cust:"), col("c_custkey").cast("string")).as("s"),
+        lit(p).as("p"), value.cast("string").as("o_value"),
+        dt.as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      store.append(
+        custQuads("bal", col("c_acctbal"), lit(Quad.xsd.double))
+          .unionAll(custQuads("segment", col("c_mktsegment"),
+            lit(null).cast("string"))))
+      val engine = new graft.GraphEngine(store)
+      engine.select(s"""
+        SELECT ?seg (COUNT(*) AS ?n) (AVG(?bal) AS ?avg_bal)
+        FROM <$g>
+        WHERE { ?c <segment> ?seg ; <bal> ?bal }
+        GROUP BY ?seg
+        HAVING (?n > 10)
+        ORDER BY DESC(?n) ?seg""")
+        .select(col("seg"), col("n"),
+          (floor(col("avg_bal") * 10000 + 0.5) / 10000).as("avg_bal"))
+    }),
+
+    // SPARQL ASK (boolean existence, short-circuit LIMIT 1) — both
+    // polarities folded into one deterministic row.
+    "rdf_sparql_ask" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ask-${System.nanoTime()}"
+      val g = "http://ex/nations"
+      val store = new graft.model.GraphStore(s, dir)
+      store.append(Tables.nation(s, d).select(
+        lit(g).as("graph"),
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+        lit("name").as("p"), col("n_name").as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind")))
+      val engine = new graft.GraphEngine(store)
+      val pos = engine.ask(s"""ASK FROM <$g> { ?s <name> ?n . FILTER (STRSTARTS(?n, 'NATION_1')) }""")
+      val neg = engine.ask(s"""ASK FROM <$g> { ?s <name> 'NO_SUCH_NATION' }""")
+      s.range(1).toDF().select(
+        lit(if (pos) 1 else 0).as("positive"),
+        lit(if (neg) 1 else 0).as("negative"))
+    }),
+
+    // SPARQL CONSTRUCT: template instantiation as a graph VALUE (single
+    // explode pass, same machinery as INSERT); nothing hits the store.
+    "rdf_sparql_construct" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-cst-${System.nanoTime()}"
+      val g = "http://ex/nations"
+      val store = new graft.model.GraphStore(s, dir)
+      store.append(Tables.nation(s, d).select(
+        lit(g).as("graph"),
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+        lit("region").as("p"), col("n_regionkey").cast("string").as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind")))
+      val engine = new graft.GraphEngine(store)
+      engine.construct(s"""
+        CONSTRUCT { ?s <in_region> ?r }
+        FROM <$g>
+        WHERE { ?s <region> ?r . FILTER (?r IN ('0', '2')) }""",
+        targetGraph = "urn:regions")
+        .orderBy(col("s"))
+    }),
+
     // Backend parity: the SAME SPARQL delete scenario on the
     // merge-on-read store — DELETE lands as tombstone deltas (no
     // partition rewrite) yet the observable graph state, and so the
@@ -477,6 +553,25 @@ object RdfOps {
            SELECT DISTINCT CAST(user_id AS VARCHAR), 'p'
            FROM events WHERE event_type = 'purchase') t
          ORDER BY uid, kind""",
+    "rdf_sparql_groupby" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n,
+           floor(avg(c_acctbal) * 10000 + 0.5) / 10000 AS avg_bal
+         FROM customer
+         GROUP BY c_mktsegment
+         HAVING count(*) > 10
+         ORDER BY n DESC, seg""",
+    "rdf_sparql_ask" ->
+      "SELECT 1 AS positive, 0 AS negative",
+    "rdf_sparql_construct" ->
+      """SELECT 'urn:regions' AS graph,
+           'nation:' || CAST(n_nationkey AS VARCHAR) AS s,
+           'in_region' AS p,
+           CAST(n_regionkey AS VARCHAR) AS o_value,
+           CAST(NULL AS VARCHAR) AS o_type,
+           CAST(NULL AS VARCHAR) AS o_lang,
+           'literal' AS o_kind
+         FROM nation WHERE n_regionkey IN (0, 2)
+         ORDER BY s""",
     // integral-double lexical forms ("85.0") match across engines;
     // the fractional arithmetic lives in the WHERE predicate only
     "rdf_sparql_filter_expr" ->

@@ -115,16 +115,44 @@ object Algebra {
       where: Group,
       template: Seq[TriplePattern])
 
-  /** A SPARQL SELECT query (read side). Empty `vars` = `SELECT *` (all
-    * bound variables, name-sorted). `fromGraphs` scope like USING. */
+  // ---- read-side query forms --------------------------------------
+  /** One SELECT projection item: a plain variable or an aggregate. */
+  sealed trait ProjItem
+  final case class PVar(name: String) extends ProjItem
+  /** `(FN([DISTINCT] expr|*) AS ?alias)`; arg None = `COUNT(*)`. */
+  final case class PAgg(fn: String, arg: Option[Expr], distinct: Boolean,
+      as: String) extends ProjItem
+
+  final case class OrderKey(v: String, asc: Boolean)
+
+  /** A SPARQL SELECT query (read side). Empty `projection` = `SELECT *`
+    * (all bound variables, name-sorted). `fromGraphs` scope like USING.
+    * `having` applies over aggregate aliases (after grouping). */
   final case class SelectQuery(
       name: String,
-      vars: Seq[String],
+      projection: Seq[ProjItem],
       distinct: Boolean,
       fromGraphs: Seq[String],
       where: Group,
-      orderBy: Seq[String],
-      limit: Option[Int])
+      groupBy: Seq[String],
+      having: Option[Expr],
+      orderBy: Seq[OrderKey],
+      limit: Option[Int],
+      offset: Option[Int]) {
+    def vars: Seq[String] = projection.collect { case PVar(n) => n }
+    def aggs: Seq[PAgg] = projection.collect { case a: PAgg => a }
+  }
+
+  /** `ASK [FROM g]* { group }` — does any solution exist. */
+  final case class AskQuery(name: String, fromGraphs: Seq[String], where: Group)
+
+  /** `CONSTRUCT { template } [FROM g]* WHERE { group }` — instantiate
+    * the template once per solution (unbound slots skip, like INSERT). */
+  final case class ConstructQuery(
+      name: String,
+      template: Seq[TriplePattern],
+      fromGraphs: Seq[String],
+      where: Group)
 
   // ---- DSL sugar for transcribing queries ----------------------------
   object dsl {

@@ -475,20 +475,110 @@ object Compiler {
 
   /** Run a SELECT against the FROM-scoped quads. Result columns are the
     * projected variables' term VALUES (IRI or literal lexical form) —
-    * the shape a DataFrame consumer wants; kind/datatype stay internal.
-    * DISTINCT / ORDER BY / LIMIT compile to dropDuplicates / orderBy /
-    * limit, so Catalyst plans them (a LIMIT under ORDER BY becomes
-    * TakeOrderedAndProject — no global sort materializes). */
+    * the shape a DataFrame consumer wants; kind/datatype stay internal —
+    * while aggregate columns come back NATIVE (long counts, double
+    * sums), which is what a DataFrame consumer of an analytics query
+    * wants. DISTINCT / GROUP BY / ORDER / LIMIT compile to
+    * dropDuplicates / groupBy-agg (partial map-side combine for free) /
+    * orderBy / limit, so Catalyst plans them (a LIMIT under ORDER BY
+    * becomes TakeOrderedAndProject — no global sort materializes). */
   def runSelect(query: SelectQuery, scopedQuads: DataFrame): DataFrame = {
     val bindings = compileGroup(scopedQuads, query.where, None)
-    val vars =
-      if (query.vars.nonEmpty) query.vars
-      else bindings.columns.toSeq.sorted // SELECT *: every bound variable
-    var out = bindings.select(vars.map(v =>
-      col(v).getField("v").as(v)): _*)
+    var out: DataFrame =
+      if (query.aggs.isEmpty) {
+        val vars =
+          if (query.projection.nonEmpty) query.vars
+          else bindings.columns.toSeq.sorted // SELECT *: every bound variable
+        bindings.select(vars.map(v => col(v).getField("v").as(v)): _*)
+      } else {
+        val aggCols = query.aggs.map(compileAgg)
+        val grouped =
+          if (query.groupBy.isEmpty) bindings.agg(aggCols.head, aggCols.tail: _*)
+          else bindings.groupBy(query.groupBy.map(col): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+        val havinged = query.having.fold(grouped)(h => grouped.where(havingBool(h)))
+        havinged.select(query.projection.map {
+          case PVar(n) =>
+            if (!query.groupBy.contains(n))
+              throw new IllegalArgumentException(
+                s"?$n is projected but neither grouped nor aggregated")
+            col(n).getField("v").as(n)
+          case PAgg(_, _, _, as) => col(as)
+        }: _*)
+      }
     if (query.distinct) out = out.dropDuplicates()
-    if (query.orderBy.nonEmpty) out = out.orderBy(query.orderBy.map(col): _*)
+    if (query.orderBy.nonEmpty)
+      out = out.orderBy(query.orderBy.map(k =>
+        if (k.asc) col(k.v).asc else col(k.v).desc): _*)
+    query.offset.foreach(n => out = out.offset(n))
     query.limit.foreach(n => out = out.limit(n))
     out
   }
+
+  /** SPARQL aggregate → native-typed Spark aggregate. COUNT counts
+    * bound terms; SUM/AVG coerce numerically (non-numeric → null →
+    * ignored by the agg, SPARQL's error-drop); MIN/MAX/SAMPLE work on
+    * the lexical form. */
+  private def compileAgg(a: PAgg): Column = (a.fn match {
+    case "COUNT" => a.arg match {
+      case None => count(lit(1))
+      case Some(e) =>
+        if (a.distinct) countDistinct(compileExpr(e)) else count(compileExpr(e))
+    }
+    case "SUM" => sum(numValueOf(a.arg.get))
+    case "AVG" => avg(numValueOf(a.arg.get))
+    case "MIN" => min(valueOf(a.arg.get))
+    case "MAX" => max(valueOf(a.arg.get))
+    case "SAMPLE" => first(valueOf(a.arg.get), ignoreNulls = true)
+    case other => throw new IllegalArgumentException(s"aggregate $other")
+  }).as(a.as)
+
+  /** HAVING compiles over the NATIVE aggregate alias columns (not term
+    * structs) — comparisons, boolean combinators and arithmetic only. */
+  private def havingBool(e: Expr): Column = e match {
+    case CmpE(op, l, r) =>
+      val (a, b) = (havingVal(l), havingVal(r))
+      op match {
+        case "=" => a === b
+        case "!=" => a =!= b
+        case "<" => a < b
+        case "<=" => a <= b
+        case ">" => a > b
+        case ">=" => a >= b
+        case other => throw new IllegalArgumentException(s"comparison $other")
+      }
+    case AndE(l, r) => havingBool(l) && havingBool(r)
+    case OrE(l, r) => havingBool(l) || havingBool(r)
+    case NotE(x) => !havingBool(x)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported HAVING shape: $other")
+  }
+
+  private def havingVal(e: Expr): Column = e match {
+    case VarRef(n) => col(n) // an aggregate alias — already native
+    case NumLit(lex) => lit(lex.toDouble)
+    case StrLit(s) => lit(s)
+    case ArithE(op, l, r) =>
+      val (a, b) = (havingVal(l), havingVal(r))
+      op match {
+        case "+" => a + b; case "-" => a - b
+        case "*" => a * b; case "/" => when(b =!= 0.0, a / b)
+        case other => throw new IllegalArgumentException(s"arith $other")
+      }
+    case other =>
+      throw new IllegalArgumentException(s"unsupported HAVING operand: $other")
+  }
+
+  /** ASK: does any solution exist. LIMIT 1 keeps the scan short-
+    * circuiting — Spark stops producing once one row is collected. */
+  def runAsk(query: AskQuery, scopedQuads: DataFrame): Boolean =
+    compileGroup(scopedQuads, query.where, None).limit(1).count() > 0
+
+  /** CONSTRUCT: instantiate the template per solution; emitted quads
+    * carry `targetGraph` (CONSTRUCT results are a graph value, not a
+    * store write — callers pick the name). */
+  def runConstruct(query: ConstructQuery, scopedQuads: DataFrame,
+      targetGraph: String): DataFrame =
+    instantiate(compileGroup(scopedQuads, query.where, None),
+      query.template, targetGraph)
 }

@@ -39,6 +39,12 @@ object SparqlParser {
   def parseSelect(text: String, name: String = "select"): SelectQuery =
     new P(text, name).parseSelectTop()
 
+  def parseAsk(text: String, name: String = "ask"): AskQuery =
+    new P(text, name).parseAskTop()
+
+  def parseConstruct(text: String, name: String = "construct"): ConstructQuery =
+    new P(text, name).parseConstructTop()
+
   private final class P(input: String, queryName: String) {
     private var pos = 0
     private val prefixes = mutable.Map.empty[String, String]
@@ -490,37 +496,109 @@ object SparqlParser {
       }
     }
 
-    // ---------------- query (read) form ----------------
+    // ---------------- query (read) forms ----------------
+    private val AggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE")
+
+    /** `(FN([DISTINCT] expr | *) AS ?alias)` */
+    private def aggItem(): PAgg = {
+      eat('(')
+      ws()
+      val start = pos
+      while (pos < input.length && input(pos).isLetter) pos += 1
+      val fn = input.substring(start, pos).toUpperCase
+      if (!AggFns(fn)) fail(s"expected aggregate function, got $fn")
+      eat('(')
+      val distinct = keyword("DISTINCT")
+      ws()
+      val arg = if (peek == '*') { pos += 1; None } else Some(expr())
+      eat(')')
+      expectKeyword("AS")
+      val as = varName()
+      eat(')')
+      if (fn != "COUNT" && arg.isEmpty) fail(s"$fn(*) is not valid SPARQL")
+      PAgg(fn, arg, distinct, as)
+    }
+
+    private def intAfter(kw: String): Option[Int] =
+      if (keyword(kw)) {
+        ws()
+        val start = pos
+        while (pos < input.length && input(pos).isDigit) pos += 1
+        if (pos == start) fail(s"$kw needs an integer")
+        Some(input.substring(start, pos).toInt)
+      } else None
+
     def parseSelectTop(): SelectQuery = {
       parsePrefixes()
       expectKeyword("SELECT")
       val distinct = keyword("DISTINCT")
-      val vars = mutable.Buffer.empty[String]
+      val proj = mutable.Buffer.empty[ProjItem]
       ws()
       if (peek == '*') pos += 1
       else {
-        while ({ ws(); peek == '?' }) vars += varName()
-        if (vars.isEmpty) fail("SELECT needs ?vars or *")
+        var more = true
+        while (more) {
+          ws()
+          if (peek == '?' || peek == '$') proj += PVar(varName())
+          else if (peek == '(') proj += aggItem()
+          else more = false
+        }
+        if (proj.isEmpty) fail("SELECT needs ?vars, (AGG(...) AS ?v), or *")
       }
       val from = mutable.Buffer.empty[String]
       while (keyword("FROM")) from += iriRef()
       expectKeyword("WHERE")
       val where = group()
-      val order = mutable.Buffer.empty[String]
+      val groupVars = mutable.Buffer.empty[String]
+      if (keyword("GROUP")) {
+        expectKeyword("BY")
+        while ({ ws(); peek == '?' || peek == '$' }) groupVars += varName()
+        if (groupVars.isEmpty) fail("GROUP BY needs ?vars")
+      }
+      val having =
+        if (keyword("HAVING")) { eat('('); val e = expr(); eat(')'); Some(e) }
+        else None
+      val order = mutable.Buffer.empty[OrderKey]
       if (keyword("ORDER")) {
         expectKeyword("BY")
-        while ({ ws(); peek == '?' }) order += varName()
-        if (order.isEmpty) fail("ORDER BY needs ?vars")
+        var more = true
+        while (more) {
+          ws()
+          if (keyword("ASC")) { eat('('); order += OrderKey(varName(), asc = true); eat(')') }
+          else if (keyword("DESC")) { eat('('); order += OrderKey(varName(), asc = false); eat(')') }
+          else if (peek == '?' || peek == '$') order += OrderKey(varName(), asc = true)
+          else more = false
+        }
+        if (order.isEmpty) fail("ORDER BY needs keys")
       }
-      val limit = if (keyword("LIMIT")) {
-        ws()
-        val start = pos
-        while (pos < input.length && input(pos).isDigit) pos += 1
-        if (pos == start) fail("LIMIT needs an integer")
-        Some(input.substring(start, pos).toInt)
-      } else None
-      SelectQuery(queryName, vars.toSeq, distinct, from.toSeq, where,
-        order.toSeq, limit)
+      // LimitOffsetClauses: either order, each at most once
+      var limit = intAfter("LIMIT")
+      val offset = intAfter("OFFSET")
+      if (limit.isEmpty) limit = intAfter("LIMIT")
+      SelectQuery(queryName, proj.toSeq, distinct, from.toSeq, where,
+        groupVars.toSeq, having, order.toSeq, limit, offset)
+    }
+
+    def parseAskTop(): AskQuery = {
+      parsePrefixes()
+      expectKeyword("ASK")
+      val from = mutable.Buffer.empty[String]
+      while (keyword("FROM")) from += iriRef()
+      keyword("WHERE") // optional before the group
+      AskQuery(queryName, from.toSeq, group())
+    }
+
+    def parseConstructTop(): ConstructQuery = {
+      parsePrefixes()
+      expectKeyword("CONSTRUCT")
+      eat('{')
+      val template = mutable.Buffer.empty[TriplePattern]
+      templateTriples(template)
+      eat('}')
+      val from = mutable.Buffer.empty[String]
+      while (keyword("FROM")) from += iriRef()
+      expectKeyword("WHERE")
+      ConstructQuery(queryName, template.toSeq, from.toSeq, group())
     }
 
     private def parseTemplateWhere(withGraph: Option[String]): MappingQuery = {

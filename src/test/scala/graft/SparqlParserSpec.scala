@@ -279,7 +279,59 @@ class SparqlParserSpec extends AnyFunSuite {
       ORDER BY ?b ?a LIMIT 7""")
     assert(q.vars == Seq("a", "b") && q.distinct)
     assert(q.fromGraphs == Seq("http://ex/g1", "http://ex/g2"))
-    assert(q.orderBy == Seq("b", "a") && q.limit.contains(7))
+    assert(q.orderBy == Seq(Algebra.OrderKey("b", asc = true),
+      Algebra.OrderKey("a", asc = true)) && q.limit.contains(7))
+  }
+
+  test("SELECT aggregates: GROUP BY / HAVING / DESC / OFFSET / ASK / CONSTRUCT") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("aggq").toString + "/quads")
+    val engine = new GraphEngine(st)
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/src> {
+        ex:a ex:cat "x" . ex:a ex:score "10"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        ex:b ex:cat "x" . ex:b ex:score "4"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        ex:c ex:cat "y" . ex:c ex:score "7"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        ex:d ex:cat "z" . ex:d ex:score "1"^^<http://www.w3.org/2001/XMLSchema#integer> . } }""")
+    val rows = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?cat (COUNT(*) AS ?n) (SUM(?sc) AS ?total) (MAX(?sc) AS ?hi)
+      FROM <http://ex/src>
+      WHERE { ?s ex:cat ?cat ; ex:score ?sc }
+      GROUP BY ?cat
+      HAVING (?total > 5)
+      ORDER BY DESC(?total)""").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toSeq == Seq(("x", 2L, 14.0, "4"), ("y", 1L, 7.0, "7")))
+    // ungrouped aggregate + COUNT(DISTINCT)
+    val one = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT (COUNT(DISTINCT ?cat) AS ?cats) (AVG(?sc) AS ?mean)
+      FROM <http://ex/src>
+      WHERE { ?s ex:cat ?cat ; ex:score ?sc }""").collect().head
+    assert(one.getLong(0) == 3L && one.getDouble(1) == 5.5)
+    // OFFSET pages past the first result
+    val page = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?s FROM <http://ex/src>
+      WHERE { ?s ex:score ?sc }
+      ORDER BY ?s LIMIT 2 OFFSET 1""").collect().map(_.getString(0))
+    assert(page.toSeq == Seq("http://ex/b", "http://ex/c"))
+    // ASK short-circuits to a boolean
+    assert(engine.ask("""
+      PREFIX ex: <http://ex/>
+      ASK FROM <http://ex/src> { ?s ex:cat "y" }"""))
+    assert(!engine.ask("""
+      PREFIX ex: <http://ex/>
+      ASK FROM <http://ex/src> { ?s ex:cat "nope" }"""))
+    // CONSTRUCT instantiates a template as a graph value
+    val g = engine.construct("""
+      PREFIX ex: <http://ex/>
+      CONSTRUCT { ?s ex:grade ?sc }
+      FROM <http://ex/src>
+      WHERE { ?s ex:cat "x" ; ex:score ?sc }""").collect()
+    assert(g.length == 2 && g.forall(_.getAs[String]("p") == "http://ex/grade"))
   }
 
   test("GraphEngine SELECT answers over the store with FROM scoping") {
