@@ -336,6 +336,68 @@ object RdfOps {
           (floor(col("avg_bal") * 10000 + 0.5) / 10000).as("avg_bal"))
     }),
 
+    // SPARQL property paths (seq + alternative): customers link to
+    // their nation via <nation> (even keys) or <nation_alt> (odd keys),
+    // nations to regions, regions to names — the 3-hop path with an
+    // alternative first hop desugars to joins + UNION at parse time.
+    "rdf_sparql_path" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-path-${System.nanoTime()}"
+      val g = "http://ex/geo"
+      val store = new graft.model.GraphStore(s, dir)
+      def iriQuads(df: org.apache.spark.sql.DataFrame, sCol: Column,
+          p: Column, oCol: Column, kind: String) = df.select(
+        lit(g).as("graph"), sCol.as("s"), p.as("p"), oCol.as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit(kind).as("o_kind"))
+      val cust = Tables.customer(s, d)
+      val nation = Tables.nation(s, d)
+      val region = Tables.region(s, d)
+      store.append(
+        iriQuads(cust,
+          concat(lit("cust:"), col("c_custkey").cast("string")),
+          when(col("c_custkey") % 2 === 0, "nation").otherwise("nation_alt"),
+          concat(lit("nation:"), col("c_nationkey").cast("string")), "iri")
+        .unionAll(iriQuads(nation,
+          concat(lit("nation:"), col("n_nationkey").cast("string")),
+          lit("region"),
+          concat(lit("region:"), col("n_regionkey").cast("string")), "iri"))
+        .unionAll(iriQuads(region,
+          concat(lit("region:"), col("r_regionkey").cast("string")),
+          lit("name"), col("r_name"), "literal")))
+      val engine = new graft.GraphEngine(store)
+      engine.select(s"""
+        SELECT ?c ?rn
+        FROM <$g>
+        WHERE { ?c (<nation>|<nation_alt>)/<region>/<name> ?rn }
+        ORDER BY ?c ?rn""")
+    }),
+
+    // SPARQL + closure: nations chained k -> k+1; reachability from
+    // nation:0 is the full chain. Pair-doubling join, 5 rounds for a
+    // 25-node chain, localCheckpoint per round.
+    "rdf_sparql_path_closure" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-clos-${System.nanoTime()}"
+      val g = "http://ex/chain"
+      val store = new graft.model.GraphStore(s, dir)
+      store.append(Tables.nation(s, d)
+        .filter(col("n_nationkey") < 24)
+        .select(
+          lit(g).as("graph"),
+          concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+          lit("next").as("p"),
+          concat(lit("nation:"), (col("n_nationkey") + 1).cast("string")).as("o_value"),
+          lit(null).cast("string").as("o_type"),
+          lit(null).cast("string").as("o_lang"),
+          lit("iri").as("o_kind")))
+      val engine = new graft.GraphEngine(store)
+      engine.select(s"""
+        SELECT ?x
+        FROM <$g>
+        WHERE { <nation:0> <next>+ ?x }
+        ORDER BY ?x""")
+    }),
+
     // SPARQL ASK (boolean existence, short-circuit LIMIT 1) — both
     // polarities folded into one deterministic row.
     "rdf_sparql_ask" -> ((s, d) => {
@@ -562,6 +624,16 @@ object RdfOps {
          ORDER BY n DESC, seg""",
     "rdf_sparql_ask" ->
       "SELECT 1 AS positive, 0 AS negative",
+    "rdf_sparql_path" ->
+      """SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS c, r_name AS rn
+         FROM customer
+           JOIN nation ON n_nationkey = c_nationkey
+           JOIN region ON r_regionkey = n_regionkey
+         ORDER BY c, rn""",
+    "rdf_sparql_path_closure" ->
+      """SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS x
+         FROM nation WHERE n_nationkey > 0
+         ORDER BY x""",
     "rdf_sparql_construct" ->
       """SELECT 'urn:regions' AS graph,
            'nation:' || CAST(n_nationkey AS VARCHAR) AS s,

@@ -43,6 +43,13 @@ object Algebra {
   /** `VALUES ?v { term term ... }` — inline binding table (single-var
     * form; each term is an IRI or literal Node). */
   final case class ValuesE(varName: String, terms: Seq[Node]) extends Element
+  /** Transitive closure `s path+ o` (property-path `+`). `edges` is the
+    * desugared one-hop pattern group binding `(ev1, ev2)`; the compiler
+    * iterates pair-doubling joins to the reachability fixpoint, then
+    * constrains the endpoints by `s`/`o` (var or constant IRI). Paths
+    * `/ ^ |` desugar at parse time; only `+` needs this runtime node. */
+  final case class ClosureE(s: Node, edges: Group, ev1: String, ev2: String,
+      o: Node) extends Element
 
   final case class Group(elems: Seq[Element]) {
     def vars: Set[String] = elems.flatMap {
@@ -53,6 +60,8 @@ object Algebra {
       case UnionE(bs) => bs.flatMap(_.vars)
       case MinusE(_) => Seq.empty // MINUS binds nothing outward
       case ValuesE(v, _) => Seq(v)
+      case ClosureE(s, _, _, _, o) =>
+        Seq(s, o).collect { case V(n) => n } // edge vars stay internal
     }.toSet
   }
 

@@ -259,6 +259,58 @@ object Compiler {
                 .select(a.columns.toSeq.map(v => col(s"_l.$v").as(v)): _*)
             }
         })
+      case ClosureE(sN, edgeGroup, v1, v2, oN) =>
+        flush()
+        // one-hop edge pairs from the desugared inner path; checkpointed
+        // so the iterative plan below stays flat (lineage pitfall)
+        val edgePairs = compileGroupTracked(quads, edgeGroup, None)._1
+          .select(col(v1).as("_src"), col(v2).as("_dst"))
+          .dropDuplicates().localCheckpoint()
+        // reachability by PAIR DOUBLING: round k covers paths up to
+        // 2^k hops, so 20 bounded rounds reach any practical diameter
+        // with one equi-join + distinct per round — each shuffles on
+        // the join endpoint, never all-pairs
+        var closure = edgePairs
+        var n = closure.count()
+        var changed = n > 0
+        var rounds = 0
+        while (changed && rounds < 20) {
+          val doubled = closure.join(
+            closure.select(col("_src").as("_dst"), col("_dst").as("_hop")),
+            "_dst")
+            .select(col("_src"), col("_hop").as("_dst"))
+          val next = closure.unionAll(doubled).dropDuplicates().localCheckpoint()
+          val m = next.count()
+          changed = m != n
+          n = m
+          closure = next
+          rounds += 1
+        }
+        var res = closure
+        val outCols = Vector.newBuilder[(String, Column)]
+        sN match {
+          case V(name) => outCols += name -> col("_src")
+          case I(iri) => res = res.where(col("_src").getField("v") === iri)
+          case L(_, _, _) => throw new IllegalArgumentException("literal path subject")
+        }
+        oN match {
+          case V(name) => outCols += name -> col("_dst")
+          case I(iri) => res = res.where(col("_dst").getField("v") === iri)
+          case L(value, dt, lang) =>
+            res = res.where(col("_dst") <=> litTerm(lit(value),
+              Option(dt).map(lit).getOrElse(nullStr),
+              Option(lang).map(lit).getOrElse(nullStr)))
+        }
+        val colsAll = outCols.result()
+        // `?x p+ ?x` (same var both ends): cycle test — equality filter
+        val cols = colsAll.distinctBy(_._1)
+        if (cols.size != colsAll.size)
+          res = res.where(col("_src") === col("_dst"))
+        val projected =
+          if (cols.nonEmpty) res.select(cols.map { case (nm, c) => c.as(nm) }: _*)
+          else res.limit(1).select() // fully-ground path: existence row
+        acc = Some(joinStep(acc, nullable, projected, Set.empty))
+        nullable --= cols.map(_._1)
       case ValuesE(v, terms) =>
         flush()
         val rows = terms.map {

@@ -173,35 +173,107 @@ object SparqlParser {
     // ---------------- triple blocks ----------------
     private val rdfTypeIri = dsl.rdfType
 
-    /** Parses TriplesSameSubject (with ; , and [...]), appending
-      * patterns to `out`. Returns after the property list. */
-    private def triplesSameSubject(out: mutable.Buffer[TriplePattern]): Unit = {
+    // ---- property paths (SPARQL 1.1 §9, subset: / ^ | +) ----
+    // `/ ^ |` desugar at parse time into joins / UNION over fresh
+    // anonymous variables; only `+` survives as a runtime ClosureE.
+    private sealed trait Path
+    private final case class PIri(iri: String) extends Path
+    private final case class PSeq(l: Path, r: Path) extends Path
+    private final case class PAlt(l: Path, r: Path) extends Path
+    private final case class PInv(p: Path) extends Path
+    private final case class PPlus(p: Path) extends Path
+
+    private def path(): Path = {
+      var l = pathSeq()
+      while ({ ws(); peek == '|' }) { pos += 1; l = PAlt(l, pathSeq()) }
+      l
+    }
+
+    private def pathSeq(): Path = {
+      var l = pathElt()
+      while ({ ws(); peek == '/' }) { pos += 1; l = PSeq(l, pathElt()) }
+      l
+    }
+
+    private def pathElt(): Path = {
+      ws()
+      if (peek == '^') { pos += 1; return PInv(pathElt()) }
+      val base: Path = peek match {
+        case '(' => pos += 1; val p = path(); eat(')'); p
+        case 'a' if pos + 1 >= input.length || !isNameChar(input(pos + 1)) =>
+          pos += 1; PIri(rdfTypeIri)
+        case '*' | '+' => fail("path modifier needs a preceding element")
+        case _ => PIri(iriRef())
+      }
+      // postfix modifiers bind ADJACENTLY (no whitespace) — a detached
+      // '?' is the next variable, not a modifier
+      peek match {
+        case '+' => pos += 1; PPlus(base)
+        case '*' => fail(
+          "zero-length path modifiers (*, ?) are not supported — " +
+            "they bind every graph term; use + for 1-or-more")
+        case '?' if pos + 1 < input.length && !isNameChar(input(pos + 1)) => fail(
+          "zero-length path modifiers (*, ?) are not supported — " +
+            "they bind every graph term; use + for 1-or-more")
+        case _ => base
+      }
+    }
+
+    private def desugarPath(s: Node, p: Path, o: Node,
+        out: mutable.Buffer[Element]): Unit = p match {
+      case PIri(i) => out += Pat(TriplePattern(s, I(i), o))
+      case PSeq(l, r) =>
+        val v = anonVar()
+        desugarPath(s, l, v, out); desugarPath(v, r, o, out)
+      case PInv(inner) => desugarPath(o, inner, s, out)
+      case PAlt(l, r) =>
+        val lb = mutable.Buffer.empty[Element]
+        val rb = mutable.Buffer.empty[Element]
+        desugarPath(s, l, o, lb)
+        desugarPath(s, r, o, rb)
+        out += UnionE(Seq(Group(lb.toSeq), Group(rb.toSeq)))
+      case PPlus(inner) =>
+        val (v1, v2) = (anonVar(), anonVar())
+        val eb = mutable.Buffer.empty[Element]
+        desugarPath(v1, inner, v2, eb)
+        out += ClosureE(s, Group(eb.toSeq), v1.name, v2.name, o)
+    }
+
+    /** Parses TriplesSameSubject (with ; , [...] and — in WHERE groups —
+      * property paths), appending elements to `out`. */
+    private def triplesSameSubject(out: mutable.Buffer[Element],
+        allowPaths: Boolean): Unit = {
       val subj: Node = { ws(); peek match {
         case '?' | '$' => V(varName())
         case '[' => // blank-node subject: [ props ] props?
           val bn = anonVar()
           eat('[')
-          propertyList(bn, out)
+          propertyList(bn, out, allowPaths)
           eat(']')
           ws()
-          if (peek != '.' && peek != '}') propertyList(bn, out)
+          if (peek != '.' && peek != '}') propertyList(bn, out, allowPaths)
           return
         case _ => I(iriRef())
       }}
-      propertyList(subj, out)
+      propertyList(subj, out, allowPaths)
     }
 
-    private def propertyList(subj: Node, out: mutable.Buffer[TriplePattern]): Unit = {
+    private def propertyList(subj: Node, out: mutable.Buffer[Element],
+        allowPaths: Boolean): Unit = {
       var more = true
       while (more) {
         ws()
-        val verb: Node =
-          if (peek == 'a' &&
-              (pos + 1 >= input.length || !isNameChar(input(pos + 1)))) {
-            pos += 1; I(rdfTypeIri) // 'a' keyword = rdf:type
+        val verb: Either[Node, Path] =
+          if (peek == '?' || peek == '$') Left(V(varName()))
+          else if (!allowPaths) {
+            if (peek == 'a' &&
+                (pos + 1 >= input.length || !isNameChar(input(pos + 1)))) {
+              pos += 1; Left(I(rdfTypeIri)) // 'a' keyword = rdf:type
+            } else Left(I(iriRef()))
+          } else path() match {
+            case PIri(i) => Left(I(i)) // plain predicate — common fast path
+            case p => Right(p)
           }
-          else if (peek == '?' || peek == '$') V(varName())
-          else I(iriRef())
         // object list
         var moreObjects = true
         while (moreObjects) {
@@ -211,15 +283,21 @@ object SparqlParser {
             case '"' | '\'' => literalNode()
             case '[' =>
               val bn = anonVar()
-              out += TriplePattern(subj, verb, bn)
+              verb match {
+                case Left(v) => out += Pat(TriplePattern(subj, v, bn))
+                case Right(p) => desugarPath(subj, p, bn, out)
+              }
               eat('[')
-              propertyList(bn, out)
+              propertyList(bn, out, allowPaths)
               eat(']')
               bn
             case _ => I(iriRef())
           }
           // the '[' branch already emitted its link triple
-          if (!wasBnode(obj)) out += TriplePattern(subj, verb, obj)
+          if (!wasBnode(obj)) verb match {
+            case Left(v) => out += Pat(TriplePattern(subj, v, obj))
+            case Right(p) => desugarPath(subj, p, obj, out)
+          }
           moreObjects = tryEat(',')
         }
         more = tryEat(';')
@@ -284,9 +362,7 @@ object SparqlParser {
           elems += UnionE(branches.toSeq)
           tryEat('.')
         } else {
-          val buf = mutable.Buffer.empty[TriplePattern]
-          triplesSameSubject(buf)
-          elems ++= buf.map(Pat)
+          triplesSameSubject(elems, allowPaths = true)
           tryEat('.')
         }
       }
@@ -629,7 +705,12 @@ object SparqlParser {
         ws()
         if (peek == '}') more = false
         else {
-          triplesSameSubject(out)
+          val buf = mutable.Buffer.empty[Element]
+          triplesSameSubject(buf, allowPaths = false) // no paths in templates
+          out ++= buf.map {
+            case Pat(tp) => tp
+            case other => fail(s"template may only contain triples, got $other")
+          }
           tryEat('.')
           ws()
           if (peek == '}') more = false

@@ -370,6 +370,48 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(star.collect().head.getString(1) == "10")
   }
 
+  test("property paths: sequence, inverse, alternative, closure") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("paths").toString + "/quads")
+    val engine = new GraphEngine(st)
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/g> {
+        ex:a ex:knows ex:b . ex:b ex:knows ex:c . ex:c ex:knows ex:d .
+        ex:a ex:worksAt ex:acme . ex:acme ex:in ex:gent .
+        ex:z ex:likes ex:gent . } }""")
+    // sequence: one fresh join var per hop
+    val seq = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?city FROM <http://ex/g>
+      WHERE { ?p ex:worksAt/ex:in ?city }""").collect().map(_.getString(0))
+    assert(seq.toSeq == Seq("http://ex/gent"))
+    // inverse flips the hop; alternative compiles to UNION
+    val inv = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?who FROM <http://ex/g>
+      WHERE { ex:gent (^ex:in/^ex:worksAt)|^ex:likes ?who } ORDER BY ?who""")
+      .collect().map(_.getString(0))
+    assert(inv.toSeq == Seq("http://ex/a", "http://ex/z"))
+    // + closure reaches every hop count >= 1, from a constant subject
+    val plus = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?x FROM <http://ex/g>
+      WHERE { ex:a ex:knows+ ?x } ORDER BY ?x""").collect().map(_.getString(0))
+    assert(plus.toSeq == Seq("http://ex/b", "http://ex/c", "http://ex/d"))
+    // closure joins with surrounding patterns through its endpoints
+    val mid = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?x FROM <http://ex/g>
+      WHERE { ?x ex:knows+ ex:d . ?x ex:worksAt ?w }""").collect().map(_.getString(0))
+    assert(mid.toSeq == Seq("http://ex/a"))
+    // zero-length modifiers are a clear error, not silent wrong answers
+    val err = intercept[IllegalArgumentException] {
+      engine.select("SELECT ?x WHERE { ?x <p>* ?y }")
+    }
+    assert(err.getMessage.contains("zero-length"))
+  }
+
   test("§17 expression grammar: precedence, IN, REGEX, arithmetic") {
     import Algebra._
     def filterOf(text: String): Expr = {
