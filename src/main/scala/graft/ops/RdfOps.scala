@@ -398,6 +398,27 @@ object RdfOps {
         ORDER BY ?x""")
     }),
 
+    // GRAPH ?g patterns: nations split by key parity into two named
+    // graphs; the variable graph binds per solution and the filter runs
+    // inside the scoped group. Oracle derives the graph from parity.
+    "rdf_sparql_graph_var" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-gvar-${System.nanoTime()}"
+      val store = new graft.model.GraphStore(s, dir)
+      store.append(Tables.nation(s, d).select(
+        when(col("n_nationkey") % 2 === 0, "http://ex/even")
+          .otherwise("http://ex/odd").as("graph"),
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+        lit("name").as("p"), col("n_name").as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind")))
+      val engine = new graft.GraphEngine(store)
+      engine.select("""
+        SELECT ?g ?s
+        WHERE { GRAPH ?g { ?s <name> ?n . FILTER (STRSTARTS(?n, 'NATION_1')) } }
+        ORDER BY ?g ?s""")
+    }),
+
     // SPARQL ASK (boolean existence, short-circuit LIMIT 1) — both
     // polarities folded into one deterministic row.
     "rdf_sparql_ask" -> ((s, d) => {
@@ -624,6 +645,12 @@ object RdfOps {
          ORDER BY n DESC, seg""",
     "rdf_sparql_ask" ->
       "SELECT 1 AS positive, 0 AS negative",
+    "rdf_sparql_graph_var" ->
+      """SELECT CASE WHEN n_nationkey % 2 = 0
+                THEN 'http://ex/even' ELSE 'http://ex/odd' END AS g,
+           'nation:' || CAST(n_nationkey AS VARCHAR) AS s
+         FROM nation WHERE starts_with(n_name, 'NATION_1')
+         ORDER BY g, s""",
     "rdf_sparql_path" ->
       """SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS c, r_name AS rn
          FROM customer

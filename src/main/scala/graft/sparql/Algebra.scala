@@ -50,6 +50,11 @@ object Algebra {
     * `/ ^ |` desugar at parse time; only `+` needs this runtime node. */
   final case class ClosureE(s: Node, edges: Group, ev1: String, ev2: String,
       o: Node) extends Element
+  /** `GRAPH g { group }` — scope the inner group to one named graph
+    * (constant IRI: partition-pruned read) or bind the graph per
+    * solution (variable: every inner pattern also binds `?g`, so the
+    * BGP joins align within a single graph automatically). */
+  final case class GraphE(g: Node, group: Group) extends Element
 
   final case class Group(elems: Seq[Element]) {
     def vars: Set[String] = elems.flatMap {
@@ -62,6 +67,8 @@ object Algebra {
       case ValuesE(v, _) => Seq(v)
       case ClosureE(s, _, _, _, o) =>
         Seq(s, o).collect { case V(n) => n } // edge vars stay internal
+      case GraphE(g, inner) =>
+        (Seq(g).collect { case V(n) => n }) ++ inner.vars
     }.toSet
   }
 

@@ -52,8 +52,11 @@ object Compiler {
 
   // ------------------------------------------------------------ patterns
 
-  /** One triple pattern → DataFrame with a term-struct column per var. */
-  private[sparql] def compilePattern(quads: DataFrame, tp: TriplePattern): DataFrame = {
+  /** One triple pattern → DataFrame with a term-struct column per var.
+    * `graphVar`: inside `GRAPH ?g {}` every pattern also binds ?g from
+    * the quad's graph column, so shared-var joins stay graph-aligned. */
+  private[sparql] def compilePattern(quads: DataFrame, tp: TriplePattern,
+      graphVar: Option[String] = None): DataFrame = {
     var df = quads
     // constant filters (these reach the parquet scan as pushed predicates)
     tp.s match {
@@ -77,11 +80,12 @@ object Compiler {
       case V(_) =>
     }
     // project variables as term structs
-    val pairs: Seq[(String, Column)] = Seq(
+    val pairs: Seq[(String, Column)] = (Seq(
       tp.s -> subjectTerm(col("s")),
       tp.p -> iriTerm(col("p")),
       tp.o -> objectTerm()
-    ).collect { case (V(n), c) => (n, c) }
+    ).collect { case (V(n), c) => (n, c) }) ++
+      graphVar.map(g => g -> iriTerm(col("graph")))
     // same-var-twice patterns (?x p ?x): equality filter, keep one column
     pairs.groupBy(_._1).values.filter(_.size > 1).foreach { dup =>
       df = df.where(dup.map(_._2).sliding(2)
@@ -154,7 +158,8 @@ object Compiler {
     * null-tolerant compatible-join; everything else stays an equi key. */
   private def compileGroupTracked(
       quads: DataFrame, group: Group,
-      outer: Option[(DataFrame, Set[String])]): (DataFrame, Set[String]) = {
+      outer: Option[(DataFrame, Set[String])],
+      graphVar: Option[String] = None): (DataFrame, Set[String]) = {
 
     var acc: Option[DataFrame] = outer.map(_._1)
     var nullable: Set[String] = outer.map(_._2).getOrElse(Set.empty)
@@ -172,7 +177,7 @@ object Compiler {
           case j => j
         }
         val tp = remaining.remove(idx)
-        acc = Some(joinStep(acc, nullable, compilePattern(quads, tp), Set.empty))
+        acc = Some(joinStep(acc, nullable, compilePattern(quads, tp, graphVar), Set.empty))
         // an (inner) join against a pattern leaves its vars bound
         nullable --= tp.vars
       }
@@ -188,7 +193,7 @@ object Compiler {
       case Pat(tp) => patternBatch :+= tp
       case Opt(inner) =>
         flush()
-        val (innerDf, innerNullable) = compileGroupTracked(quads, inner, None)
+        val (innerDf, innerNullable) = compileGroupTracked(quads, inner, None, graphVar)
         acc match {
           case None => // OPTIONAL with empty base — degenerate
             acc = Some(innerDf); nullable ++= innerNullable
@@ -206,7 +211,7 @@ object Compiler {
         acc = Some(acc.getOrElse(unitRow(quads)).where(compileBool(e)))
       case UnionE(branches) =>
         flush()
-        val compiled = branches.map(b => compileGroupTracked(quads, b, None))
+        val compiled = branches.map(b => compileGroupTracked(quads, b, None, graphVar))
         // align branch schemas: a variable bound in one branch only is
         // unbound (null term) in rows from the others
         val allVars = compiled.flatMap(_._1.columns).distinct
@@ -232,7 +237,7 @@ object Compiler {
         }
       case MinusE(inner) =>
         flush()
-        val (innerDf, _) = compileGroupTracked(quads, inner, None)
+        val (innerDf, _) = compileGroupTracked(quads, inner, None, graphVar)
         acc = Some(acc match {
           case None => unitRow(quads) // MINUS with empty base — degenerate
           case Some(a) =>
@@ -259,6 +264,26 @@ object Compiler {
                 .select(a.columns.toSeq.map(v => col(s"_l.$v").as(v)): _*)
             }
         })
+      case GraphE(gNode, inner) =>
+        flush()
+        gNode match {
+          case I(iri) =>
+            // constant graph → a partition-prunable filter on the read
+            val (innerDf, innerNullable) = compileGroupTracked(
+              quads.where(col("graph") === iri), inner, None, graphVar)
+            acc = Some(joinStep(acc, nullable, innerDf, innerNullable))
+            nullable ++= innerNullable
+          case V(name) =>
+            // variable graph → every inner pattern also binds ?name, so
+            // the BGP joins align within one graph per solution. (A `+`
+            // closure inside GRAPH ?g does not constrain the graph.)
+            val (innerDf, innerNullable) =
+              compileGroupTracked(quads, inner, None, Some(name))
+            acc = Some(joinStep(acc, nullable, innerDf, innerNullable))
+            nullable ++= innerNullable
+          case L(_, _, _) =>
+            throw new IllegalArgumentException("literal GRAPH name")
+        }
       case ClosureE(sN, edgeGroup, v1, v2, oN) =>
         flush()
         // one-hop edge pairs from the desugared inner path; checkpointed

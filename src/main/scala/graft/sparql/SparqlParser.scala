@@ -339,6 +339,12 @@ object SparqlParser {
         } else if (keyword("MINUS")) {
           elems += MinusE(group())
           tryEat('.')
+        } else if (keyword("GRAPH")) {
+          ws()
+          val gn: Node =
+            if (peek == '?' || peek == '$') V(varName()) else I(iriRef())
+          elems += GraphE(gn, group())
+          tryEat('.')
         } else if (keyword("VALUES")) {
           val v = varName()
           eat('{')

@@ -412,6 +412,37 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(err.getMessage.contains("zero-length"))
   }
 
+  test("GRAPH patterns: constant scoping and variable binding") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("graphpat").toString + "/quads")
+    val engine = new GraphEngine(st)
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/g1> { ex:a ex:p "1" . ex:b ex:p "2" . } }""")
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/g2> { ex:a ex:p "3" . } }""")
+    // constant GRAPH scopes the inner group to one partition
+    val g1 = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?v WHERE { GRAPH <http://ex/g1> { ex:a ex:p ?v } }""")
+      .collect().map(_.getString(0))
+    assert(g1.toSeq == Seq("1"))
+    // variable GRAPH binds the graph per solution
+    val rows = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?g ?v WHERE { GRAPH ?g { ex:a ex:p ?v } } ORDER BY ?g""")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("http://ex/g1", "1"), ("http://ex/g2", "3")))
+    // joins inside GRAPH ?g stay graph-aligned: ex:a and ex:b share a
+    // graph only in g1
+    val joined = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?g WHERE { GRAPH ?g { ex:a ex:p ?x . ex:b ex:p ?y } }""")
+      .collect().map(_.getString(0))
+    assert(joined.toSeq == Seq("http://ex/g1"))
+  }
+
   test("§17 expression grammar: precedence, IN, REGEX, arithmetic") {
     import Algebra._
     def filterOf(text: String): Expr = {
