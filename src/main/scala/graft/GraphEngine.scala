@@ -32,6 +32,18 @@ final class GraphEngine(val store: QuadStore) {
         store.deleteQuads(Compiler.run(q, store.readGraphs(q.usingGraphs)),
           Some(Seq(q.targetGraph)))
       case DeleteData(quads) => store.deleteData(quads)
+      case ModifyWhere(delG, insG, using, where, delT, insT) =>
+        // ONE binding evaluation feeds both templates; materialize it
+        // BEFORE mutating so both see the pre-update state (§3.1.3)
+        val b = Compiler.bindingsOf(where, store.readGraphs(using))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          b.count()
+          store.deleteQuads(Compiler.instantiateTemplate(b, delT, delG),
+            Some(Seq(delG)))
+          store.appendDistinct(Compiler.instantiateTemplate(b, insT, insG),
+            Some(Seq(insG)))
+        } finally { b.unpersist(blocking = false); () }
       case ClearGraphOp(g, _) => store.clearGraph(g)
       case DropGraphOp(g, _) => store.dropGraph(g)
     }
@@ -65,6 +77,15 @@ final class GraphEngine(val store: QuadStore) {
     val scoped =
       if (q.fromGraphs.isEmpty) store.read() else store.readGraphs(q.fromGraphs)
     Compiler.runConstruct(q, scoped, targetGraph)
+  }
+
+  /** Execute a SPARQL DESCRIBE: the IRI's concise bounded description
+    * (own triples + bounded blank-node closure) as a quad DataFrame. */
+  def describe(text: String, name: String = "describe"): DataFrame = {
+    val (iri, fromGraphs) = SparqlParser.parseDescribe(text, name)
+    val scoped =
+      if (fromGraphs.isEmpty) store.read() else store.readGraphs(fromGraphs)
+    Compiler.runDescribe(iri, scoped)
   }
 
   /** Compile an INSERT..WHERE update and return the quads it would

@@ -398,6 +398,34 @@ object RdfOps {
         ORDER BY ?x""")
     }),
 
+    // DELETE/INSERT WHERE (SPARQL 1.1 §3.1.3): one pre-state binding
+    // evaluation feeds both templates — the standard "migrate in place"
+    // idiom. NATION_1* names are rewritten to *_V2 plus a marker
+    // triple; everything else is untouched.
+    "rdf_sparql_modify" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-mod-${System.nanoTime()}"
+      val g = "http://ex/nations"
+      val store = new graft.model.GraphStore(s, dir)
+      store.append(Tables.nation(s, d).select(
+        lit(g).as("graph"),
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+        lit("name").as("p"), col("n_name").as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind")))
+      val engine = new graft.GraphEngine(store)
+      engine.update(s"""
+        WITH <$g>
+        DELETE { ?s <name> ?n }
+        INSERT { ?s <name> ?n2 . ?s <renamed> 'true' }
+        USING <$g>
+        WHERE { ?s <name> ?n . FILTER (STRSTARTS(?n, 'NATION_1'))
+                BIND (CONCAT(?n, '_V2') AS ?n2) }""")
+      store.readGraphs(Seq(g))
+        .select(col("s"), col("p"), col("o_value"))
+        .orderBy(col("s"), col("p"), col("o_value"))
+    }),
+
     // GRAPH ?g patterns: nations split by key parity into two named
     // graphs; the variable graph binds per solution and the filter runs
     // inside the scoped group. Oracle derives the graph from parity.
@@ -645,6 +673,19 @@ object RdfOps {
          ORDER BY n DESC, seg""",
     "rdf_sparql_ask" ->
       "SELECT 1 AS positive, 0 AS negative",
+    "rdf_sparql_modify" ->
+      """SELECT s, p, o_value FROM (
+           SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS s,
+             'name' AS p, n_name AS o_value
+           FROM nation WHERE NOT starts_with(n_name, 'NATION_1')
+           UNION ALL
+           SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), 'name',
+             n_name || '_V2'
+           FROM nation WHERE starts_with(n_name, 'NATION_1')
+           UNION ALL
+           SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), 'renamed', 'true'
+           FROM nation WHERE starts_with(n_name, 'NATION_1')) t
+         ORDER BY s, p, o_value""",
     "rdf_sparql_graph_var" ->
       """SELECT CASE WHEN n_nationkey % 2 = 0
                 THEN 'http://ex/even' ELSE 'http://ex/odd' END AS g,

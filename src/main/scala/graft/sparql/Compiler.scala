@@ -550,6 +550,41 @@ object Compiler {
     instantiate(bindings, query.template, query.targetGraph)
   }
 
+  /** The WHERE group's binding table (for callers that instantiate more
+    * than one template from one evaluation — DELETE/INSERT WHERE). */
+  def bindingsOf(where: Group, scopedQuads: DataFrame): DataFrame =
+    compileGroup(scopedQuads, where, None)
+
+  /** Public face of [[instantiate]] for multi-template updates. */
+  def instantiateTemplate(bindings: DataFrame, template: Seq[TriplePattern],
+      targetGraph: String): DataFrame =
+    instantiate(bindings, template, targetGraph)
+
+  /** DESCRIBE: the concise bounded description of one IRI — its
+    * triples, plus (bounded-depth) the triples of blank nodes reached
+    * through object position, which have no addressable name of their
+    * own. Each round is one equi-join on subject. */
+  def runDescribe(iri: String, scopedQuads: DataFrame): DataFrame = {
+    val spark = scopedQuads.sparkSession
+    import spark.implicits._
+    var subjects = Seq(iri).toDF("s").localCheckpoint()
+    var described = scopedQuads.join(subjects, "s")
+    var rounds = 0
+    var newCount = 1L
+    while (newCount > 0 && rounds < 8) {
+      val bnodes = described.where(col("o_kind") === Quad.KindBnode)
+        .select(col("o_value").as("s")).dropDuplicates()
+        .join(subjects, Seq("s"), "left_anti").localCheckpoint()
+      newCount = bnodes.count()
+      if (newCount > 0) {
+        subjects = subjects.unionAll(bnodes).localCheckpoint()
+        described = scopedQuads.join(subjects, "s")
+      }
+      rounds += 1
+    }
+    described
+  }
+
   /** Run a SELECT against the FROM-scoped quads. Result columns are the
     * projected variables' term VALUES (IRI or literal lexical form) —
     * the shape a DataFrame consumer wants; kind/datatype stay internal —

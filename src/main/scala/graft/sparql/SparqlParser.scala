@@ -28,6 +28,13 @@ object SparqlParser {
     * template quads are REMOVED from the store. */
   final case class DeleteWhere(query: MappingQuery) extends UpdateOp
   final case class DeleteData(quads: Seq[Quad]) extends UpdateOp
+  /** `[WITH g] DELETE { t1 } INSERT { t2 } USING g* WHERE { ... }` —
+    * ONE binding evaluation against the pre-update state feeds both
+    * templates; deletes apply before inserts (SPARQL 1.1 §3.1.3). */
+  final case class ModifyWhere(
+      deleteGraph: String, insertGraph: String, usingGraphs: Seq[String],
+      where: Group, deleteTemplate: Seq[TriplePattern],
+      insertTemplate: Seq[TriplePattern]) extends UpdateOp
   final case class ClearGraphOp(graph: String, silent: Boolean) extends UpdateOp
   final case class DropGraphOp(graph: String, silent: Boolean) extends UpdateOp
 
@@ -44,6 +51,10 @@ object SparqlParser {
 
   def parseConstruct(text: String, name: String = "construct"): ConstructQuery =
     new P(text, name).parseConstructTop()
+
+  /** `DESCRIBE <iri> [FROM g]*` → (iri, fromGraphs). */
+  def parseDescribe(text: String, name: String = "describe"): (String, Seq[String]) =
+    new P(text, name).parseDescribeTop()
 
   private final class P(input: String, queryName: String) {
     private var pos = 0
@@ -573,9 +584,41 @@ object SparqlParser {
           else InsertWhere(parseTemplateWhere(withGraph))
         } else if (keyword("DELETE")) {
           if (keyword("DATA")) DeleteData(parseQuadData(withGraph))
-          else DeleteWhere(parseTemplateWhere(withGraph))
+          else {
+            val (delGraph, delT) = templateBlock(withGraph)
+            if (keyword("INSERT")) {
+              val (insGraph, insT) = templateBlock(withGraph)
+              val using = mutable.Buffer.empty[String]
+              while (keyword("USING")) using += iriRef()
+              expectKeyword("WHERE")
+              ModifyWhere(delGraph, insGraph, using.toSeq, group(),
+                delT, insT)
+            } else {
+              val using = mutable.Buffer.empty[String]
+              while (keyword("USING")) using += iriRef()
+              expectKeyword("WHERE")
+              DeleteWhere(MappingQuery(queryName, delGraph, using.toSeq,
+                group(), delT))
+            }
+          }
         } else fail("expected INSERT or DELETE")
       }
+    }
+
+    /** `{ [GRAPH g] triples }` → (target graph, template triples). */
+    private def templateBlock(withGraph: Option[String]): (String, Seq[TriplePattern]) = {
+      eat('{')
+      var target = withGraph
+      val template = mutable.Buffer.empty[TriplePattern]
+      ws()
+      if (keyword("GRAPH")) {
+        target = Some(iriRef())
+        eat('{')
+        templateTriples(template)
+        eat('}')
+      } else templateTriples(template)
+      eat('}')
+      (target.getOrElse(fail("no target graph (WITH or GRAPH)")), template.toSeq)
     }
 
     // ---------------- query (read) forms ----------------
@@ -670,6 +713,15 @@ object SparqlParser {
       AskQuery(queryName, from.toSeq, group())
     }
 
+    def parseDescribeTop(): (String, Seq[String]) = {
+      parsePrefixes()
+      expectKeyword("DESCRIBE")
+      val iri = iriRef()
+      val from = mutable.Buffer.empty[String]
+      while (keyword("FROM")) from += iriRef()
+      (iri, from.toSeq)
+    }
+
     def parseConstructTop(): ConstructQuery = {
       parsePrefixes()
       expectKeyword("CONSTRUCT")
@@ -684,25 +736,11 @@ object SparqlParser {
     }
 
     private def parseTemplateWhere(withGraph: Option[String]): MappingQuery = {
-      eat('{')
-      var target = withGraph
-      val template = mutable.Buffer.empty[TriplePattern]
-      ws()
-      if (keyword("GRAPH")) {
-        target = Some(iriRef())
-        eat('{')
-        templateTriples(template)
-        eat('}')
-      } else templateTriples(template)
-      eat('}')
+      val (target, template) = templateBlock(withGraph)
       val using = mutable.Buffer.empty[String]
       while (keyword("USING")) using += iriRef()
       expectKeyword("WHERE")
-      val where = group()
-      MappingQuery(
-        queryName,
-        target.getOrElse(fail("no target graph (WITH or GRAPH)")),
-        using.toSeq, where, template.toSeq)
+      MappingQuery(queryName, target, using.toSeq, group(), template)
     }
 
     private def templateTriples(out: mutable.Buffer[TriplePattern]): Unit = {

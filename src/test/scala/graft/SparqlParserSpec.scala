@@ -412,6 +412,51 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(err.getMessage.contains("zero-length"))
   }
 
+  test("DELETE/INSERT WHERE: one pre-state evaluation feeds both templates") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("modify").toString + "/quads")
+    val engine = new GraphEngine(st)
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/g> {
+        ex:a ex:status "old" . ex:b ex:status "old" . ex:c ex:status "keep" . } }""")
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      WITH <http://ex/g>
+      DELETE { ?s ex:status "old" }
+      INSERT { ?s ex:status "new" ; ex:migrated "true" }
+      USING <http://ex/g>
+      WHERE { ?s ex:status "old" }""")
+    val got = st.readGraphs(Seq("http://ex/g")).collect()
+      .map(q => (q.getAs[String]("s"), q.getAs[String]("p"), q.getAs[String]("o_value")))
+      .toSet
+    assert(got == Set(
+      ("http://ex/a", "http://ex/status", "new"),
+      ("http://ex/a", "http://ex/migrated", "true"),
+      ("http://ex/b", "http://ex/status", "new"),
+      ("http://ex/b", "http://ex/migrated", "true"),
+      ("http://ex/c", "http://ex/status", "keep")))
+  }
+
+  test("DESCRIBE returns the IRI's triples plus blank-node closure") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("descr").toString + "/quads")
+    val engine = new GraphEngine(st)
+    val g = "http://ex/g"
+    st.insertData(Seq(
+      Quad.lit(g, "http://ex/org", "http://ex/name", "Org"),
+      Quad(g, "http://ex/org", "http://ex/contact", "_:c1", null, null, Quad.KindBnode),
+      Quad.lit(g, "_:c1", "http://ex/email", "o@x"),
+      Quad.lit(g, "http://ex/other", "http://ex/name", "Other")))
+    val d = engine.describe("DESCRIBE <http://ex/org> FROM <http://ex/g>")
+      .collect().map(r => (r.getAs[String]("s"), r.getAs[String]("p")))
+    // own triples (name + contact link) and the bnode's email triple;
+    // ex:other is not part of the description
+    assert(d.length == 3)
+    assert(d.count(_._1 == "http://ex/org") == 2)
+    assert(d.exists(t => t._1.startsWith("_:") && t._2 == "http://ex/email"))
+  }
+
   test("GRAPH patterns: constant scoping and variable binding") {
     val st = new graft.model.GraphStore(spark,
       Files.createTempDirectory("graphpat").toString + "/quads")
