@@ -134,6 +134,32 @@ object TextOps {
           (col("n_hit") >= col("n_exact") * 0.8).cast("int").as("recall_ok"))
     }),
 
+    // ---- PII redaction (the scrub pass every training corpus runs):
+    // email and IPv4 patterns replaced by placeholder tokens, plus
+    // per-doc match counts for audit. Pure map-side regex — no shuffle,
+    // no UDF; the patterns use the regex subset Java and DuckDB agree
+    // on (character classes, bounded quantifiers, word boundaries).
+    // The synthetic corpus has no organic PII, so deterministic fake
+    // contact strings are appended from doc_id BEFORE redaction — the
+    // oracle builds the identical text, so the regex behavior itself is
+    // what the hash compare checks.
+    "text_redact_pii" -> ((s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7")).as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(emailRe)).as("n_emails"),
+          regexp_count(col("t"), lit(ipRe)).as("n_ips"),
+          md5(regexp_replace(
+            regexp_replace(col("t"), emailRe, "<EMAIL>"),
+            ipRe, "<IP>")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- fingerprint: md5 over whitespace-normalized text
     "text_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
@@ -247,6 +273,21 @@ object TextOps {
       s"""WITH ${Dedup.pairsCtesSql}
           SELECT CAST(count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
           FROM pairs""",
+    "text_redact_pii" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+           md5(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+         FROM (SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                 '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+                 '.7' AS t
+               FROM documents) d
+         ORDER BY doc_id""",
     "text_token_stats" ->
       """SELECT doc_id,
            CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
