@@ -398,6 +398,32 @@ object RdfOps {
         ORDER BY ?x""")
     }),
 
+    // Subquery: per-segment customer counts computed in a { SELECT }
+    // and joined back to every customer of that segment — the
+    // "enrich each row with its group's aggregate" idiom without a
+    // self-join in user code (the engine plans groupBy + equi-join).
+    "rdf_sparql_subquery" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-subq-${System.nanoTime()}"
+      val g = "http://ex/custs"
+      val store = new graft.model.GraphStore(s, dir)
+      store.append(Tables.customer(s, d).select(
+        lit(g).as("graph"),
+        concat(lit("cust:"), col("c_custkey").cast("string")).as("s"),
+        lit("segment").as("p"), col("c_mktsegment").as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind")))
+      val engine = new graft.GraphEngine(store)
+      engine.select(s"""
+        SELECT ?c ?seg ?n
+        FROM <$g>
+        WHERE {
+          ?c <segment> ?seg .
+          { SELECT ?seg (COUNT(*) AS ?n) WHERE { ?x <segment> ?seg } GROUP BY ?seg }
+        }
+        ORDER BY ?c""")
+    }),
+
     // DELETE/INSERT WHERE (SPARQL 1.1 §3.1.3): one pre-state binding
     // evaluation feeds both templates — the standard "migrate in place"
     // idiom. NATION_1* names are rewritten to *_V2 plus a marker
@@ -673,6 +699,12 @@ object RdfOps {
          ORDER BY n DESC, seg""",
     "rdf_sparql_ask" ->
       "SELECT 1 AS positive, 0 AS negative",
+    "rdf_sparql_subquery" ->
+      """SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS c,
+           c_mktsegment AS seg,
+           CAST(count(*) OVER (PARTITION BY c_mktsegment) AS VARCHAR) AS n
+         FROM customer
+         ORDER BY c""",
     "rdf_sparql_modify" ->
       """SELECT s, p, o_value FROM (
            SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS s,

@@ -55,6 +55,10 @@ object Algebra {
     * solution (variable: every inner pattern also binds `?g`, so the
     * BGP joins align within a single graph automatically). */
   final case class GraphE(g: Node, group: Group) extends Element
+  /** `{ SELECT ... }` subquery: evaluated bottom-up, its projection
+    * (vars + aggregate aliases) joins into the enclosing group on the
+    * shared variables. Aggregate outputs surface as typed literals. */
+  final case class SubSelectE(query: SelectQuery) extends Element
 
   final case class Group(elems: Seq[Element]) {
     def vars: Set[String] = elems.flatMap {
@@ -69,6 +73,8 @@ object Algebra {
         Seq(s, o).collect { case V(n) => n } // edge vars stay internal
       case GraphE(g, inner) =>
         (Seq(g).collect { case V(n) => n }) ++ inner.vars
+      case SubSelectE(q) =>
+        q.vars ++ q.aggs.map(_.as)
     }.toSet
   }
 

@@ -264,6 +264,11 @@ object Compiler {
                 .select(a.columns.toSeq.map(v => col(s"_l.$v").as(v)): _*)
             }
         })
+      case SubSelectE(q) =>
+        flush()
+        val sub = compileSubSelect(q, quads)
+        acc = Some(joinStep(acc, nullable, sub, Set.empty))
+        nullable --= sub.columns
       case GraphE(gNode, inner) =>
         flush()
         gNode match {
@@ -619,6 +624,49 @@ object Compiler {
         }: _*)
       }
     if (query.distinct) out = out.dropDuplicates()
+    if (query.orderBy.nonEmpty)
+      out = out.orderBy(query.orderBy.map(k =>
+        if (k.asc) col(k.v).asc else col(k.v).desc): _*)
+    query.offset.foreach(n => out = out.offset(n))
+    query.limit.foreach(n => out = out.limit(n))
+    out
+  }
+
+  /** `{ SELECT ... }` subquery → binding table in TERM-STRUCT form (so
+    * the enclosing group joins it like any other element). Plain vars
+    * pass through as structs; aggregate aliases are wrapped back into
+    * typed literals (COUNT → xsd:integer, SUM/AVG → xsd:double, MIN/
+    * MAX/SAMPLE → plain literal of the lexical form). */
+  private def compileSubSelect(query: SelectQuery, quads: DataFrame): DataFrame = {
+    val bindings = compileGroup(quads, query.where, None)
+    var out: DataFrame =
+      if (query.aggs.isEmpty) {
+        val vars =
+          if (query.projection.nonEmpty) query.vars
+          else bindings.columns.toSeq.sorted
+        bindings.select(vars.map(col): _*)
+      } else {
+        val aggCols = query.aggs.map(compileAgg)
+        val grouped =
+          if (query.groupBy.isEmpty) bindings.agg(aggCols.head, aggCols.tail: _*)
+          else bindings.groupBy(query.groupBy.map(col): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+        val havinged = query.having.fold(grouped)(h => grouped.where(havingBool(h)))
+        havinged.select(query.projection.map {
+          case PVar(n) => col(n)
+          case PAgg(fn, _, _, as) =>
+            val dt = fn match {
+              case "COUNT" => Quad.xsd.integer
+              case "SUM" | "AVG" => Quad.xsd.double
+              case _ => null
+            }
+            litTerm(col(as).cast("string"),
+              Option(dt).map(lit).getOrElse(nullStr), nullStr).as(as)
+        }: _*)
+      }
+    if (query.distinct) out = out.dropDuplicates()
+    // ORDER in a subquery only matters under LIMIT/OFFSET; struct sort
+    // orders by the leading `v` field, i.e. the lexical form
     if (query.orderBy.nonEmpty)
       out = out.orderBy(query.orderBy.map(k =>
         if (k.asc) col(k.v).asc else col(k.v).desc): _*)

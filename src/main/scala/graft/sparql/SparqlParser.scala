@@ -373,11 +373,22 @@ object SparqlParser {
           elems += ValuesE(v, terms.toSeq)
           tryEat('.')
         } else if (peek == '{') {
-          // GroupOrUnionGraphPattern: {g} ('UNION' {g})*
-          val branches = mutable.Buffer(group())
-          while (keyword("UNION")) branches += group()
-          elems += UnionE(branches.toSeq)
-          tryEat('.')
+          val save = pos
+          pos += 1
+          val isSubSelect = { val p2 = pos; val r = keyword("SELECT"); pos = p2; r }
+          if (isSubSelect) {
+            // SubSelect: { SELECT ... } — prefixes inherit from the top
+            elems += SubSelectE(selectBody())
+            eat('}')
+            tryEat('.')
+          } else {
+            pos = save
+            // GroupOrUnionGraphPattern: {g} ('UNION' {g})*
+            val branches = mutable.Buffer(group())
+            while (keyword("UNION")) branches += group()
+            elems += UnionE(branches.toSeq)
+            tryEat('.')
+          }
         } else {
           triplesSameSubject(elems, allowPaths = true)
           tryEat('.')
@@ -655,6 +666,12 @@ object SparqlParser {
 
     def parseSelectTop(): SelectQuery = {
       parsePrefixes()
+      selectBody()
+    }
+
+    /** SELECT body (no prefix decls) — shared by the top-level form and
+      * `{ SELECT ... }` subqueries. */
+    private def selectBody(): SelectQuery = {
       expectKeyword("SELECT")
       val distinct = keyword("DISTINCT")
       val proj = mutable.Buffer.empty[ProjItem]

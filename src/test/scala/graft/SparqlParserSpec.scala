@@ -457,6 +457,36 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(d.exists(t => t._1.startsWith("_:") && t._2 == "http://ex/email"))
   }
 
+  test("subquery: aggregated { SELECT } joins into the outer group") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("subq").toString + "/quads")
+    val engine = new GraphEngine(st)
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/g> {
+        ex:a ex:cat "x" . ex:b ex:cat "x" . ex:c ex:cat "y" . } }""")
+    val rows = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?s ?n FROM <http://ex/g>
+      WHERE {
+        ?s ex:cat ?cat .
+        { SELECT ?cat (COUNT(*) AS ?n) WHERE { ?x ex:cat ?cat } GROUP BY ?cat }
+      }
+      ORDER BY ?s""").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(
+      ("http://ex/a", "2"), ("http://ex/b", "2"), ("http://ex/c", "1")))
+    // numeric FILTER over the subquery's typed-literal count
+    val big = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?s FROM <http://ex/g>
+      WHERE {
+        ?s ex:cat ?cat .
+        { SELECT ?cat (COUNT(*) AS ?n) WHERE { ?x ex:cat ?cat } GROUP BY ?cat }
+        FILTER (?n >= 2)
+      } ORDER BY ?s""").collect().map(_.getString(0))
+    assert(big.toSeq == Seq("http://ex/a", "http://ex/b"))
+  }
+
   test("GRAPH patterns: constant scoping and variable binding") {
     val st = new graft.model.GraphStore(spark,
       Files.createTempDirectory("graphpat").toString + "/quads")
