@@ -398,6 +398,44 @@ object RdfOps {
         ORDER BY ?x""")
     }),
 
+    // FILTER NOT EXISTS: customers with no orders — the anti-join
+    // compiled from a whole-FILTER EXISTS constraint (no per-row
+    // subquery; one distinct + one hash anti join on ?c).
+    "rdf_sparql_exists" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ex-${System.nanoTime()}"
+      val g = "http://ex/sales"
+      val store = new graft.model.GraphStore(s, dir)
+      val custQ = Tables.customer(s, d).select(
+        lit(g).as("graph"),
+        concat(lit("cust:"), col("c_custkey").cast("string")).as("s"),
+        lit("segment").as("p"), col("c_mktsegment").as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      def orderQ(p: String, base: org.apache.spark.sql.DataFrame) = base.select(
+        lit(g).as("graph"),
+        concat(lit("order:"), col("o_orderkey").cast("string")).as("s"),
+        lit(p).as("p"),
+        concat(lit("cust:"), col("o_custkey").cast("string")).as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("iri").as("o_kind"))
+      val orders = Tables.orders(s, d)
+      store.append(custQ
+        .unionAll(orderQ("customer", orders))
+        .unionAll(orderQ("bigorder", orders.filter(col("o_totalprice") > 400000))))
+      val engine = new graft.GraphEngine(store)
+      // active customers (EXISTS) who never placed a large order
+      // (NOT EXISTS) — one semi and one anti join
+      engine.select(s"""
+        SELECT ?c
+        FROM <$g>
+        WHERE { ?c <segment> ?seg .
+                FILTER EXISTS { ?o <customer> ?c }
+                FILTER NOT EXISTS { ?b <bigorder> ?c } }
+        ORDER BY ?c""")
+    }),
+
     // Subquery: per-segment customer counts computed in a { SELECT }
     // and joined back to every customer of that segment — the
     // "enrich each row with its group's aggregate" idiom without a
@@ -699,6 +737,13 @@ object RdfOps {
          ORDER BY n DESC, seg""",
     "rdf_sparql_ask" ->
       "SELECT 1 AS positive, 0 AS negative",
+    "rdf_sparql_exists" ->
+      """SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS c
+         FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders)
+           AND c_custkey NOT IN
+             (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+         ORDER BY c""",
     "rdf_sparql_subquery" ->
       """SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS c,
            c_mktsegment AS seg,

@@ -128,6 +128,17 @@ object Algebra {
   final case class IsIriE(arg: Expr) extends Expr
   final case class IsLiteralE(arg: Expr) extends Expr
   final case class IsBlankE(arg: Expr) extends Expr
+  final case class UcaseE(arg: Expr) extends Expr
+  /** SUBSTR(s, start[, len]) — 1-based, per XPath fn:substring. */
+  final case class SubstrE(arg: Expr, start: Expr, len: Option[Expr]) extends Expr
+  /** STRBEFORE: prefix before the FIRST separator match; "" if absent. */
+  final case class StrBeforeE(arg: Expr, sep: String) extends Expr
+  final case class CoalesceE(args: Seq[Expr]) extends Expr
+  /** fn ∈ { ABS ROUND CEIL FLOOR } over the numeric value (double). */
+  final case class NumFnE(fn: String, arg: Expr) extends Expr
+  /** `[NOT] EXISTS { group }` — valid only as a whole FILTER constraint
+    * (it compiles to a semi/anti join, not a per-row expression). */
+  final case class ExistsE(group: Group, negated: Boolean) extends Expr
 
   /** One SPARQL-update mapping task. */
   final case class MappingQuery(

@@ -208,7 +208,21 @@ object Compiler {
         nullable += as // expression errors surface as unbound
       case FilterE(e) =>
         flush()
-        acc = Some(acc.getOrElse(unitRow(quads)).where(compileBool(e)))
+        existsOf(e) match {
+          case Some((inner, negated)) =>
+            // FILTER [NOT] EXISTS = semi/anti join on the shared vars
+            // (no per-row subquery — one distinct + one hash join)
+            val (innerDf, _) = compileGroupTracked(quads, inner, None, graphVar)
+            val a = acc.getOrElse(unitRow(quads))
+            val shared = sharedVars(a, innerDf)
+            val joinType = if (negated) "left_anti" else "left_semi"
+            acc = Some(
+              if (shared.isEmpty) a.join(innerDf.limit(1), lit(true), joinType)
+              else a.join(innerDf.select(shared.map(col): _*).dropDuplicates(),
+                shared, joinType))
+          case None =>
+            acc = Some(acc.getOrElse(unitRow(quads)).where(compileBool(e)))
+        }
       case UnionE(branches) =>
         flush()
         val compiled = branches.map(b => compileGroupTracked(quads, b, None, graphVar))
@@ -357,6 +371,13 @@ object Compiler {
     (acc.getOrElse(unitRow(quads)), nullable)
   }
 
+  /** A FILTER constraint that is (possibly negated) EXISTS. */
+  private def existsOf(e: Expr): Option[(Group, Boolean)] = e match {
+    case ExistsE(g, n) => Some((g, n))
+    case NotE(inner) => existsOf(inner).map { case (g, n) => (g, !n) }
+    case _ => None
+  }
+
   /** one row, ZERO columns — a leading BIND starts from this, so no
     * helper column can collide with a user variable (e.g. `?id`) */
   private def unitRow(quads: DataFrame): DataFrame =
@@ -401,6 +422,34 @@ object Compiler {
       // numeric result; lexical form via Spark's double→string cast
       litTerm(numValueOf(e).cast("string"), lit(Quad.xsd.double), nullStr)
     case StrE(a) => litTerm(valueOf(a), nullStr, nullStr)
+    case UcaseE(a) => litTerm(upper(valueOf(a)), nullStr, nullStr)
+    case SubstrE(a, start, len) =>
+      val s = valueOf(a)
+      val from = numValueOf(start).cast("int")
+      val sub = len match {
+        case Some(l) => s.substr(from, numValueOf(l).cast("int"))
+        case None => s.substr(from, length(s))
+      }
+      litTerm(sub, nullStr, nullStr)
+    case StrBeforeE(a, sep) =>
+      val s = valueOf(a)
+      val pos = instr(s, sep)
+      litTerm(when(s.isNull, nullStr)
+        .when(pos > 0, s.substr(lit(1), pos - 1))
+        .otherwise(lit("")), nullStr, nullStr)
+    case CoalesceE(args) => coalesce(args.map(compileExpr): _*)
+    case NumFnE(fn, a) =>
+      val v = numValueOf(a)
+      val r = fn match {
+        case "ABS" => abs(v)
+        case "ROUND" => round(v, 0)
+        case "CEIL" => ceil(v).cast("double")
+        case "FLOOR" => floor(v).cast("double")
+        case other => throw new IllegalArgumentException(s"numeric fn $other")
+      }
+      litTerm(r.cast("string"), lit(Quad.xsd.double), nullStr)
+    case ExistsE(_, _) => throw new IllegalArgumentException(
+      "EXISTS is only supported as a whole FILTER constraint")
     case LangE(a) =>
       litTerm(coalesce(compileExpr(a).getField("lg"), lit("")), nullStr, nullStr)
     case DatatypeE(a) =>

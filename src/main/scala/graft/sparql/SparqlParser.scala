@@ -531,9 +531,22 @@ object SparqlParser {
             case "URI" | "IRI" => argList() match { case Seq(a) => UriE(a) }
             case "MD5" => argList() match { case Seq(a) => Md5E(a) }
             case "LCASE" => argList() match { case Seq(a) => LcaseE(a) }
-            case "UCASE" => argList() match { case Seq(a) =>
-              // not used by the reference; map through REPLACE-free upper
-              fail("UCASE unsupported in this subset") }
+            case "UCASE" => argList() match { case Seq(a) => UcaseE(a) }
+            case "SUBSTR" => argList() match {
+              case Seq(a, st) => SubstrE(a, st, None)
+              case Seq(a, st, l) => SubstrE(a, st, Some(l))
+              case _ => fail("SUBSTR(expr, start[, len]) expected")
+            }
+            case "STRBEFORE" => argList() match {
+              case Seq(a, StrLit(sep)) => StrBeforeE(a, sep)
+              case _ => fail("STRBEFORE(expr, 'sep') expected")
+            }
+            case "COALESCE" => CoalesceE(argList())
+            case "ABS" | "ROUND" | "CEIL" | "FLOOR" =>
+              argList() match { case Seq(a) => NumFnE(fn, a) }
+            case "EXISTS" => ExistsE(group(), negated = false)
+            case "NOT" =>
+              expectKeyword("EXISTS"); ExistsE(group(), negated = true)
             case "REPLACE" => argList() match {
               case Seq(a, StrLit(p), StrLit(r)) => ReplaceE(a, p, r)
               case _ => fail("REPLACE(expr, 'pat', 'rep') expected")

@@ -487,6 +487,65 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(big.toSeq == Seq("http://ex/a", "http://ex/b"))
   }
 
+  test("string/numeric builtins: UCASE SUBSTR STRBEFORE COALESCE ROUND") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("fns").toString + "/quads")
+    val engine = new GraphEngine(st)
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/g> {
+        ex:a ex:name "alpha - one" . ex:a ex:score "2.6"^^<http://www.w3.org/2001/XMLSchema#double> . } }""")
+    val r = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?u ?sub ?before ?co ?rnd ?fl FROM <http://ex/g>
+      WHERE {
+        ?s ex:name ?n ; ex:score ?sc .
+        OPTIONAL { ?s ex:missing ?m }
+        BIND (UCASE(?n) AS ?u)
+        BIND (SUBSTR(?n, 1, 5) AS ?sub)
+        BIND (STRBEFORE(?n, ' - ') AS ?before)
+        BIND (COALESCE(?m, ?n) AS ?co)
+        BIND (ROUND(?sc) AS ?rnd)
+        BIND (FLOOR(?sc) AS ?fl)
+      }""").collect().head
+    assert(r.getString(0) == "ALPHA - ONE")
+    assert(r.getString(1) == "alpha")
+    assert(r.getString(2) == "alpha")
+    assert(r.getString(3) == "alpha - one") // ?m unbound → coalesce falls through
+    assert(r.getString(4) == "3.0")
+    assert(r.getString(5) == "2.0")
+  }
+
+  test("FILTER EXISTS / NOT EXISTS compile to semi/anti joins") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("exq").toString + "/quads")
+    val engine = new GraphEngine(st)
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/g> {
+        ex:a ex:cat "x" . ex:b ex:cat "y" .
+        ex:a ex:flag "1" . } }""")
+    val has = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?s FROM <http://ex/g>
+      WHERE { ?s ex:cat ?c . FILTER EXISTS { ?s ex:flag ?f } }""")
+      .collect().map(_.getString(0))
+    assert(has.toSeq == Seq("http://ex/a"))
+    val hasNot = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?s FROM <http://ex/g>
+      WHERE { ?s ex:cat ?c . FILTER NOT EXISTS { ?s ex:flag ?f } }""")
+      .collect().map(_.getString(0))
+    assert(hasNot.toSeq == Seq("http://ex/b"))
+    // !EXISTS via the unary operator normalizes to the anti join too
+    val bang = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?s FROM <http://ex/g>
+      WHERE { ?s ex:cat ?c . FILTER (!EXISTS { ?s ex:flag ?f }) }""")
+      .collect().map(_.getString(0))
+    assert(bang.toSeq == Seq("http://ex/b"))
+  }
+
   test("GRAPH patterns: constant scoping and variable binding") {
     val st = new graft.model.GraphStore(spark,
       Files.createTempDirectory("graphpat").toString + "/quads")
