@@ -18,7 +18,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Relational2.queries ++ ops.Relational3.queries ++
       ops.RdfOps.queries ++
-      ops.TextOps.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
+      ops.TextOps.queries ++ ops.QualityOps.queries ++ ops.Dedup.queries ++
+      ops.Similarity.queries ++ ops.SemanticOps.queries ++
       ops.Multimodal.queries ++ ops.Udafs.queries ++ ops.Curation.queries ++
       ops.Sampling.queries ++ ops.Contamination.queries ++
       ops.GraphAlgos.queries ++ streaming.EventStreams.queries
@@ -28,7 +29,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracleSql ++ ops.Relational2.oracleSql ++ ops.Relational3.oracleSql ++
       ops.RdfOps.oracleSql ++
-      ops.TextOps.oracleSql ++ ops.Dedup.oracleSql ++ ops.Similarity.oracleSql ++
+      ops.TextOps.oracleSql ++ ops.QualityOps.oracleSql ++ ops.Dedup.oracleSql ++
+      ops.Similarity.oracleSql ++ ops.SemanticOps.oracleSql ++
       ops.Multimodal.oracleSql ++ ops.Udafs.oracleSql ++ ops.Curation.oracleSql ++
       ops.Sampling.oracleSql ++ ops.Contamination.oracleSql ++
       ops.GraphAlgos.oracleSql ++ streaming.EventStreams.oracleSql

@@ -37,7 +37,7 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
 
   /** With pre-computed norm (avoids recomputing in the pair loop). */
-  private def vecsN(s: SparkSession, d: String): DataFrame =
+  private[ops] def vecsN(s: SparkSession, d: String): DataFrame =
     vecs(s, d).withColumn("nrm", norm(col("v")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -264,20 +264,20 @@ object Similarity {
     * the whole signature, so the band self-join below stays 4 slim
     * columns wide and the first-shared-band dedup is pure bit math. */
   private val Pack2Bands = 32
-  def lshPack2(v: Column): Column =
+  private[ops] def lshPack2(v: Column): Column =
     (0 until Pack2Bands * 2).map { p =>
       shiftleft(when(dot(v, lit(planeVec(p))) > 0, 1L).otherwise(0L), p)
     }.reduce(_ bitwiseOR _)
 
   /** The 32 2-bit signatures of a pack, for `posexplode`. */
-  private def packSigs(pack: Column): Column =
+  private[ops] def packSigs(pack: Column): Column =
     array((0 until Pack2Bands).map(b =>
       shiftright(pack, 2 * b).bitwiseAND(lit(3L))): _*)
 
   /** Lowest band whose 2 signature bits agree between two packs. A
     * colliding pair is kept only in this band, making emission
     * exactly-once WITHOUT a pair-level distinct (no extra shuffle). */
-  private def firstSharedBand(a: Column, b: Column): Column = {
+  private[ops] def firstSharedBand(a: Column, b: Column): Column = {
     val x = a.bitwiseXOR(b)
     coalesce((0 until Pack2Bands).map(bd =>
       when(shiftright(x, 2 * bd).bitwiseAND(lit(3L)) === 0L, lit(bd))): _*)
