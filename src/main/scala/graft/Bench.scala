@@ -42,23 +42,19 @@ object Bench {
     // intra-family reuse can be dropped at the family boundary — cached
     // blocks a later query never reads otherwise inflate its GC time.
     def family(n: String) = if (n.matches("^q\\d.*")) "q" else n.takeWhile(_ != '_')
-    // the dedup shingle/pair caches are read OUTSIDE the dedup family
-    // too (graph_triangles, text_fp_recall); dropping them at every
-    // family boundary made each later consumer rebuild the whole
-    // pipeline cold (~10 s of pure recompute per family at sf0.1).
-    // Clear them only once no remaining query consumes them.
-    def consumesDedupCache(n: String) =
-      n.startsWith("dedup_") || n == "graph_triangles" || n == "text_fp_recall"
+    // Clear ALL cached frames at every family boundary (the policy the
+    // r2 bench ran with). Deferring the clears to keep the dedup
+    // shingle cache warm across families (so graph_triangles /
+    // text_fp_recall skip a ~10 s rebuild) saved less than it risked:
+    // with 110 queries in one JVM every cached frame lives for the
+    // whole run, so one noisy window compounds across the entire tail
+    // instead of a single family, and attribution of a slow query
+    // becomes impossible. Two bounded out-of-family rebuilds are the
+    // cheap side of that trade.
     val ordered = selected.toSeq.sortBy(_._1)
-    val lastConsumerIdx = ordered.lastIndexWhere(q => consumesDedupCache(q._1))
     var prevFamily: String = null
-    val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
-      if (prevFamily != null && family(name) != prevFamily &&
-          idx > lastConsumerIdx) {
-        // catalog.clearCache() would ALSO evict the memoized dedup
-        // frames (it unpersists everything), so both clears wait until
-        // the last consumer has run; leftover per-query blocks before
-        // that point are small at bench scale
+    val results = ordered.map { case (name, fn) =>
+      if (prevFamily != null && family(name) != prevFamily) {
         graft.ops.Dedup.clearCaches()
         spark.catalog.clearCache()
       }

@@ -46,7 +46,31 @@ final class GraphEngine(val store: QuadStore) {
         } finally { b.unpersist(blocking = false); () }
       case ClearGraphOp(g, _) => store.clearGraph(g)
       case DropGraphOp(g, _) => store.dropGraph(g)
+      case CopyGraphOp(from, to, _) => copyInto(from, to, replace = true)
+      case MoveGraphOp(from, to, _) =>
+        copyInto(from, to, replace = true); store.dropGraph(from)
+      case AddGraphOp(from, to, _) => copyInto(from, to, replace = false)
+      case LoadOp(source, graph, _) =>
+        // file URL → local path; reader picked by extension, matching the
+        // reference's any-rdflib-format ingest (sparql_update.py:124-133)
+        val path = source.stripPrefix("file://")
+        val g = graph.getOrElse("urn:graft:default")
+        val quads =
+          if (path.endsWith(".ttl")) graft.rdf.Turtle.read(store.spark, path, g)
+          else graft.rdf.NTriples.read(store.spark, path, g)
+        store.appendDistinct(quads.toDF(), Some(Seq(g)))
     }
+
+  /** COPY/ADD body: rebind `from`'s quads to `to` and insert; `replace`
+    * clears the target first (COPY/MOVE §3.2.3-4) — both sides are one
+    * partition-pruned scan plus one append, never a full-store rewrite. */
+  private def copyInto(from: String, to: String, replace: Boolean): Unit = {
+    import org.apache.spark.sql.functions.lit
+    if (replace) store.clearGraph(to)
+    store.appendDistinct(
+      store.readGraphs(Seq(from)).withColumn("graph", lit(to)),
+      Some(Seq(to)))
+  }
 
   /** Execute a SPARQL SELECT (read side): FROM graphs scope the store
     * read (partition pruning, like USING), the WHERE group compiles to

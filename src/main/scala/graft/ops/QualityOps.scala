@@ -22,14 +22,20 @@ object QualityOps {
 
   private val stopwords = Seq("the", "a", "of", "to", "and")
 
-  /** 10-token non-overlapping windows of a token array — the unit of
-    * exact-substring dedup (Lee et al. 2021 use 50-token windows over
-    * suffix arrays; at engine level the window hash-join below is the
-    * distributed equivalent: dup windows collide on their hash). */
+  /** All 10-gram strings of a token array, position-aligned (entry p =
+    * tokens p..p+9 joined; null when incomplete). Built by folding
+    * zip_with against shifted slices — NEVER transform(sequence(...),
+    * i -> slice(toks, ...)): lambda bodies re-evaluate the toks subtree
+    * per element (see Dedup.shingles). Non-overlapping 10-token windows
+    * — the unit of exact-substring dedup (Lee et al. 2021 use 50-token
+    * windows over suffix arrays; the window hash-join below is the
+    * distributed equivalent: dup windows collide on their value) — are
+    * the stride-10 positions, selected after posexplode. */
   private val W = 10
-  private def windowsOf(toks: org.apache.spark.sql.Column) =
-    transform(sequence(lit(1), (size(toks) / W).cast("int")),
-      i => array_join(slice(toks, (i - 1) * W + 1, lit(W)), " "))
+  private def gramsOf(toks: org.apache.spark.sql.Column) =
+    (1 until W).map(j => slice(toks, lit(j + 1), size(toks)))
+      .foldLeft(toks)((acc, s) =>
+        zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Gopher-family quality rules (Rae et al. 2021 §A1.1 adapted to
@@ -68,8 +74,10 @@ object QualityOps {
     // window shared by k docs costs k rows, not k².
     "dedup_token_windows" -> ((s, d) => {
       val wins = Tables.fanOut(Tables.documents(s, d))
-        .select(col("doc_id"), explode(windowsOf(tokens(col("text"))))
-          .as("win"))
+        .select(col("doc_id"),
+          posexplode(gramsOf(tokens(col("text")))).as(Seq("pos", "win")))
+        .where(col("pos") % W === 0 && col("win").isNotNull)
+        .select(col("doc_id"), col("win"))
       val freq = wins.groupBy(col("win"))
         .agg(count(lit(1)).as("n_occ"))
       wins.join(freq, "win")
@@ -88,8 +96,16 @@ object QualityOps {
     // second explode). Per-doc score re-joins the doc's bigram tf rows.
     "text_bigram_surprise" -> ((s, d) => {
       val toks = tokens(col("text"))
-      val bigrams = transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+      // zip_with against the shifted array, NOT transform(sequence(...),
+      // i -> element_at(toks, i)...): lambda bodies re-evaluate the toks
+      // subtree per ELEMENT (no subexpression sharing), which turns the
+      // linear pass into tokens x bigrams regex work — the same trap
+      // documented on Dedup.shingles. zip_with's null past the shorter
+      // end makes the final (incomplete) bigram null; filter drops it.
+      val bigrams = filter(
+        zip_with(toks, slice(toks, lit(2), size(toks)),
+          (a, b) => concat(a, lit(" "), b)),
+        x => x.isNotNull)
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(bigrams).as("bg"))
         .groupBy(col("doc_id"), col("bg"))

@@ -336,6 +336,66 @@ object RdfOps {
           (floor(col("avg_bal") * 10000 + 0.5) / 10000).as("avg_bal"))
     }),
 
+    // GROUP_CONCAT aggregate: nation names rolled up per region key.
+    // SPARQL leaves concat order undefined; the engine sorts the
+    // group's lexical forms, so the result is deterministic and the
+    // oracle is DuckDB's ordered string_agg.
+    "rdf_sparql_group_concat" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-gc-${System.nanoTime()}"
+      val g = "http://ex/nat"
+      val store = new GraphStore(s, dir)
+      val nat = Tables.nation(s, d)
+      def natQuads(p: String, value: Column) = nat.select(
+        lit(g).as("graph"),
+        concat(lit("nat:"), col("n_nationkey").cast("string")).as("s"),
+        lit(p).as("p"), value.cast("string").as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      store.append(natQuads("name", col("n_name"))
+        .unionAll(natQuads("region", col("n_regionkey"))))
+      new graft.GraphEngine(store).select(s"""
+        SELECT ?r (GROUP_CONCAT(?n; SEPARATOR=",") AS ?names)
+               (GROUP_CONCAT(DISTINCT ?n; SEPARATOR="|") AS ?dnames)
+        FROM <$g>
+        WHERE { ?x <region> ?r ; <name> ?n }
+        GROUP BY ?r
+        ORDER BY ?r""")
+    }),
+
+    // SPARQL 1.1 Update graph management (§3.2): COPY/ADD/MOVE are a
+    // partition-pruned scan + append (+ an O(1) partition drop for
+    // MOVE), LOAD reads an N-Triples file by extension — never a
+    // full-store rewrite. Final per-graph counts are the checkable
+    // state the oracle reconstructs.
+    "rdf_graph_management" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-gm-${System.nanoTime()}"
+      val store = new GraphStore(s, dir)
+      val engine = new graft.GraphEngine(store)
+      def toQuads(df: org.apache.spark.sql.DataFrame, g: String,
+          key: Column, p: String, v: Column) = df.select(
+        lit(g).as("graph"),
+        concat(lit("e:"), key.cast("string")).as("s"),
+        lit(p).as("p"), v.cast("string").as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      store.append(toQuads(Tables.nation(s, d), "http://ex/A",
+        col("n_nationkey"), "name", col("n_name")))
+      store.append(toQuads(Tables.region(s, d), "http://ex/C",
+        col("r_regionkey"), "rname", col("r_name")))
+      engine.update("COPY <http://ex/A> TO <http://ex/B>")
+      engine.update("ADD <http://ex/C> TO <http://ex/B>")
+      engine.update("MOVE <http://ex/B> TO <http://ex/D>")
+      // LOAD: serialize graph A to .nt, read it back into E
+      val nt = s"$dir-load.nt"
+      NTriples.write(store.readGraphs(Seq("http://ex/A")), nt)
+      engine.update(s"LOAD <file://$nt> INTO GRAPH <http://ex/E>")
+      store.read().groupBy(col("graph"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("graph"))
+    }),
+
     // SPARQL property paths (seq + alternative): customers link to
     // their nation via <nation> (even keys) or <nation_alt> (odd keys),
     // nations to regions, regions to names — the 3-hop path with an
@@ -735,6 +795,25 @@ object RdfOps {
          GROUP BY c_mktsegment
          HAVING count(*) > 10
          ORDER BY n DESC, seg""",
+    "rdf_sparql_group_concat" ->
+      """SELECT CAST(n_regionkey AS VARCHAR) AS r,
+           string_agg(n_name, ',' ORDER BY n_name) AS names,
+           string_agg(DISTINCT n_name, '|' ORDER BY n_name) AS dnames
+         FROM nation
+         GROUP BY n_regionkey
+         ORDER BY r""",
+    "rdf_graph_management" ->
+      """SELECT 'http://ex/A' AS graph, CAST(count(*) AS BIGINT) AS n
+           FROM nation
+         UNION ALL
+         SELECT 'http://ex/C', CAST(count(*) AS BIGINT) FROM region
+         UNION ALL
+         SELECT 'http://ex/D',
+           CAST((SELECT count(*) FROM nation)
+              + (SELECT count(*) FROM region) AS BIGINT)
+         UNION ALL
+         SELECT 'http://ex/E', CAST(count(*) AS BIGINT) FROM nation
+         ORDER BY graph""",
     "rdf_sparql_ask" ->
       "SELECT 1 AS positive, 0 AS negative",
     "rdf_sparql_exists" ->

@@ -152,9 +152,10 @@ object Algebra {
   /** One SELECT projection item: a plain variable or an aggregate. */
   sealed trait ProjItem
   final case class PVar(name: String) extends ProjItem
-  /** `(FN([DISTINCT] expr|*) AS ?alias)`; arg None = `COUNT(*)`. */
+  /** `(FN([DISTINCT] expr|*) AS ?alias)`; arg None = `COUNT(*)`.
+    * `sep` is GROUP_CONCAT's `; SEPARATOR="..."` (default " "). */
   final case class PAgg(fn: String, arg: Option[Expr], distinct: Boolean,
-      as: String) extends ProjItem
+      as: String, sep: Option[String] = None) extends ProjItem
 
   final case class OrderKey(v: String, asc: Boolean)
 

@@ -669,7 +669,7 @@ object Compiler {
               throw new IllegalArgumentException(
                 s"?$n is projected but neither grouped nor aggregated")
             col(n).getField("v").as(n)
-          case PAgg(_, _, _, as) => col(as)
+          case PAgg(_, _, _, as, _) => col(as)
         }: _*)
       }
     if (query.distinct) out = out.dropDuplicates()
@@ -703,7 +703,7 @@ object Compiler {
         val havinged = query.having.fold(grouped)(h => grouped.where(havingBool(h)))
         havinged.select(query.projection.map {
           case PVar(n) => col(n)
-          case PAgg(fn, _, _, as) =>
+          case PAgg(fn, _, _, as, _) =>
             val dt = fn match {
               case "COUNT" => Quad.xsd.integer
               case "SUM" | "AVG" => Quad.xsd.double
@@ -739,6 +739,15 @@ object Compiler {
     case "MIN" => min(valueOf(a.arg.get))
     case "MAX" => max(valueOf(a.arg.get))
     case "SAMPLE" => first(valueOf(a.arg.get), ignoreNulls = true)
+    case "GROUP_CONCAT" =>
+      // SPARQL leaves concatenation order undefined; sorting the group's
+      // lexical forms makes the result deterministic (and thus testable)
+      // on any partitioning — the engine's documented semantics.
+      val vals = {
+        val v = valueOf(a.arg.get)
+        if (a.distinct) collect_set(v) else collect_list(v)
+      }
+      array_join(array_sort(vals), a.sep.getOrElse(" "))
     case other => throw new IllegalArgumentException(s"aggregate $other")
   }).as(a.as)
 

@@ -37,6 +37,19 @@ object SparqlParser {
       insertTemplate: Seq[TriplePattern]) extends UpdateOp
   final case class ClearGraphOp(graph: String, silent: Boolean) extends UpdateOp
   final case class DropGraphOp(graph: String, silent: Boolean) extends UpdateOp
+  /** `COPY|MOVE|ADD [SILENT] [GRAPH] g1 TO [GRAPH] g2` — graph-level
+    * management (SPARQL 1.1 Update §3.2.3-5). COPY replaces g2 with
+    * g1's contents; MOVE additionally drops g1; ADD unions into g2. */
+  final case class CopyGraphOp(from: String, to: String, silent: Boolean)
+    extends UpdateOp
+  final case class MoveGraphOp(from: String, to: String, silent: Boolean)
+    extends UpdateOp
+  final case class AddGraphOp(from: String, to: String, silent: Boolean)
+    extends UpdateOp
+  /** `LOAD [SILENT] <fileUrl> [INTO GRAPH g]` — read an RDF document
+    * (N-Triples or Turtle, by extension) into a named graph. */
+  final case class LoadOp(source: String, graph: Option[String],
+      silent: Boolean) extends UpdateOp
 
   def parse(text: String, name: String = "parsed"): UpdateOp =
     new P(text, name).parseUpdate()
@@ -601,6 +614,19 @@ object SparqlParser {
       } else if (keyword("DROP")) {
         val silent = keyword("SILENT"); expectKeyword("GRAPH")
         DropGraphOp(iriRef(), silent)
+      } else if (keyword("COPY")) {
+        graphToGraph(CopyGraphOp)
+      } else if (keyword("MOVE")) {
+        graphToGraph(MoveGraphOp)
+      } else if (keyword("ADD")) {
+        graphToGraph(AddGraphOp)
+      } else if (keyword("LOAD")) {
+        val silent = keyword("SILENT")
+        val source = iriRef()
+        val graph =
+          if (keyword("INTO")) { expectKeyword("GRAPH"); Some(iriRef()) }
+          else None
+        LoadOp(source, graph, silent)
       } else {
         val withGraph = if (keyword("WITH")) Some(iriRef()) else None
         if (keyword("INSERT")) {
@@ -629,6 +655,17 @@ object SparqlParser {
       }
     }
 
+    /** `[SILENT] [GRAPH] g1 TO [GRAPH] g2` (shared by COPY/MOVE/ADD). */
+    private def graphToGraph(
+        mk: (String, String, Boolean) => UpdateOp): UpdateOp = {
+      val silent = keyword("SILENT")
+      keyword("GRAPH") // optional in the grammar
+      val from = iriRef()
+      expectKeyword("TO")
+      keyword("GRAPH")
+      mk(from, iriRef(), silent)
+    }
+
     /** `{ [GRAPH g] triples }` → (target graph, template triples). */
     private def templateBlock(withGraph: Option[String]): (String, Seq[TriplePattern]) = {
       eat('{')
@@ -646,26 +683,37 @@ object SparqlParser {
     }
 
     // ---------------- query (read) forms ----------------
-    private val AggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE")
+    private val AggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
+      "GROUP_CONCAT")
 
-    /** `(FN([DISTINCT] expr | *) AS ?alias)` */
+    /** `(FN([DISTINCT] expr | * [; SEPARATOR="s"]) AS ?alias)` */
     private def aggItem(): PAgg = {
       eat('(')
       ws()
       val start = pos
-      while (pos < input.length && input(pos).isLetter) pos += 1
+      while (pos < input.length &&
+        (input(pos).isLetter || input(pos) == '_')) pos += 1
       val fn = input.substring(start, pos).toUpperCase
       if (!AggFns(fn)) fail(s"expected aggregate function, got $fn")
       eat('(')
       val distinct = keyword("DISTINCT")
       ws()
       val arg = if (peek == '*') { pos += 1; None } else Some(expr())
+      ws()
+      val sep = if (peek == ';') {
+        pos += 1
+        expectKeyword("SEPARATOR")
+        ws(); eat('='); ws()
+        Some(stringLiteral())
+      } else None
+      if (sep.isDefined && fn != "GROUP_CONCAT")
+        fail(s"SEPARATOR is only valid on GROUP_CONCAT, got $fn")
       eat(')')
       expectKeyword("AS")
       val as = varName()
       eat(')')
       if (fn != "COUNT" && arg.isEmpty) fail(s"$fn(*) is not valid SPARQL")
-      PAgg(fn, arg, distinct, as)
+      PAgg(fn, arg, distinct, as, sep)
     }
 
     private def intAfter(kw: String): Option[Int] =

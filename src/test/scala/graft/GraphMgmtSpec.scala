@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GROUP_CONCAT and graph-management (COPY/MOVE/ADD/LOAD) specs. */
+class GraphMgmtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("GROUP_CONCAT concatenates sorted lexical forms per group") {
+    val rows = SparkEntry.queries("rdf_sparql_group_concat")(spark, sf)
+      .collect()
+    assert(rows.length == 5) // one row per region key
+    rows.foreach { r =>
+      val names = r.getString(1).split(",")
+      assert(names.sameElements(names.sorted), "engine sorts group values")
+      assert(r.getString(2).split("\\|").toSeq == names.toSeq,
+        "DISTINCT variant equals plain on unique names")
+    }
+  }
+
+  test("COPY/ADD/MOVE/LOAD leave the documented graph state") {
+    val rows = SparkEntry.queries("rdf_graph_management")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("http://ex/A", "http://ex/C",
+      "http://ex/D", "http://ex/E"), "B moved away, D/E created")
+    assert(rows("http://ex/D") == rows("http://ex/A") + rows("http://ex/C"))
+    assert(rows("http://ex/E") == rows("http://ex/A"), "LOAD round-trips A")
+  }
+
+  test("COPY replaces target contents; ADD preserves them") {
+    import org.apache.spark.sql.functions._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-gm2-${System.nanoTime()}"
+    val store = new graft.model.GraphStore(spark, dir)
+    val engine = new GraphEngine(store)
+    engine.update("""INSERT DATA { GRAPH <g:a> { <s:1> <p> "x" . } }""")
+    engine.update("""INSERT DATA { GRAPH <g:b> { <s:2> <p> "y" . } }""")
+    engine.update("COPY <g:a> TO <g:b>") // replaces <s:2>
+    assert(store.countGraph("g:b") == 1)
+    engine.update("""INSERT DATA { GRAPH <g:c> { <s:3> <p> "z" . } }""")
+    engine.update("ADD <g:c> TO <g:b>") // keeps the copied quad
+    assert(store.countGraph("g:b") == 2)
+    engine.update("MOVE <g:b> TO <g:a>")
+    assert(store.countGraph("g:a") == 2 && store.countGraph("g:b") == 0)
+  }
+}
