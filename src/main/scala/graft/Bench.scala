@@ -56,6 +56,7 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       if (prevFamily != null && family(name) != prevFamily) {
         graft.ops.Dedup.clearCaches()
+        graft.ops.Similarity.clearCaches()
         spark.catalog.clearCache()
       }
       prevFamily = family(name)

@@ -81,6 +81,37 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- resize planning for the image rows: the driver-side stage a
+    // real pipeline runs BEFORE decode at scale — compute each image's
+    // target geometry (fit into 224x224, aspect preserved) so the
+    // decode stage can allocate exactly and skip no-op resizes. The
+    // source dimensions come from a deterministic fake header parse
+    // (real code reads the JPEG/PNG header bytes — header-only, never
+    // a full decode); the arithmetic is all integer, so the oracle is
+    // bit-exact. Map-side only: no shuffle, no UDF.
+    "multimodal_resize_plan" -> ((s, d) => {
+      val target = 224
+      val media = asMedia(Tables.documents(s, d))
+        .filter(col("kind") === "image")
+        .withColumn("n_bytes", length(col("media")))
+      val w = (col("n_bytes") % 960 + 64).cast("long")
+      val h = ((col("n_bytes") * 7) % 960 + 64).cast("long")
+      val longSide = greatest(w, h)
+      media
+        .withColumn("src_w", w).withColumn("src_h", h)
+        .withColumn("out_w", // floor: `/` is true division on longs
+          greatest(floor(col("src_w") * target / longSide), lit(1L))
+            .cast("long"))
+        .withColumn("out_h",
+          greatest(floor(col("src_h") * target / longSide), lit(1L))
+            .cast("long"))
+        .withColumn("no_op",
+          (col("src_w") <= target && col("src_h") <= target).cast("int"))
+        .select(col("doc_id"), col("src_w"), col("src_h"),
+          col("out_w"), col("out_h"), col("no_op"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- frame sampling: explode every 4th FrameBytes-sized chunk of
     // the binary payload into its own row (the video-frame / audio-
     // window sampling stage). Pure codegen'd exprs — sequence + binary
@@ -117,6 +148,19 @@ object Multimodal {
            16 AS feature_dim,
            CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames
          FROM documents ORDER BY doc_id""",
+    "multimodal_resize_plan" ->
+      """SELECT doc_id, src_w, src_h,
+           CAST(greatest(floor(src_w * 224.0 / greatest(src_w, src_h)), 1)
+             AS BIGINT) AS out_w,
+           CAST(greatest(floor(src_h * 224.0 / greatest(src_w, src_h)), 1)
+             AS BIGINT) AS out_h,
+           CAST(src_w <= 224 AND src_h <= 224 AS INT) AS no_op
+         FROM (
+           SELECT doc_id,
+             CAST(octet_length(encode(text)) % 960 + 64 AS BIGINT) AS src_w,
+             CAST((octet_length(encode(text)) * 7) % 960 + 64 AS BIGINT) AS src_h
+           FROM documents WHERE doc_id % 3 = 0) t
+         ORDER BY doc_id""",
     // text is ASCII (verified octet_length == length), so DuckDB's
     // character substr equals the engine's byte slice
     "multimodal_frame_sample" ->

@@ -19,7 +19,7 @@ import graft.util.Tables
   */
 object SemanticOps {
 
-  import Similarity.{dot, vecsN, lshPack2, packSigs, firstSharedBand}
+  import Similarity.{dot, vecsN}
 
   /** Greedy-by-id semantic dedup (the SemDeDup rule with document order
     * as priority): drop a vector when ANY lower-id vector is within the
@@ -36,24 +36,8 @@ object SemanticOps {
     // ~3e-8 (see embed_neardup), so the output matches the all-pairs
     // oracle deterministically.
     "embed_semantic_dedup" -> ((s, d) => {
-      val packed = vecsN(s, d).withColumn("pack", lshPack2(col("v")))
-      val banded = packed.select(col("vec_id"), col("pack"),
-        posexplode(packSigs(col("pack"))).as(Seq("band", "sig")))
-      val lhs = banded.select(col("vec_id").as("i"), col("pack").as("pl"),
-        col("band"), col("sig"))
-      val rhs = banded.select(col("vec_id").as("j"), col("pack").as("pr"),
-        col("band"), col("sig"))
-      val cands = lhs.join(rhs, Seq("band", "sig"))
-        .where(col("i") < col("j"))
-        .where(firstSharedBand(col("pl"), col("pr")) === col("band"))
-        .select(col("i"), col("j"))
-      val va = packed.select(col("vec_id").as("i"),
-        col("v").as("va"), col("nrm").as("na"))
-      val vb = packed.select(col("vec_id").as("j"),
-        col("v").as("vb"), col("nrm").as("nb"))
-      val dupJ = cands.join(va, "i").join(vb, "j")
-        .where(dot(col("va"), col("vb")) / (col("na") * col("nb"))
-          >= CosThreshold)
+      val dupJ = Similarity.lshVerifiedPairs(s, d)
+        .where(col("cos") >= CosThreshold)
         .select(col("j").as("vec_id")).distinct()
       Tables.embeddings(s, d).select(col("vec_id"))
         .join(dupJ, Seq("vec_id"), "left_anti")

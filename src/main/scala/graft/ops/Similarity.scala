@@ -40,6 +40,50 @@ object Similarity {
   private[ops] def vecsN(s: SparkSession, d: String): DataFrame =
     vecs(s, d).withColumn("nrm", norm(col("v")))
 
+  /** Banded-LSH candidate pairs verified by exact cosine at >= 0.45 —
+    * (i, j, cos), i < j, each pair once. Memoized + persisted per
+    * (session, dir): embed_neardup and embed_semantic_dedup consume the
+    * identical pair set; without memoization each runs the full
+    * band-join + verify pipeline again. */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  /** Drop the memoized pair frames and their persisted blocks. */
+  def clearCaches(): Unit = {
+    pairCache.forEachValue(Long.MaxValue, df => { df.unpersist(); () })
+    pairCache.clear()
+  }
+
+  private[ops] def lshVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    pairCache.computeIfAbsent((s, d), { _ =>
+      val packed = vecsN(s, d).withColumn("pack",
+        lshPack2(col("v"), embDim(s, d)))
+      val banded = packed.select(col("vec_id"), col("pack"),
+        posexplode(packSigs(col("pack"))).as(Seq("band", "sig")))
+      val lhs = banded.select(col("vec_id").as("i"), col("pack").as("pl"),
+        col("band"), col("sig"))
+      val rhs = banded.select(col("vec_id").as("j"), col("pack").as("pr"),
+        col("band"), col("sig"))
+      val cands = lhs.join(rhs, Seq("band", "sig"))
+        .where(col("i") < col("j"))
+        .where(firstSharedBand(col("pl"), col("pr")) === col("band"))
+        .select(col("i"), col("j"))
+      // the vector side is k×dim doubles per row — broadcast it so the
+      // candidate stream (the big side) never shuffles its wide arrays;
+      // at any scale where all-pairs verify is feasible the vector
+      // table fits a broadcast, and past that scale the threshold (not
+      // this join) is what must change
+      val va = packed.select(col("vec_id").as("i"),
+        col("v").as("va"), col("nrm").as("na"))
+      val vb = packed.select(col("vec_id").as("j"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      cands.join(broadcast(va), "i").join(broadcast(vb), "j")
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.45)
+        .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- near-duplicate pairs by embedding cosine — the scale path.
     // Candidates come from banded sign-hash LSH: 32 bands × 2-bit
@@ -59,28 +103,8 @@ object Similarity {
     // The structural win either way: candidates come from a (band, sig)
     // equi-join — shuffle-partitionable across executors — never a
     // Cartesian/NLJ over the full base (asserted in PlanSpec).
-    "embed_neardup" -> ((s, d) => {
-      val packed = vecsN(s, d).withColumn("pack", lshPack2(col("v")))
-      val banded = packed.select(col("vec_id"), col("pack"),
-        posexplode(packSigs(col("pack"))).as(Seq("band", "sig")))
-      val lhs = banded.select(col("vec_id").as("i"), col("pack").as("pl"),
-        col("band"), col("sig"))
-      val rhs = banded.select(col("vec_id").as("j"), col("pack").as("pr"),
-        col("band"), col("sig"))
-      val cands = lhs.join(rhs, Seq("band", "sig"))
-        .where(col("i") < col("j"))
-        .where(firstSharedBand(col("pl"), col("pr")) === col("band"))
-        .select(col("i"), col("j"))
-      val va = packed.select(col("vec_id").as("i"),
-        col("v").as("va"), col("nrm").as("na"))
-      val vb = packed.select(col("vec_id").as("j"),
-        col("v").as("vb"), col("nrm").as("nb"))
-      cands.join(va, "i").join(vb, "j")
-        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-        .filter(col("cos") >= 0.45)
-        .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
-        .orderBy(col("i"), col("j"))
-    }),
+    "embed_neardup" -> ((s, d) =>
+      lshVerifiedPairs(s, d).orderBy(col("i"), col("j"))),
 
     // ---- the exact all-pairs twin: the small-scale correctness
     // baseline the bucketed query is measured against (same oracle).
@@ -122,7 +146,7 @@ object Similarity {
     // Rows-only check (recall vs brute force pinned in TrainingOpsSpec).
     "ann_lsh_bucketed" -> ((s, d) => {
       val banded = vecs(s, d).select(col("vec_id"),
-        posexplode(lshBands(col("v"))).as(Seq("band", "sig")))
+        posexplode(lshBands(col("v"), embDim(s, d))).as(Seq("band", "sig")))
       val qkeys = banded.filter(col("vec_id") % 250 === 0)
         .select(col("vec_id").as("query_id"), col("band"), col("sig"))
       val candIds = banded.join(broadcast(qkeys), Seq("band", "sig"))
@@ -253,20 +277,34 @@ object Similarity {
   private val LshMaxDim = 1024
 
   /** Deterministic +-1 hyperplane for plane `p` — seeded PRNG, no stored
-    * model, identical on every executor and run. */
-  private def planeVec(p: Int): Array[Double] = {
+    * model, identical on every executor and run. `dim` trims the plane
+    * to the data's actual dimension: the PRNG stream prefix is the
+    * same, so signatures are IDENTICAL to the untrimmed planes, but the
+    * plan literal shrinks from 1024 doubles per plane (64 planes ≈
+    * 0.5 MB of literals per signature expression — the dominant cost of
+    * generating and janino-compiling these stages) to dim doubles. */
+  private def planeVec(p: Int, dim: Int): Array[Double] = {
     val rnd = new java.util.Random(0x9E3779B97F4A7C15L * (p + 1))
-    Array.fill(LshMaxDim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    Array.fill(math.min(dim, LshMaxDim))(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
+
+  /** The embedding dimension of `d`'s embeddings table — one driver-side
+    * single-row probe, memoized per (session, dir). */
+  private val dimCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]
+  private[ops] def embDim(s: SparkSession, d: String): Int =
+    dimCache.computeIfAbsent((s, d), { _ =>
+      Tables.embeddings(s, d).select(size(col("embedding"))).head.getInt(0)
+    })
 
   /** 32 bands × 2 sign bits, packed into one LONG per vector — the
     * threshold-join variant of [[lshBands]]. One narrow column carries
     * the whole signature, so the band self-join below stays 4 slim
     * columns wide and the first-shared-band dedup is pure bit math. */
   private val Pack2Bands = 32
-  private[ops] def lshPack2(v: Column): Column =
+  private[ops] def lshPack2(v: Column, dim: Int): Column =
     (0 until Pack2Bands * 2).map { p =>
-      shiftleft(when(dot(v, lit(planeVec(p))) > 0, 1L).otherwise(0L), p)
+      shiftleft(when(dot(v, lit(planeVec(p, dim))) > 0, 1L).otherwise(0L), p)
     }.reduce(_ bitwiseOR _)
 
   /** The 32 2-bit signatures of a pack, for `posexplode`. */
@@ -288,9 +326,9 @@ object Similarity {
     * literal plane — NOT a per-element lambda: higher-order-function
     * lambdas evaluate interpreted and re-hash per element, which made
     * this the slowest expression in the engine before the rewrite. */
-  def lshBands(v: Column): Column = {
+  def lshBands(v: Column, dim: Int): Column = {
     def bit(p: Int): Column =
-      when(dot(v, lit(planeVec(p))) > 0, 1).otherwise(0)
+      when(dot(v, lit(planeVec(p, dim))) > 0, 1).otherwise(0)
     array((0 until LshBands).map { b =>
       (0 until LshRows).map(r => bit(b * LshRows + r) * (1 << r))
         .reduce(_ + _)

@@ -128,6 +128,12 @@ object Algebra {
   final case class IsIriE(arg: Expr) extends Expr
   final case class IsLiteralE(arg: Expr) extends Expr
   final case class IsBlankE(arg: Expr) extends Expr
+  /** langMatches(tag, range) — §17.4.3.1 basic language range match. */
+  final case class LangMatchesE(tag: Expr, range: Expr) extends Expr
+  /** sameTerm(a, b) — full term identity (kind + value + type + lang). */
+  final case class SameTermE(l: Expr, r: Expr) extends Expr
+  /** STRDT(lexical, datatypeIri) — typed-literal constructor. */
+  final case class StrDtE(arg: Expr, dt: Expr) extends Expr
   final case class UcaseE(arg: Expr) extends Expr
   /** SUBSTR(s, start[, len]) — 1-based, per XPath fn:substring. */
   final case class SubstrE(arg: Expr, start: Expr, len: Option[Expr]) extends Expr

@@ -459,9 +459,11 @@ object Compiler {
         coalesce(t.getField("dt"), lit(Quad.xsd.string))), nullStr, nullStr)
     case StrLenE(a) =>
       litTerm(length(valueOf(a)).cast("string"), lit(Quad.xsd.integer), nullStr)
+    case StrDtE(a, dt) => litTerm(valueOf(a), valueOf(dt), nullStr)
     case BoundE(_) | StrStartsE(_, _) | CmpE(_, _, _) | AndE(_, _) | OrE(_, _) |
          NotE(_) | InE(_, _, _) | RegexE(_, _, _) | ContainsE(_, _) |
-         StrEndsE(_, _) | IsIriE(_) | IsLiteralE(_) | IsBlankE(_) =>
+         StrEndsE(_, _) | IsIriE(_) | IsLiteralE(_) | IsBlankE(_) |
+         LangMatchesE(_, _) | SameTermE(_, _) =>
       // boolean expr used in term position (e.g. BIND(?a > ?b AS ?x))
       litTerm(when(compileBool(e), lit("true")).otherwise(lit("false")),
         lit(Quad.xsd.boolean), nullStr)
@@ -495,6 +497,19 @@ object Compiler {
     case IsIriE(a) => compileExpr(a).getField("k") === Quad.KindIri
     case IsLiteralE(a) => compileExpr(a).getField("k") === Quad.KindLiteral
     case IsBlankE(a) => compileExpr(a).getField("k") === Quad.KindBnode
+    case LangMatchesE(tagE, rangeE) =>
+      // §17.4.3.1 basic language range: "*" matches any non-empty tag;
+      // otherwise case-insensitive equality or a hyphen-extended prefix
+      // ("fr" matches "fr-BE"). LANG() yields "" for untagged literals,
+      // which matches nothing but "" itself — per spec.
+      val t = lower(valueOf(tagE))
+      val r = lower(valueOf(rangeE))
+      when(r === "*", t =!= "")
+        .otherwise(t === r || t.startsWith(concat(r, lit("-"))))
+    case SameTermE(l, r) =>
+      // struct comparison is field-wise with null==null — exactly RDF
+      // term identity over (value, kind, datatype, lang)
+      compileExpr(l) === compileExpr(r)
     case IfE(c, t, f) =>
       when(compileBool(c), compileBool(t)).otherwise(compileBool(f))
     case other =>

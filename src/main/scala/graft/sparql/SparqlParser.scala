@@ -535,6 +535,12 @@ object SparqlParser {
             case "STRENDS" => argList() match { case Seq(a, b) => StrEndsE(a, b) }
             case "STR" => argList() match { case Seq(a) => StrE(a) }
             case "LANG" => argList() match { case Seq(a) => LangE(a) }
+            case "LANGMATCHES" =>
+              argList() match { case Seq(t, r) => LangMatchesE(t, r) }
+            case "SAMETERM" =>
+              argList() match { case Seq(a, b) => SameTermE(a, b) }
+            case "STRDT" =>
+              argList() match { case Seq(a, dt) => StrDtE(a, dt) }
             case "DATATYPE" => argList() match { case Seq(a) => DatatypeE(a) }
             case "STRLEN" => argList() match { case Seq(a) => StrLenE(a) }
             case "ISIRI" | "ISURI" => argList() match { case Seq(a) => IsIriE(a) }

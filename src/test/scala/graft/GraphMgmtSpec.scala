@@ -28,6 +28,39 @@ class GraphMgmtSpec extends AnyFunSuite {
     assert(rows("http://ex/E") == rows("http://ex/A"), "LOAD round-trips A")
   }
 
+  test("LANGMATCHES / sameTerm / STRDT evaluate per SPARQL semantics") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-lm-${System.nanoTime()}"
+    val store = new graft.model.GraphStore(spark, dir)
+    val engine = new GraphEngine(store)
+    engine.update("""INSERT DATA { GRAPH <g:l> {
+      <s:1> <label> "bonjour"@fr .
+      <s:2> <label> "hallo"@fr-BE .
+      <s:3> <label> "hello"@en .
+      <s:4> <label> "plain" .
+    } }""")
+    def ids(q: String): Set[String] =
+      engine.select(q).collect().map(_.getString(0)).toSet
+    assert(ids("""SELECT ?x FROM <g:l>
+        WHERE { ?x <label> ?l . FILTER (LANGMATCHES(LANG(?l), "fr")) }""")
+      == Set("s:1", "s:2"), "fr matches fr and fr-BE")
+    assert(ids("""SELECT ?x FROM <g:l>
+        WHERE { ?x <label> ?l . FILTER (LANGMATCHES(LANG(?l), "*")) }""")
+      == Set("s:1", "s:2", "s:3"), "* matches any tagged literal")
+    assert(ids("""SELECT ?x FROM <g:l>
+        WHERE { ?x <label> ?l . FILTER (SAMETERM(?l, STRLANG("hello", "en"))) }""")
+      == Set("s:3"), "sameTerm is full term identity incl. lang")
+    assert(ids("""SELECT ?x FROM <g:l>
+        WHERE { ?x <label> ?l . FILTER (SAMETERM(?l, "plain")) }""")
+      == Set("s:4"), "plain literal identity: no tag, no datatype")
+    // STRDT constructs a typed literal usable in a later comparison
+    val strdt = engine.select("""PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?x FROM <g:l>
+        WHERE { ?x <label> ?l .
+                BIND (STRDT(STR(?l), xsd:string) AS ?t)
+                FILTER (DATATYPE(?t) = xsd:string) }""")
+    assert(strdt.count() == 4, "STRDT attaches the datatype IRI")
+  }
+
   test("COPY replaces target contents; ADD preserves them") {
     import org.apache.spark.sql.functions._
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-gm2-${System.nanoTime()}"
