@@ -46,17 +46,25 @@ final class GraphEngine(val store: QuadStore) {
         } finally { b.unpersist(blocking = false); () }
       case ClearGraphOp(g, _) => store.clearGraph(g)
       case DropGraphOp(g, _) => store.dropGraph(g)
-      case CopyGraphOp(from, to, _) => copyInto(from, to, replace = true)
+      // §3.2.3-5: COPY/MOVE/ADD of a graph onto itself is a no-op. The
+      // guard is also a correctness requirement here: copyInto clears the
+      // target eagerly while the source read is a lazy scan, so without it
+      // a same-graph COPY would read back the already-cleared partition.
+      case CopyGraphOp(from, to, _) =>
+        if (from != to) copyInto(from, to, replace = true)
       case MoveGraphOp(from, to, _) =>
-        copyInto(from, to, replace = true); store.dropGraph(from)
-      case AddGraphOp(from, to, _) => copyInto(from, to, replace = false)
+        if (from != to) { copyInto(from, to, replace = true); store.dropGraph(from) }
+      case AddGraphOp(from, to, _) =>
+        if (from != to) copyInto(from, to, replace = false)
       case LoadOp(source, graph, _) =>
         // file URL → local path; reader picked by extension, matching the
         // reference's any-rdflib-format ingest (sparql_update.py:124-133)
         val path = source.stripPrefix("file://")
-        val g = graph.getOrElse("urn:graft:default")
+        val g = graph.getOrElse(graft.model.Quad.DefaultGraph)
         val quads =
           if (path.endsWith(".ttl")) graft.rdf.Turtle.read(store.spark, path, g)
+          else if (path.endsWith(".rdf") || path.endsWith(".xml") ||
+            path.endsWith(".owl")) graft.rdf.RdfXml.read(store.spark, path, g)
           else graft.rdf.NTriples.read(store.spark, path, g)
         store.appendDistinct(quads.toDF(), Some(Seq(g)))
     }

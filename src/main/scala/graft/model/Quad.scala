@@ -34,6 +34,12 @@ object Quad {
 
   val BnodePrefix = "_:"
 
+  /** The unnamed default graph's storage name. SPARQL's default graph has
+    * no IRI; the partitioned store still needs a partition value, so the
+    * engine reserves this one. `LOAD` without `INTO GRAPH` and the
+    * `DEFAULT` keyword in COPY/MOVE/ADD both resolve here. */
+  val DefaultGraph = "urn:graft:default"
+
   object xsd {
     val ns = "http://www.w3.org/2001/XMLSchema#"
     val integer: String = ns + "integer"

@@ -115,7 +115,10 @@ object RdfOps {
     }),
 
     // S3: JSON file source → flattener (the mam_tenants ingestion path,
-    // whole-document read). Rows-only: writes its own temp input.
+    // whole-document read). Writes its own temp input; blank-node labels
+    // embed the partition id (varies with parallelism) so they are
+    // normalized before the oracle hash-compare, like the Turtle/XML
+    // source queries.
     "rdf_json_file_source" -> ((s, _) => {
       val dir = java.nio.file.Files.createTempDirectory("graft-src")
       val f = dir.resolve("tenants.json")
@@ -123,6 +126,11 @@ object RdfOps {
         graft.queries.Fixtures.mamDoc.head)
       graft.sources.Sources.jsonFileToQuads(s, f.toString,
         "https://data.example.org/graph/tenants", ns).toDF()
+        .select(col("graph"),
+          regexp_replace(col("s"), "_:b[0-9-]+", "_:b").as("s"),
+          col("p"),
+          regexp_replace(col("o_value"), "_:b[0-9-]+", "_:b").as("o_value"),
+          col("o_type"), col("o_lang"), col("o_kind"))
         .orderBy(col("s"), col("p"))
     }),
 
@@ -139,6 +147,22 @@ object RdfOps {
           regexp_replace(col("s"), "_:t[0-9a-f]+_", "_:").as("s"),
           col("p"),
           regexp_replace(col("o_value"), "_:t[0-9a-f]+_", "_:").as("o_value"),
+          col("o_type"), col("o_lang"), col("o_kind"))
+        .orderBy(col("s"), col("p"), col("o_value"))
+    }),
+
+    // S4c: RDF/XML file source — a fixture document written to a temp
+    // file and read back through the StAX element-stream parser. Bnode
+    // labels normalized like the Turtle query; the oracle CONSTRUCTS
+    // the expected graph in SQL VALUES.
+    "rdf_xml_source" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-xml")
+      java.nio.file.Files.writeString(dir.resolve("org.rdf"), rdfXmlFixture)
+      graft.rdf.RdfXml.read(s, dir.toString, "http://g/xml").toDF()
+        .select(
+          regexp_replace(col("s"), "_:x[0-9a-f]+_", "_:").as("s"),
+          col("p"),
+          regexp_replace(col("o_value"), "_:x[0-9a-f]+_", "_:").as("o_value"),
           col("o_type"), col("o_lang"), col("o_kind"))
         .orderBy(col("s"), col("p"), col("o_value"))
     }),
@@ -387,10 +411,18 @@ object RdfOps {
       engine.update("COPY <http://ex/A> TO <http://ex/B>")
       engine.update("ADD <http://ex/C> TO <http://ex/B>")
       engine.update("MOVE <http://ex/B> TO <http://ex/D>")
-      // LOAD: serialize graph A to .nt, read it back into E
+      // §3.2.3-5: graph-onto-itself COPY/MOVE/ADD are no-ops — the final
+      // counts must be unchanged by these three
+      engine.update("COPY <http://ex/A> TO <http://ex/A>")
+      engine.update("MOVE <http://ex/D> TO <http://ex/D>")
+      engine.update("ADD <http://ex/C> TO <http://ex/C>")
+      // LOAD: serialize graph A to .nt, read it back into E, and (no
+      // INTO clause) into the default graph, then COPY DEFAULT onward
       val nt = s"$dir-load.nt"
       NTriples.write(store.readGraphs(Seq("http://ex/A")), nt)
       engine.update(s"LOAD <file://$nt> INTO GRAPH <http://ex/E>")
+      engine.update(s"LOAD <file://$nt>")
+      engine.update("COPY DEFAULT TO <http://ex/F>")
       store.read().groupBy(col("graph"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("graph"))
@@ -456,6 +488,33 @@ object RdfOps {
         FROM <$g>
         WHERE { <nation:0> <next>+ ?x }
         ORDER BY ?x""")
+    }),
+
+    // Zero-length path modifiers: `*` from a constant subject (chain
+    // reachability INCLUDING the start) and `?` between variables (the
+    // domain-restricted zero-length identity over every graph term,
+    // ALP §18.4, plus the one-hop edges). Same chain fixture as the
+    // `+` closure query.
+    "rdf_sparql_path_star" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-star-${System.nanoTime()}"
+      val g = "http://ex/chain"
+      val store = new graft.model.GraphStore(s, dir)
+      store.append(Tables.nation(s, d)
+        .filter(col("n_nationkey") < 24)
+        .select(
+          lit(g).as("graph"),
+          concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+          lit("next").as("p"),
+          concat(lit("nation:"), (col("n_nationkey") + 1).cast("string")).as("o_value"),
+          lit(null).cast("string").as("o_type"),
+          lit(null).cast("string").as("o_lang"),
+          lit("iri").as("o_kind")))
+      val engine = new graft.GraphEngine(store)
+      engine.select(s"""
+        SELECT ?x ?y
+        FROM <$g>
+        WHERE { <nation:0> <next>* ?x . ?x <next>? ?y }
+        ORDER BY ?x ?y""")
     }),
 
     // FILTER NOT EXISTS: customers with no orders — the anti-join
@@ -689,6 +748,31 @@ object RdfOps {
         .orderBy(col("graph"))
     }))
 
+  private val rdfXmlFixture = """<?xml version="1.0" encoding="UTF-8"?>
+    |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    |         xmlns:ex="http://ex/">
+    |  <ex:Org rdf:about="http://ex/alpha">
+    |    <ex:name xml:lang="en">Alpha Corp</ex:name>
+    |    <ex:employees rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">42</ex:employees>
+    |    <ex:active rdf:datatype="http://www.w3.org/2001/XMLSchema#boolean">true</ex:active>
+    |    <ex:homepage rdf:resource="http://ex/alpha/home"/>
+    |    <ex:contact>
+    |      <rdf:Description rdf:nodeID="c1">
+    |        <ex:email>a@example.org</ex:email>
+    |        <ex:phone>123</ex:phone>
+    |      </rdf:Description>
+    |    </ex:contact>
+    |  </ex:Org>
+    |  <rdf:Description rdf:about="http://ex/beta">
+    |    <ex:name>Beta</ex:name>
+    |    <ex:partner rdf:nodeID="c1"/>
+    |    <ex:meta rdf:parseType="Resource">
+    |      <ex:rank rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">7</ex:rank>
+    |    </ex:meta>
+    |  </rdf:Description>
+    |</rdf:RDF>
+    |""".stripMargin
+
   private val turtleFixture = """
     |@prefix ex: <http://ex/> .
     |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
@@ -707,6 +791,20 @@ object RdfOps {
     |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // constructed-state oracle: the flattener's expected output on the
+    // one-document mamDoc fixture (bnode label normalized on both sides)
+    "rdf_json_file_source" ->
+      """SELECT * FROM (VALUES
+           (CAST('https://data.example.org/graph/tenants' AS VARCHAR),
+            CAST('_:b' AS VARCHAR),
+            CAST('http://localhost/ExternalId' AS VARCHAR),
+            CAST('OR-w66976m' AS VARCHAR), CAST(NULL AS VARCHAR),
+            CAST(NULL AS VARCHAR), CAST('literal' AS VARCHAR)),
+           ('https://data.example.org/graph/tenants', '_:b',
+            'http://localhost/Name', 'Tenant display name',
+            NULL, NULL, 'literal')
+         ) t(graph, s, p, o_value, o_type, o_lang, o_kind)
+         ORDER BY s, p""",
     "rdf_turtle_source" ->
       """SELECT * FROM (VALUES
            (CAST('_:1' AS VARCHAR), CAST('http://ex/email' AS VARCHAR),
@@ -728,6 +826,30 @@ object RdfOps {
            ('http://ex/alpha', 'http://ex/name', 'Alpha Corp', NULL, 'en', 'literal'),
            ('http://ex/alpha', 'http://ex/score', '4.5',
             'http://www.w3.org/2001/XMLSchema#decimal', NULL, 'literal')
+         ) t(s, p, o_value, o_type, o_lang, o_kind)
+         ORDER BY s, p, o_value""",
+    "rdf_xml_source" ->
+      """SELECT * FROM (VALUES
+           (CAST('_:1' AS VARCHAR), CAST('http://ex/rank' AS VARCHAR),
+            CAST('7' AS VARCHAR),
+            CAST('http://www.w3.org/2001/XMLSchema#integer' AS VARCHAR),
+            CAST(NULL AS VARCHAR), CAST('literal' AS VARCHAR)),
+           ('_:c1', 'http://ex/email', 'a@example.org', NULL, NULL, 'literal'),
+           ('_:c1', 'http://ex/phone', '123', NULL, NULL, 'literal'),
+           ('http://ex/alpha',
+            'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+            'http://ex/Org', NULL, NULL, 'iri'),
+           ('http://ex/alpha', 'http://ex/active', 'true',
+            'http://www.w3.org/2001/XMLSchema#boolean', NULL, 'literal'),
+           ('http://ex/alpha', 'http://ex/contact', '_:c1', NULL, NULL, 'bnode'),
+           ('http://ex/alpha', 'http://ex/employees', '42',
+            'http://www.w3.org/2001/XMLSchema#integer', NULL, 'literal'),
+           ('http://ex/alpha', 'http://ex/homepage', 'http://ex/alpha/home',
+            NULL, NULL, 'iri'),
+           ('http://ex/alpha', 'http://ex/name', 'Alpha Corp', NULL, 'en', 'literal'),
+           ('http://ex/beta', 'http://ex/meta', '_:1', NULL, NULL, 'bnode'),
+           ('http://ex/beta', 'http://ex/name', 'Beta', NULL, NULL, 'literal'),
+           ('http://ex/beta', 'http://ex/partner', '_:c1', NULL, NULL, 'bnode')
          ) t(s, p, o_value, o_type, o_lang, o_kind)
          ORDER BY s, p, o_value""",
     "rdf_mapping_scale" ->
@@ -813,6 +935,10 @@ object RdfOps {
               + (SELECT count(*) FROM region) AS BIGINT)
          UNION ALL
          SELECT 'http://ex/E', CAST(count(*) AS BIGINT) FROM nation
+         UNION ALL
+         SELECT 'http://ex/F', CAST(count(*) AS BIGINT) FROM nation
+         UNION ALL
+         SELECT 'urn:graft:default', CAST(count(*) AS BIGINT) FROM nation
          ORDER BY graph""",
     "rdf_sparql_ask" ->
       "SELECT 1 AS positive, 0 AS negative",
@@ -858,6 +984,18 @@ object RdfOps {
       """SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS x
          FROM nation WHERE n_nationkey > 0
          ORDER BY x""",
+    // `*` reaches every chain node including nation:0 itself (25 x);
+    // `?` adds per-x the zero-length identity and, below the chain end,
+    // the one-hop successor
+    "rdf_sparql_path_star" ->
+      """SELECT 'nation:' || CAST(a AS VARCHAR) AS x,
+           'nation:' || CAST(b AS VARCHAR) AS y
+         FROM (
+           SELECT n_nationkey AS a, n_nationkey AS b FROM nation
+           UNION ALL
+           SELECT n_nationkey, n_nationkey + 1 FROM nation
+           WHERE n_nationkey < 24) t
+         ORDER BY x, y""",
     "rdf_sparql_construct" ->
       """SELECT 'urn:regions' AS graph,
            'nation:' || CAST(n_nationkey AS VARCHAR) AS s,

@@ -43,13 +43,17 @@ object Algebra {
   /** `VALUES ?v { term term ... }` — inline binding table (single-var
     * form; each term is an IRI or literal Node). */
   final case class ValuesE(varName: String, terms: Seq[Node]) extends Element
-  /** Transitive closure `s path+ o` (property-path `+`). `edges` is the
-    * desugared one-hop pattern group binding `(ev1, ev2)`; the compiler
-    * iterates pair-doubling joins to the reachability fixpoint, then
-    * constrains the endpoints by `s`/`o` (var or constant IRI). Paths
-    * `/ ^ |` desugar at parse time; only `+` needs this runtime node. */
+  /** Path repetition `s path{minHops,maxHops} o` — the runtime node
+    * behind `+` (1,∞), `*` (0,∞) and `?` (0,1). `edges` is the desugared
+    * one-hop pattern group binding `(ev1, ev2)`; the compiler iterates
+    * pair-doubling joins to the reachability fixpoint (skipped when
+    * maxHops == 1), then constrains the endpoints by `s`/`o` (var or
+    * constant IRI). minHops == 0 adds the zero-length identity pairs,
+    * domain-restricted per the ALP semantics: every term of the scoped
+    * graph, plus the query's own constant endpoints. Paths `/ ^ |`
+    * desugar at parse time. */
   final case class ClosureE(s: Node, edges: Group, ev1: String, ev2: String,
-      o: Node) extends Element
+      o: Node, minHops: Int = 1, maxHops: Int = Int.MaxValue) extends Element
   /** `GRAPH g { group }` — scope the inner group to one named graph
     * (constant IRI: partition-pruned read) or bind the graph per
     * solution (variable: every inner pattern also binds `?g`, so the
@@ -69,8 +73,8 @@ object Algebra {
       case UnionE(bs) => bs.flatMap(_.vars)
       case MinusE(_) => Seq.empty // MINUS binds nothing outward
       case ValuesE(v, _) => Seq(v)
-      case ClosureE(s, _, _, _, o) =>
-        Seq(s, o).collect { case V(n) => n } // edge vars stay internal
+      case c: ClosureE =>
+        Seq(c.s, c.o).collect { case V(n) => n } // edge vars stay internal
       case GraphE(g, inner) =>
         (Seq(g).collect { case V(n) => n }) ++ inner.vars
       case SubSelectE(q) =>

@@ -120,6 +120,8 @@ object Compiler {
     val soft = shared.filter(v => aNullable(v) || bNullable(v))
     if (soft.isEmpty) return a.join(b, shared, joinType)
     val hard = shared.filterNot(soft.contains)
+    if (hard.isEmpty && joinType == "inner")
+      return compatJoinAllSoft(a, b, soft)
     val l = a.alias("_l"); val r = b.alias("_r")
     val conds =
       hard.map(v => col(s"_l.$v") === col(s"_r.$v")) ++
@@ -133,6 +135,43 @@ object Compiler {
       soft.map(v => coalesce(col(s"_l.$v"), col(s"_r.$v")).as(v)) ++
       aOnly.map(v => col(s"_l.$v").as(v)) ++
       bOnly.map(v => col(s"_r.$v").as(v)): _*)
+  }
+
+  /** The degenerate compat-join shape: EVERY shared var is maybe-unbound,
+    * so the OR/isNull disjunction gives Spark no equi key at all and the
+    * join falls back to a nested loop over the FULL pair space. Split on
+    * the first soft var's bound/unbound status instead — three disjoint
+    * compatibility cases, unioned:
+    *   C  both sides bind v0      → plain equi key on v0 (HASH join — the
+    *                                bulk of the data takes this branch)
+    *   A  left v0 unbound         → nested loop, but only over the rows
+    *   B  right v0 unbound, left    that actually left v0 unbound (the
+    *      bound                     OPTIONAL/UNION-miss minority slice)
+    * Remaining soft vars keep the disjunction inside each branch — one
+    * recovered equi key is what flips the plan from NLJ to hash.
+    * Left-outer all-soft joins (rare: an OPTIONAL whose ENTIRE overlap
+    * with the base is maybe-unbound) still take the disjunction path —
+    * documented trade-off, shape pinned in CompatJoinSpec. */
+  private def compatJoinAllSoft(
+      a: DataFrame, b: DataFrame, soft: Seq[String]): DataFrame = {
+    val v0 = soft.head
+    val rest = soft.tail
+    val l = a.alias("_l"); val r = b.alias("_r")
+    def restConds = rest.map(v =>
+      col(s"_l.$v").isNull || col(s"_r.$v").isNull ||
+        col(s"_l.$v") === col(s"_r.$v"))
+    val cases = Seq(
+      (col(s"_l.$v0") === col(s"_r.$v0")) +: restConds,
+      col(s"_l.$v0").isNull +: restConds,
+      (col(s"_l.$v0").isNotNull && col(s"_r.$v0").isNull) +: restConds)
+    val aOnly = a.columns.filterNot(soft.contains).toSeq
+    val bOnly = b.columns.filterNot(soft.contains).toSeq
+    cases.map { conds =>
+      l.join(r, conds.reduce(_ && _), "inner").select(
+        soft.map(v => coalesce(col(s"_l.$v"), col(s"_r.$v")).as(v)) ++
+        aOnly.map(v => col(s"_l.$v").as(v)) ++
+        bOnly.map(v => col(s"_r.$v").as(v)): _*)
+    }.reduce(_ unionAll _)
   }
 
   private def joinStep(acc: Option[DataFrame], accNullable: Set[String],
@@ -303,7 +342,7 @@ object Compiler {
           case L(_, _, _) =>
             throw new IllegalArgumentException("literal GRAPH name")
         }
-      case ClosureE(sN, edgeGroup, v1, v2, oN) =>
+      case ClosureE(sN, edgeGroup, v1, v2, oN, minHops, maxHops) =>
         flush()
         // one-hop edge pairs from the desugared inner path; checkpointed
         // so the iterative plan below stays flat (lineage pitfall)
@@ -313,22 +352,45 @@ object Compiler {
         // reachability by PAIR DOUBLING: round k covers paths up to
         // 2^k hops, so 20 bounded rounds reach any practical diameter
         // with one equi-join + distinct per round — each shuffles on
-        // the join endpoint, never all-pairs
+        // the join endpoint, never all-pairs. maxHops == 1 (`?`) needs
+        // no iteration at all.
         var closure = edgePairs
-        var n = closure.count()
-        var changed = n > 0
-        var rounds = 0
-        while (changed && rounds < 20) {
-          val doubled = closure.join(
-            closure.select(col("_src").as("_dst"), col("_dst").as("_hop")),
-            "_dst")
-            .select(col("_src"), col("_hop").as("_dst"))
-          val next = closure.unionAll(doubled).dropDuplicates().localCheckpoint()
-          val m = next.count()
-          changed = m != n
-          n = m
-          closure = next
-          rounds += 1
+        if (maxHops > 1) {
+          var n = closure.count()
+          var changed = n > 0
+          var rounds = 0
+          while (changed && rounds < 20) {
+            val doubled = closure.join(
+              closure.select(col("_src").as("_dst"), col("_dst").as("_hop")),
+              "_dst")
+              .select(col("_src"), col("_hop").as("_dst"))
+            val next = closure.unionAll(doubled).dropDuplicates().localCheckpoint()
+            val m = next.count()
+            changed = m != n
+            n = m
+            closure = next
+            rounds += 1
+          }
+        }
+        if (minHops == 0) {
+          // zero-length identity, domain-restricted (ALP §18.4): every
+          // term of the scoped graph — subject or object position — plus
+          // the query's own constant endpoints (a constant matches its
+          // zero-length path whether or not the graph mentions it). One
+          // distinct over narrow term structs; partitionable at scale.
+          val subjTerms = quads.select(subjectTerm(col("s")).as("_t"))
+          val objTerms = quads.select(objectTerm().as("_t"))
+          val constTerms = Seq(sN, oN).collect {
+            case I(iri) => unitRow(quads).select(iriTerm(lit(iri)).as("_t"))
+            case L(value, dt, lang) => unitRow(quads).select(litTerm(lit(value),
+              Option(dt).map(lit).getOrElse(nullStr),
+              Option(lang).map(lit).getOrElse(nullStr)).as("_t"))
+          }
+          val domain = constTerms.foldLeft(subjTerms.unionAll(objTerms))(_ unionAll _)
+            .dropDuplicates()
+          closure = closure
+            .unionAll(domain.select(col("_t").as("_src"), col("_t").as("_dst")))
+            .dropDuplicates()
         }
         var res = closure
         val outCols = Vector.newBuilder[(String, Column)]

@@ -197,15 +197,18 @@ object SparqlParser {
     // ---------------- triple blocks ----------------
     private val rdfTypeIri = dsl.rdfType
 
-    // ---- property paths (SPARQL 1.1 §9, subset: / ^ | +) ----
+    // ---- property paths (SPARQL 1.1 §9, subset: / ^ | + * ?) ----
     // `/ ^ |` desugar at parse time into joins / UNION over fresh
-    // anonymous variables; only `+` survives as a runtime ClosureE.
+    // anonymous variables; `+ * ?` survive as runtime ClosureE nodes
+    // (min/max hop bounds; `* ?` add the zero-length identity).
     private sealed trait Path
     private final case class PIri(iri: String) extends Path
     private final case class PSeq(l: Path, r: Path) extends Path
     private final case class PAlt(l: Path, r: Path) extends Path
     private final case class PInv(p: Path) extends Path
     private final case class PPlus(p: Path) extends Path
+    private final case class PStar(p: Path) extends Path
+    private final case class PZeroOne(p: Path) extends Path
 
     private def path(): Path = {
       var l = pathSeq()
@@ -230,15 +233,12 @@ object SparqlParser {
         case _ => PIri(iriRef())
       }
       // postfix modifiers bind ADJACENTLY (no whitespace) — a detached
-      // '?' is the next variable, not a modifier
+      // '?' followed by a name char is the next variable, not a modifier
       peek match {
         case '+' => pos += 1; PPlus(base)
-        case '*' => fail(
-          "zero-length path modifiers (*, ?) are not supported — " +
-            "they bind every graph term; use + for 1-or-more")
-        case '?' if pos + 1 < input.length && !isNameChar(input(pos + 1)) => fail(
-          "zero-length path modifiers (*, ?) are not supported — " +
-            "they bind every graph term; use + for 1-or-more")
+        case '*' => pos += 1; PStar(base)
+        case '?' if pos + 1 >= input.length || !isNameChar(input(pos + 1)) =>
+          pos += 1; PZeroOne(base)
         case _ => base
       }
     }
@@ -256,11 +256,17 @@ object SparqlParser {
         desugarPath(s, l, o, lb)
         desugarPath(s, r, o, rb)
         out += UnionE(Seq(Group(lb.toSeq), Group(rb.toSeq)))
-      case PPlus(inner) =>
-        val (v1, v2) = (anonVar(), anonVar())
-        val eb = mutable.Buffer.empty[Element]
-        desugarPath(v1, inner, v2, eb)
-        out += ClosureE(s, Group(eb.toSeq), v1.name, v2.name, o)
+      case PPlus(inner) => out += closureOf(s, inner, o, 1, Int.MaxValue)
+      case PStar(inner) => out += closureOf(s, inner, o, 0, Int.MaxValue)
+      case PZeroOne(inner) => out += closureOf(s, inner, o, 0, 1)
+    }
+
+    private def closureOf(s: Node, inner: Path, o: Node,
+        minHops: Int, maxHops: Int): ClosureE = {
+      val (v1, v2) = (anonVar(), anonVar())
+      val eb = mutable.Buffer.empty[Element]
+      desugarPath(v1, inner, v2, eb)
+      ClosureE(s, Group(eb.toSeq), v1.name, v2.name, o, minHops, maxHops)
     }
 
     /** Parses TriplesSameSubject (with ; , [...] and — in WHERE groups —
@@ -630,8 +636,7 @@ object SparqlParser {
         val silent = keyword("SILENT")
         val source = iriRef()
         val graph =
-          if (keyword("INTO")) { expectKeyword("GRAPH"); Some(iriRef()) }
-          else None
+          if (keyword("INTO")) Some(graphOrDefault()) else None
         LoadOp(source, graph, silent)
       } else {
         val withGraph = if (keyword("WITH")) Some(iriRef()) else None
@@ -661,16 +666,21 @@ object SparqlParser {
       }
     }
 
-    /** `[SILENT] [GRAPH] g1 TO [GRAPH] g2` (shared by COPY/MOVE/ADD). */
+    /** `[SILENT] (DEFAULT | [GRAPH] g1) TO (DEFAULT | [GRAPH] g2)`
+      * (shared by COPY/MOVE/ADD). `DEFAULT` names the unnamed default
+      * graph, stored under [[graft.model.Quad.DefaultGraph]]. */
     private def graphToGraph(
         mk: (String, String, Boolean) => UpdateOp): UpdateOp = {
       val silent = keyword("SILENT")
-      keyword("GRAPH") // optional in the grammar
-      val from = iriRef()
+      val from = graphOrDefault()
       expectKeyword("TO")
-      keyword("GRAPH")
-      mk(from, iriRef(), silent)
+      mk(from, graphOrDefault(), silent)
     }
+
+    /** `DEFAULT | [GRAPH] <iri>` → the graph's storage name. */
+    private def graphOrDefault(): String =
+      if (keyword("DEFAULT")) graft.model.Quad.DefaultGraph
+      else { keyword("GRAPH"); iriRef() }
 
     /** `{ [GRAPH g] triples }` → (target graph, template triples). */
     private def templateBlock(withGraph: Option[String]): (String, Seq[TriplePattern]) = {

@@ -23,9 +23,27 @@ class GraphMgmtSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("rdf_graph_management")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows.keySet == Set("http://ex/A", "http://ex/C",
-      "http://ex/D", "http://ex/E"), "B moved away, D/E created")
+      "http://ex/D", "http://ex/E", "http://ex/F", "urn:graft:default"),
+      "B moved away, D/E created, default loaded and copied to F")
     assert(rows("http://ex/D") == rows("http://ex/A") + rows("http://ex/C"))
     assert(rows("http://ex/E") == rows("http://ex/A"), "LOAD round-trips A")
+    assert(rows("urn:graft:default") == rows("http://ex/A"),
+      "LOAD without INTO targets the default graph")
+    assert(rows("http://ex/F") == rows("http://ex/A"),
+      "COPY DEFAULT TO <F> reads the default graph")
+  }
+
+  test("COPY/MOVE/ADD of a graph onto itself are no-ops (§3.2.3-5)") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-self-${System.nanoTime()}"
+    val store = new graft.model.GraphStore(spark, dir)
+    val engine = new GraphEngine(store)
+    engine.update("""INSERT DATA { GRAPH <g:s> { <s:1> <p> "x" . <s:2> <p> "y" . } }""")
+    engine.update("COPY <g:s> TO <g:s>")
+    assert(store.countGraph("g:s") == 2, "same-graph COPY must not clear")
+    engine.update("MOVE <g:s> TO <g:s>")
+    assert(store.countGraph("g:s") == 2, "same-graph MOVE must not drop")
+    engine.update("ADD <g:s> TO <g:s>")
+    assert(store.countGraph("g:s") == 2, "same-graph ADD must not duplicate")
   }
 
   test("LANGMATCHES / sameTerm / STRDT evaluate per SPARQL semantics") {

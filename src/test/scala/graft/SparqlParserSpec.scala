@@ -405,11 +405,19 @@ class SparqlParserSpec extends AnyFunSuite {
       SELECT ?x FROM <http://ex/g>
       WHERE { ?x ex:knows+ ex:d . ?x ex:worksAt ?w }""").collect().map(_.getString(0))
     assert(mid.toSeq == Seq("http://ex/a"))
-    // zero-length modifiers are a clear error, not silent wrong answers
-    val err = intercept[IllegalArgumentException] {
-      engine.select("SELECT ?x WHERE { ?x <p>* ?y }")
-    }
-    assert(err.getMessage.contains("zero-length"))
+    // * includes the zero-length path: the constant subject itself joins in
+    val star = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?x FROM <http://ex/g>
+      WHERE { ex:a ex:knows* ?x } ORDER BY ?x""").collect().map(_.getString(0))
+    assert(star.toSeq ==
+      Seq("http://ex/a", "http://ex/b", "http://ex/c", "http://ex/d"))
+    // ? is exactly {0,1} hops — no transitive reach, but the identity stays
+    val zeroOne = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?x FROM <http://ex/g>
+      WHERE { ex:a ex:knows? ?x } ORDER BY ?x""").collect().map(_.getString(0))
+    assert(zeroOne.toSeq == Seq("http://ex/a", "http://ex/b"))
   }
 
   test("DELETE/INSERT WHERE: one pre-state evaluation feeds both templates") {
