@@ -149,7 +149,9 @@ object QualityOps {
                string_split_regex(trim(text), '\s+') AS t FROM documents),
            wins AS (SELECT doc_id,
                array_to_string(t[(i-1)*10+1 : i*10], ' ') AS win
-             FROM toks, range(1, 1000) r(i) WHERE i <= len(t) // 10),
+             FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) // 10)) AS i
+                   FROM toks) ti),
            freq AS (SELECT win, count(*) AS n_occ FROM wins GROUP BY win)
          SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_windows,
@@ -163,7 +165,9 @@ object QualityOps {
                string_split_regex(trim(text), '\s+') AS t FROM documents),
            tf AS (SELECT doc_id, bg, count(*) AS tf FROM (
                SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
-               FROM toks, range(1, 1000) r(i) WHERE i <= len(t) - 1) x
+               FROM (SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 1)) AS i
+                     FROM toks) ti) x
              GROUP BY doc_id, bg),
            bgc AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS c_bg,
                      string_split(bg, ' ')[1] AS w1

@@ -74,14 +74,16 @@ object SemanticOps {
 
   /** Assignment column: argmin squared-L2 over the literal centroid set,
     * ties to the lowest cluster id — struct(dist, id) array_sort, the
-    * same shape as Similarity.ivfCellsOf. */
-  private def assignTo(centroids: Array[Array[Double]]): Column = {
+    * same shape as Similarity.ivfCellsOf. Returns the winning struct so
+    * callers can read both `id` and the relative `dist` (|v|^2 omitted —
+    * constant across assignments). */
+  private def bestCentroid(centroids: Array[Array[Double]]): Column = {
     val scored = array(centroids.zipWithIndex.map { case (c, id) =>
       val cc = c.map(x => x * x).sum // |c|^2 folds to one literal
       struct((dot(col("v"), lit(c)) * -2 + cc).as("dist"),
         lit(id).as("id"))
     }.toIndexedSeq: _*)
-    element_at(array_sort(scored), 1).getField("id")
+    element_at(array_sort(scored), 1)
   }
 
   /** 3 Lloyd rounds: assign against literal centroids, recompute by a
@@ -100,12 +102,7 @@ object SemanticOps {
       assigned.agg(sum(col("dist"))).head.getDouble(0)
     var assigned: DataFrame = null
     for (_ <- 1 to Rounds) {
-      val scored = array(centroids.zipWithIndex.map { case (c, id) =>
-        val cc = c.map(x => x * x).sum
-        struct((dot(col("v"), lit(c)) * -2 + cc).as("dist"),
-          lit(id).as("id"))
-      }.toIndexedSeq: _*)
-      assigned = base.withColumn("best", element_at(array_sort(scored), 1))
+      assigned = base.withColumn("best", bestCentroid(centroids))
         .withColumn("cluster", col("best").getField("id"))
         .withColumn("dist", col("best").getField("dist"))
       inertias += inertiaOf(assigned)

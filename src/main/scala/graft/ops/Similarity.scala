@@ -68,21 +68,44 @@ object Similarity {
         .where(col("i") < col("j"))
         .where(firstSharedBand(col("pl"), col("pr")) === col("band"))
         .select(col("i"), col("j"))
-      // the vector side is k×dim doubles per row — broadcast it so the
-      // candidate stream (the big side) never shuffles its wide arrays;
-      // at any scale where all-pairs verify is feasible the vector
-      // table fits a broadcast, and past that scale the threshold (not
-      // this join) is what must change
+      // verify join strategy: broadcasting the vector side keeps the
+      // wide arrays out of the shuffle — but it is only legal while the
+      // WHOLE embedding table fits one executor. Above the size gate
+      // the candidates (narrow i/j pairs) shuffle-join the vectors on
+      // vec_id instead: the wide payload moves once, co-partitioned by
+      // its own key, and no executor ever holds the full base.
+      val bc = verifyBroadcastable(s, d)
+      def hint(df: DataFrame): DataFrame = if (bc) broadcast(df) else df
       val va = packed.select(col("vec_id").as("i"),
         col("v").as("va"), col("nrm").as("na"))
       val vb = packed.select(col("vec_id").as("j"),
         col("v").as("vb"), col("nrm").as("nb"))
-      cands.join(broadcast(va), "i").join(broadcast(vb), "j")
+      cands.join(hint(va), "i").join(hint(vb), "j")
         .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("cos") >= 0.45)
         .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+
+  /** In-memory budget for broadcasting the full vector table in the
+    * verify join (floats widen to doubles + row overhead ≈ 4× the
+    * parquet footprint — estimated driver-side from one fs stat, no
+    * extra Spark job). 256 MB expanded is a conservative slice of a
+    * normal executor heap; a 100 TB corpus blows past it immediately
+    * and takes the shuffle path. */
+  private val VerifyBroadcastMaxBytes = 256L << 20
+
+  /** `spark.graft.lsh.verifyBroadcast`: `auto` (size gate, default),
+    * `force`, or `off`. */
+  private def verifyBroadcastable(s: SparkSession, d: String): Boolean =
+    s.conf.get("spark.graft.lsh.verifyBroadcast", "auto") match {
+      case "force" => true
+      case "off"   => false
+      case _ =>
+        val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(p).getLength * 4 <= VerifyBroadcastMaxBytes
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- near-duplicate pairs by embedding cosine — the scale path.

@@ -119,6 +119,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(900))
   }
 
+  test("embed_neardup large config: verify join never broadcasts the base") {
+    // the 100-TB path: with the broadcast gate off, candidate verify
+    // must shuffle-join the vectors on vec_id — no copy of the full
+    // embedding table may ever be built on one executor
+    graft.ops.Similarity.clearCaches()
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.graft.lsh.verifyBroadcast", "off")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("embed_neardup")(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastExchange"),
+        s"full-base broadcast in large-config verify plan:\n${p.take(900)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(900))
+      // and the result is the same pairs the broadcast path produces
+      assert(df.count() == SparkEntry.queries("embed_neardup_bruteforce")(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.graft.lsh.verifyBroadcast", "auto")
+      graft.ops.Similarity.clearCaches()
+    }
+  }
+
   test("flatten streams: no collect-driven stages in the quad pipeline") {
     import spark.implicits._
     val df = Seq("""{"a":1}""").toDF("json")

@@ -65,6 +65,21 @@ class RollingFingerprintSpec extends AnyFunSuite {
     assert(TextOps.winnowFingerprint("tiny").nonEmpty)
   }
 
+  test("mulmod61: multiplyHigh Mersenne folding equals the BigInt reference") {
+    val M = (1L << 61) - 1
+    val rnd = new scala.util.Random(42)
+    def ref(a: Long, b: Long): Long = (BigInt(a) * b % M).toLong
+    // edge values + a random sweep over the full operand domain [0, M)
+    val edges = Seq(0L, 1L, 2L, 256L, 257L, M - 1, M - 2, 1L << 60, (1L << 60) - 1)
+    for (a <- edges; b <- edges)
+      assert(TextOps.mulmod61(a, b) == ref(a, b), s"($a, $b)")
+    (1 to 10000).foreach { _ =>
+      val a = rnd.nextLong() & M // uniform in [0, 2^61); M itself ≡ 0 is fine
+      val b = rnd.nextLong() & M
+      assert(TextOps.mulmod61(a, b) == ref(a, b), s"($a, $b)")
+    }
+  }
+
   test("query runs distributed and is stable across runs") {
     val q = SparkEntry.queries("text_rolling_fingerprint")
     val r1 = q(spark, TestSpark.sf).collect().map(r => (r.getLong(0), r.getString(1)))
