@@ -77,6 +77,21 @@ object Relational2 {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- driver-visible audit twin for q25: the sketch itself can't be
+    // oracle-matched (different HLL implementations), but its ERROR
+    // BOUND can — every group's approx count must land within 3x the
+    // default 5% relative standard deviation of the exact count (which
+    // IS pure SQL). Deterministic: Spark's HLL++ is hash-based, no rand.
+    "q25_approx_distinct_audit" -> ((s, d) => {
+      val both = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+      both.agg(count(lit(1)).as("n_groups"),
+        sum(when(abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * 0.15, 1L).otherwise(0L)).as("n_within_bound"))
+    }),
+
     // ---- as-of join (an operator Spark lacks natively): each purchase
     // picks the most recent view at-or-before it for the same user.
     // Spark-first composition — union both sides, ONE shuffle on
@@ -159,6 +174,12 @@ object Relational2 {
            round(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN c_acctbal END), 2) AS "HOUSEHOLD",
            round(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END), 2) AS "MACHINERY"
          FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    // group count is pure SQL; the bound itself is the deterministic
+    // sketch property the audit asserts (all groups within 3x rsd)
+    "q25_approx_distinct_audit" ->
+      """SELECT CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_groups,
+           CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_within_bound
+         FROM lineitem""",
     "q27_events_asof" ->
       """SELECT p.event_id, p.user_id, p.ts AS p_ts, v.ts AS view_ts
          FROM (SELECT event_id, user_id, ts FROM events
