@@ -517,6 +517,37 @@ object RdfOps {
         ORDER BY ?x ?y""")
     }),
 
+    // Negated property set !(p|^p): forward edges minus the excluded
+    // predicates, unioned with inverted edges for ^ members — compiled
+    // to a variable-predicate scan + pushed-down NOT IN filter, never an
+    // enumeration of the predicate vocabulary.
+    "rdf_sparql_path_neg" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-neg-${System.nanoTime()}"
+      val g = "http://ex/negset"
+      val store = new graft.model.GraphStore(s, dir)
+      val nat = Tables.nation(s, d)
+      def quadCols(p: String, oCol: Column) = Seq(
+        lit(g).as("graph"),
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+        lit(p).as("p"),
+        oCol.as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("iri").as("o_kind"))
+      store.append(
+        nat.select(quadCols("in_region",
+          concat(lit("region:"), col("n_regionkey").cast("string"))): _*)
+          .unionAll(nat.filter(col("n_nationkey") < 24)
+            .select(quadCols("next",
+              concat(lit("nation:"), (col("n_nationkey") + 1).cast("string"))): _*)))
+      val engine = new graft.GraphEngine(store)
+      engine.select(s"""
+        SELECT ?s ?o
+        FROM <$g>
+        WHERE { ?s !(<next>|^<urn:none>) ?o }
+        ORDER BY ?s ?o""")
+    }),
+
     // FILTER NOT EXISTS: customers with no orders — the anti-join
     // compiled from a whole-FILTER EXISTS constraint (no per-row
     // subquery; one distinct + one hash anti join on ?c).
@@ -996,6 +1027,22 @@ object RdfOps {
            SELECT n_nationkey, n_nationkey + 1 FROM nation
            WHERE n_nationkey < 24) t
          ORDER BY x, y""",
+    // fwd branch: every edge whose predicate is not 'next' (in_region);
+    // inv branch (^urn:none excludes nothing): every edge inverted
+    "rdf_sparql_path_neg" ->
+      """WITH inreg AS (
+           SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS s,
+                  'region:' || CAST(n_regionkey AS VARCHAR) AS o
+           FROM nation),
+         nxt AS (
+           SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS s,
+                  'nation:' || CAST(n_nationkey + 1 AS VARCHAR) AS o
+           FROM nation WHERE n_nationkey < 24)
+         SELECT s, o FROM (
+           SELECT s, o FROM inreg
+           UNION ALL SELECT o AS s, s AS o FROM inreg
+           UNION ALL SELECT o AS s, s AS o FROM nxt) u
+         ORDER BY s, o""",
     "rdf_sparql_construct" ->
       """SELECT 'urn:regions' AS graph,
            'nation:' || CAST(n_nationkey AS VARCHAR) AS s,

@@ -209,6 +209,10 @@ object SparqlParser {
     private final case class PPlus(p: Path) extends Path
     private final case class PStar(p: Path) extends Path
     private final case class PZeroOne(p: Path) extends Path
+    /** Negated property set `!(iri|^iri|...)` — `fwd` excludes forward
+      * predicates, `inv` excludes predicates on the inverted edge. */
+    private final case class PNeg(fwd: Seq[String], inv: Seq[String])
+        extends Path
 
     private def path(): Path = {
       var l = pathSeq()
@@ -229,6 +233,7 @@ object SparqlParser {
         case '(' => pos += 1; val p = path(); eat(')'); p
         case 'a' if pos + 1 >= input.length || !isNameChar(input(pos + 1)) =>
           pos += 1; PIri(rdfTypeIri)
+        case '!' => pos += 1; negatedPropertySet()
         case '*' | '+' => fail("path modifier needs a preceding element")
         case _ => PIri(iriRef())
       }
@@ -241,6 +246,33 @@ object SparqlParser {
           pos += 1; PZeroOne(base)
         case _ => base
       }
+    }
+
+    /** `!` PathNegatedPropertySet (§9.1): a single member or a
+      * `(a|^b|...)` list; each member an IRI, `a`, or its `^` inverse. */
+    private def negatedPropertySet(): Path = {
+      def member(): (String, Boolean) = {
+        ws()
+        val inverted = peek == '^'
+        if (inverted) { pos += 1; ws() }
+        val iri =
+          if (peek == 'a' && (pos + 1 >= input.length || !isNameChar(input(pos + 1)))) {
+            pos += 1; rdfTypeIri
+          } else iriRef()
+        (iri, inverted)
+      }
+      val members = mutable.Buffer.empty[(String, Boolean)]
+      ws()
+      if (peek == '(') {
+        pos += 1; ws()
+        if (peek != ')') {
+          members += member()
+          while ({ ws(); peek == '|' }) { pos += 1; members += member() }
+        }
+        eat(')')
+      } else members += member()
+      PNeg(members.collect { case (i, false) => i }.toSeq,
+        members.collect { case (i, true) => i }.toSeq)
     }
 
     private def desugarPath(s: Node, p: Path, o: Node,
@@ -259,6 +291,24 @@ object SparqlParser {
       case PPlus(inner) => out += closureOf(s, inner, o, 1, Int.MaxValue)
       case PStar(inner) => out += closureOf(s, inner, o, 0, Int.MaxValue)
       case PZeroOne(inner) => out += closureOf(s, inner, o, 0, 1)
+      case PNeg(fwd, inv) =>
+        // a variable-predicate pattern plus a NOT IN filter on the anon
+        // predicate var — the filter is a plain scan predicate Catalyst
+        // pushes to the quad read; nothing iterative about negation.
+        // Both-direction sets (§9.1) union the forward and inverted edge.
+        def branch(su: Node, ob: Node, excl: Seq[String]): Seq[Element] = {
+          val pv = anonVar()
+          val pat = Pat(TriplePattern(su, pv, ob))
+          if (excl.isEmpty) Seq(pat)
+          else Seq(pat, FilterE(InE(VarRef(pv.name),
+            excl.map(i => UriE(StrLit(i))), negated = true)))
+        }
+        (fwd.nonEmpty, inv.nonEmpty) match {
+          case (_, false) => out ++= branch(s, o, fwd)
+          case (false, true) => out ++= branch(o, s, inv)
+          case _ => out += UnionE(Seq(
+            Group(branch(s, o, fwd)), Group(branch(o, s, inv))))
+        }
     }
 
     private def closureOf(s: Node, inner: Path, o: Node,

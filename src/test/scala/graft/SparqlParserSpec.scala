@@ -418,6 +418,19 @@ class SparqlParserSpec extends AnyFunSuite {
       SELECT ?x FROM <http://ex/g>
       WHERE { ex:a ex:knows? ?x } ORDER BY ?x""").collect().map(_.getString(0))
     assert(zeroOne.toSeq == Seq("http://ex/a", "http://ex/b"))
+    // negated property set: any forward edge except ex:knows
+    val neg = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?x FROM <http://ex/g>
+      WHERE { ex:a !ex:knows ?x }""").collect().map(_.getString(0))
+    assert(neg.toSeq == Seq("http://ex/acme"))
+    // a mixed set unions the inverted edge: predicates INTO ex:gent
+    // except ^ex:likes (acme ex:in gent survives, z ex:likes gent not)
+    val negInv = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?x FROM <http://ex/g>
+      WHERE { ex:gent !(ex:nosuch|^ex:likes) ?x }""").collect().map(_.getString(0))
+    assert(negInv.toSeq == Seq("http://ex/acme"))
   }
 
   test("DELETE/INSERT WHERE: one pre-state evaluation feeds both templates") {
