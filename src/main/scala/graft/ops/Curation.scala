@@ -116,6 +116,76 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("bin_tokens"))
         .orderBy(col("lang"), col("bin"))
+    }),
+
+    // ---- per-source document cap (web-crawl domain quota): keep the
+    // deterministic md5-order top-`cap` docs per source. EXACT top-k per
+    // key without sorting whole partitions: rows bucket by their first
+    // 2 md5 hex chars (256 uniform buckets); per-(source,bucket) counts
+    // — a tiny table, 256 rows/source — give each source's boundary
+    // bucket where the cumulative count crosses the cap. Whole buckets
+    // before the boundary pass unranked; ONLY the boundary bucket takes
+    // a row_number sort, touching ~n/256 of a hot source instead of all
+    // of it. A hot domain with 10^9 docs sorts ~4M rows, not 10^9.
+    "corpus_source_cap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cap = 10
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("bk", substring(col("h"), 1, 2))
+      val wcum = Window.partitionBy(col("source")).orderBy(col("bk"))
+      val bounds = docs.groupBy(col("source"), col("bk"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("cum", sum(col("n")).over(wcum))
+        .withColumn("before", col("cum") - col("n"))
+        .filter(col("before") < cap) // buckets intersecting the top-cap
+        .select(col("source"), col("bk"), col("before"), col("cum"))
+      val hit = docs.join(broadcast(bounds), Seq("source", "bk"))
+      val whole = hit.filter(col("cum") <= cap)
+      val wrank = Window.partitionBy(col("source"), col("bk"))
+        .orderBy(col("h"), col("doc_id"))
+      val boundary = hit.filter(col("cum") > cap)
+        .withColumn("rk", row_number().over(wrank))
+        .filter(col("rk") <= lit(cap) - col("before"))
+        .drop("rk")
+      whole.unionByName(boundary)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // ---- DSIR-shaped importance weighting: score each doc by how much
+    // its hashed-bigram distribution looks like the target slice
+    // (lang = 'en') vs the raw corpus — sum of per-occurrence
+    // log(p_target(b) / p_raw(b)) over 256 md5 feature buckets,
+    // add-one smoothed. One explode + two short-key aggs; the two
+    // 256-row bucket tables broadcast, so the per-doc scoring join is
+    // map-side at any corpus size.
+    "quality_importance_weights" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val bigrams = filter(
+        zip_with(toks, slice(toks, lit(2), size(toks)),
+          (a, b) => concat(a, lit(" "), b)),
+        x => x.isNotNull)
+      val occ = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang") === "en" as "tgt",
+          explode(bigrams).as("bg"))
+        .select(col("doc_id"), col("tgt"),
+          substring(md5(col("bg")), 1, 2).as("b"))
+      val buckets = occ.groupBy(col("b"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("tgt"), 1L).otherwise(0L)).as("n_tgt"))
+      val totals = buckets.agg(
+        sum(col("n_raw")).as("t_raw"), sum(col("n_tgt")).as("t_tgt"))
+      val rates = buckets.crossJoin(broadcast(totals))
+        .select(col("b"),
+          ((col("n_tgt") + 1) / (col("t_tgt") + 256)).as("p_tgt"),
+          ((col("n_raw") + 1) / (col("t_raw") + 256)).as("p_raw"))
+      occ.join(broadcast(rates), "b")
+        .groupBy(col("doc_id"))
+        .agg(TextOps.round4(sum(log(col("p_tgt") / col("p_raw"))))
+          .as("importance"))
+        .orderBy(col("doc_id"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -177,5 +247,35 @@ object Curation {
            FROM (SELECT doc_id, lang,
                    len(string_split_regex(trim(text), '\s+')) AS n_tokens
                  FROM documents) t1) t2
-         GROUP BY lang, bin ORDER BY lang, bin""")
+         GROUP BY lang, bin ORDER BY lang, bin""",
+    // plain per-source row_number top-cap — the bucketed Spark plan must
+    // produce the identical kept set
+    "corpus_source_cap" ->
+      """SELECT source, doc_id FROM (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents) t
+         WHERE rk <= 10 ORDER BY source, doc_id""",
+    "quality_importance_weights" ->
+      """WITH toks AS (SELECT doc_id, lang,
+               string_split_regex(trim(text), '\s+') AS t FROM documents),
+           occ AS (SELECT doc_id, lang = 'en' AS tgt,
+               substr(md5(t[i] || ' ' || t[i+1]), 1, 2) AS b
+             FROM (SELECT doc_id, lang, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+                   FROM toks) ti),
+           buckets AS (SELECT b, count(*) AS n_raw,
+               sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_tgt
+             FROM occ GROUP BY b),
+           totals AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt
+             FROM buckets),
+           rates AS (SELECT b, (n_tgt + 1.0) / (t_tgt + 256) AS p_tgt,
+               (n_raw + 1.0) / (t_raw + 256) AS p_raw
+             FROM buckets, totals)
+         SELECT doc_id,
+           floor(sum(ln(p_tgt / p_raw)) * 10000 + 0.5) / 10000
+             AS importance
+         FROM occ JOIN rates USING (b)
+         GROUP BY doc_id ORDER BY doc_id""")
 }
