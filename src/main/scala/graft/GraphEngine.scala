@@ -87,17 +87,30 @@ final class GraphEngine(val store: QuadStore) {
   def select(text: String, name: String = "select"): DataFrame = {
     val q = SparqlParser.parseSelect(text, name)
     val scoped =
-      if (q.fromGraphs.isEmpty) store.read() else store.readGraphs(q.fromGraphs)
-    Compiler.runSelect(q, scoped)
+      if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) store.read()
+      else store.readGraphs(q.fromGraphs)
+    Compiler.runSelect(q, scoped, namedScope(q.fromGraphs, q.fromNamed))
   }
+
+  /** The GRAPH-pattern dataset (SPARQL 1.1 13.2): with no dataset clause
+    * GRAPH ranges over the whole store (None = same as the default
+    * scope); any FROM/FROM NAMED makes the dataset explicit, so GRAPH
+    * sees exactly the FROM NAMED graphs — an empty scan when only FROM
+    * was given. */
+  private def namedScope(fromGraphs: Seq[String],
+      fromNamed: Seq[String]): Option[DataFrame] =
+    if (fromGraphs.isEmpty && fromNamed.isEmpty) None
+    else if (fromNamed.nonEmpty) Some(store.readGraphs(fromNamed))
+    else Some(store.read().where(org.apache.spark.sql.functions.lit(false)))
 
   /** Execute a SPARQL ASK: true iff any solution exists (short-
     * circuiting LIMIT 1 under the hood). */
   def ask(text: String, name: String = "ask"): Boolean = {
     val q = SparqlParser.parseAsk(text, name)
     val scoped =
-      if (q.fromGraphs.isEmpty) store.read() else store.readGraphs(q.fromGraphs)
-    Compiler.runAsk(q, scoped)
+      if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) store.read()
+      else store.readGraphs(q.fromGraphs)
+    Compiler.runAsk(q, scoped, namedScope(q.fromGraphs, q.fromNamed))
   }
 
   /** Execute a SPARQL CONSTRUCT: returns the instantiated template as a
@@ -107,8 +120,10 @@ final class GraphEngine(val store: QuadStore) {
       targetGraph: String = "urn:graft:construct"): DataFrame = {
     val q = SparqlParser.parseConstruct(text, name)
     val scoped =
-      if (q.fromGraphs.isEmpty) store.read() else store.readGraphs(q.fromGraphs)
-    Compiler.runConstruct(q, scoped, targetGraph)
+      if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) store.read()
+      else store.readGraphs(q.fromGraphs)
+    Compiler.runConstruct(q, scoped, targetGraph,
+      namedScope(q.fromGraphs, q.fromNamed))
   }
 
   /** Execute a SPARQL DESCRIBE: the IRI's concise bounded description

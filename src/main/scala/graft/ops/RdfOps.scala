@@ -661,6 +661,28 @@ object RdfOps {
         ORDER BY ?g ?s""")
     }),
 
+    // FROM / FROM NAMED dataset clauses (§13.2): the default-graph
+    // pattern reads the FROM merge, GRAPH ?g ranges over FROM NAMED
+    // only — here the odd partition, so even nations never bind ?g.
+    "rdf_sparql_from_named" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-fnam-${System.nanoTime()}"
+      val store = new graft.model.GraphStore(s, dir)
+      store.append(Tables.nation(s, d).select(
+        when(col("n_nationkey") % 2 === 0, "http://ex/even")
+          .otherwise("http://ex/odd").as("graph"),
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+        lit("name").as("p"), col("n_name").as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind")))
+      val engine = new graft.GraphEngine(store)
+      engine.select("""
+        SELECT ?g ?s ?n
+        FROM <http://ex/even> FROM <http://ex/odd> FROM NAMED <http://ex/odd>
+        WHERE { ?s <name> ?n . GRAPH ?g { ?s <name> ?n } }
+        ORDER BY ?s""")
+    }),
+
     // SPARQL ASK (boolean existence, short-circuit LIMIT 1) — both
     // polarities folded into one deterministic row.
     "rdf_sparql_ask" -> ((s, d) => {
@@ -1005,6 +1027,14 @@ object RdfOps {
            'nation:' || CAST(n_nationkey AS VARCHAR) AS s
          FROM nation WHERE starts_with(n_name, 'NATION_1')
          ORDER BY g, s""",
+    // only odd nations survive: the GRAPH pattern can only match inside
+    // the FROM NAMED graph (the odd partition)
+    "rdf_sparql_from_named" ->
+      """SELECT 'http://ex/odd' AS g,
+           'nation:' || CAST(n_nationkey AS VARCHAR) AS s,
+           n_name AS n
+         FROM nation WHERE n_nationkey % 2 = 1
+         ORDER BY s""",
     "rdf_sparql_path" ->
       """SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS c, r_name AS rn
          FROM customer

@@ -182,21 +182,30 @@ object Algebra {
       having: Option[Expr],
       orderBy: Seq[OrderKey],
       limit: Option[Int],
-      offset: Option[Int]) {
+      offset: Option[Int],
+      /** `FROM NAMED` list (§13.2): the named-graph set GRAPH patterns
+        * range over. Empty with a nonempty `fromGraphs` means GRAPH
+        * matches nothing — per spec, any dataset clause makes the
+        * dataset explicit. Both empty = whole-store default. */
+      fromNamed: Seq[String] = Seq.empty) {
     def vars: Seq[String] = projection.collect { case PVar(n) => n }
     def aggs: Seq[PAgg] = projection.collect { case a: PAgg => a }
   }
 
   /** `ASK [FROM g]* { group }` — does any solution exist. */
-  final case class AskQuery(name: String, fromGraphs: Seq[String], where: Group)
+  final case class AskQuery(name: String, fromGraphs: Seq[String],
+      where: Group, fromNamed: Seq[String] = Seq.empty)
 
   /** `CONSTRUCT { template } [FROM g]* WHERE { group }` — instantiate
-    * the template once per solution (unbound slots skip, like INSERT). */
+    * the template once per solution (unbound slots skip, like INSERT).
+    * The `CONSTRUCT WHERE { triples }` shorthand reuses the pattern
+    * group as the template. */
   final case class ConstructQuery(
       name: String,
       template: Seq[TriplePattern],
       fromGraphs: Seq[String],
-      where: Group)
+      where: Group,
+      fromNamed: Seq[String] = Seq.empty)
 
   // ---- DSL sugar for transcribing queries ----------------------------
   object dsl {

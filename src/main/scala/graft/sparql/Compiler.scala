@@ -187,8 +187,10 @@ object Compiler {
     * far (None = start of a fresh group). Consecutive triple patterns are
     * batched and greedily reordered before joining. */
   private[sparql] def compileGroup(
-      quads: DataFrame, group: Group, outer: Option[DataFrame]): DataFrame =
-    compileGroupTracked(quads, group, outer.map((_, Set.empty[String])))._1
+      quads: DataFrame, group: Group, outer: Option[DataFrame],
+      namedQuads: Option[DataFrame] = None): DataFrame =
+    compileGroupTracked(quads, group, outer.map((_, Set.empty[String])),
+      None, namedQuads)._1
 
   /** compileGroup + static per-variable nullability: the returned set
     * holds every variable that MAY be unbound (null) in some row —
@@ -198,7 +200,11 @@ object Compiler {
   private def compileGroupTracked(
       quads: DataFrame, group: Group,
       outer: Option[(DataFrame, Set[String])],
-      graphVar: Option[String] = None): (DataFrame, Set[String]) = {
+      graphVar: Option[String] = None,
+      // the GRAPH-pattern dataset (§13.2): None = same as `quads`
+      // (whole-store default); Some = the FROM NAMED scope, possibly
+      // empty when the query declared FROM without FROM NAMED
+      namedQuads: Option[DataFrame] = None): (DataFrame, Set[String]) = {
 
     var acc: Option[DataFrame] = outer.map(_._1)
     var nullable: Set[String] = outer.map(_._2).getOrElse(Set.empty)
@@ -232,7 +238,7 @@ object Compiler {
       case Pat(tp) => patternBatch :+= tp
       case Opt(inner) =>
         flush()
-        val (innerDf, innerNullable) = compileGroupTracked(quads, inner, None, graphVar)
+        val (innerDf, innerNullable) = compileGroupTracked(quads, inner, None, graphVar, namedQuads)
         acc match {
           case None => // OPTIONAL with empty base — degenerate
             acc = Some(innerDf); nullable ++= innerNullable
@@ -251,7 +257,7 @@ object Compiler {
           case Some((inner, negated)) =>
             // FILTER [NOT] EXISTS = semi/anti join on the shared vars
             // (no per-row subquery — one distinct + one hash join)
-            val (innerDf, _) = compileGroupTracked(quads, inner, None, graphVar)
+            val (innerDf, _) = compileGroupTracked(quads, inner, None, graphVar, namedQuads)
             val a = acc.getOrElse(unitRow(quads))
             val shared = sharedVars(a, innerDf)
             val joinType = if (negated) "left_anti" else "left_semi"
@@ -264,7 +270,7 @@ object Compiler {
         }
       case UnionE(branches) =>
         flush()
-        val compiled = branches.map(b => compileGroupTracked(quads, b, None, graphVar))
+        val compiled = branches.map(b => compileGroupTracked(quads, b, None, graphVar, namedQuads))
         // align branch schemas: a variable bound in one branch only is
         // unbound (null term) in rows from the others
         val allVars = compiled.flatMap(_._1.columns).distinct
@@ -290,7 +296,7 @@ object Compiler {
         }
       case MinusE(inner) =>
         flush()
-        val (innerDf, _) = compileGroupTracked(quads, inner, None, graphVar)
+        val (innerDf, _) = compileGroupTracked(quads, inner, None, graphVar, namedQuads)
         acc = Some(acc match {
           case None => unitRow(quads) // MINUS with empty base — degenerate
           case Some(a) =>
@@ -324,11 +330,15 @@ object Compiler {
         nullable --= sub.columns
       case GraphE(gNode, inner) =>
         flush()
+        // GRAPH patterns range over the named-graph dataset, which is
+        // `quads` itself unless FROM/FROM NAMED made the dataset explicit
+        val graphScope = namedQuads.getOrElse(quads)
         gNode match {
           case I(iri) =>
             // constant graph → a partition-prunable filter on the read
             val (innerDf, innerNullable) = compileGroupTracked(
-              quads.where(col("graph") === iri), inner, None, graphVar)
+              graphScope.where(col("graph") === iri), inner, None, graphVar,
+              namedQuads)
             acc = Some(joinStep(acc, nullable, innerDf, innerNullable))
             nullable ++= innerNullable
           case V(name) =>
@@ -336,7 +346,7 @@ object Compiler {
             // the BGP joins align within one graph per solution. (A `+`
             // closure inside GRAPH ?g does not constrain the graph.)
             val (innerDf, innerNullable) =
-              compileGroupTracked(quads, inner, None, Some(name))
+              compileGroupTracked(graphScope, inner, None, Some(name), namedQuads)
             acc = Some(joinStep(acc, nullable, innerDf, innerNullable))
             nullable ++= innerNullable
           case L(_, _, _) =>
@@ -725,8 +735,9 @@ object Compiler {
     * dropDuplicates / groupBy-agg (partial map-side combine for free) /
     * orderBy / limit, so Catalyst plans them (a LIMIT under ORDER BY
     * becomes TakeOrderedAndProject — no global sort materializes). */
-  def runSelect(query: SelectQuery, scopedQuads: DataFrame): DataFrame = {
-    val bindings = compileGroup(scopedQuads, query.where, None)
+  def runSelect(query: SelectQuery, scopedQuads: DataFrame,
+      namedQuads: Option[DataFrame] = None): DataFrame = {
+    val bindings = compileGroup(scopedQuads, query.where, None, namedQuads)
     var out: DataFrame =
       if (query.aggs.isEmpty) {
         val vars =
@@ -866,14 +877,17 @@ object Compiler {
 
   /** ASK: does any solution exist. LIMIT 1 keeps the scan short-
     * circuiting — Spark stops producing once one row is collected. */
-  def runAsk(query: AskQuery, scopedQuads: DataFrame): Boolean =
-    compileGroup(scopedQuads, query.where, None).limit(1).count() > 0
+  def runAsk(query: AskQuery, scopedQuads: DataFrame,
+      namedQuads: Option[DataFrame] = None): Boolean =
+    compileGroup(scopedQuads, query.where, None, namedQuads)
+      .limit(1).count() > 0
 
   /** CONSTRUCT: instantiate the template per solution; emitted quads
     * carry `targetGraph` (CONSTRUCT results are a graph value, not a
     * store write — callers pick the name). */
   def runConstruct(query: ConstructQuery, scopedQuads: DataFrame,
-      targetGraph: String): DataFrame =
-    instantiate(compileGroup(scopedQuads, query.where, None),
+      targetGraph: String,
+      namedQuads: Option[DataFrame] = None): DataFrame =
+    instantiate(compileGroup(scopedQuads, query.where, None, namedQuads),
       query.template, targetGraph)
 }

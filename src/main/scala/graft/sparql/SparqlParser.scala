@@ -814,8 +814,7 @@ object SparqlParser {
         }
         if (proj.isEmpty) fail("SELECT needs ?vars, (AGG(...) AS ?v), or *")
       }
-      val from = mutable.Buffer.empty[String]
-      while (keyword("FROM")) from += iriRef()
+      val (from, fromNamed) = datasetClauses()
       expectKeyword("WHERE")
       val where = group()
       val groupVars = mutable.Buffer.empty[String]
@@ -844,17 +843,26 @@ object SparqlParser {
       var limit = intAfter("LIMIT")
       val offset = intAfter("OFFSET")
       if (limit.isEmpty) limit = intAfter("LIMIT")
-      SelectQuery(queryName, proj.toSeq, distinct, from.toSeq, where,
-        groupVars.toSeq, having, order.toSeq, limit, offset)
+      SelectQuery(queryName, proj.toSeq, distinct, from, where,
+        groupVars.toSeq, having, order.toSeq, limit, offset, fromNamed)
+    }
+
+    /** `(FROM [NAMED] <iri>)*` — default-graph and named-graph lists. */
+    private def datasetClauses(): (Seq[String], Seq[String]) = {
+      val from = mutable.Buffer.empty[String]
+      val named = mutable.Buffer.empty[String]
+      while (keyword("FROM")) {
+        if (keyword("NAMED")) named += iriRef() else from += iriRef()
+      }
+      (from.toSeq, named.toSeq)
     }
 
     def parseAskTop(): AskQuery = {
       parsePrefixes()
       expectKeyword("ASK")
-      val from = mutable.Buffer.empty[String]
-      while (keyword("FROM")) from += iriRef()
+      val (from, fromNamed) = datasetClauses()
       keyword("WHERE") // optional before the group
-      AskQuery(queryName, from.toSeq, group())
+      AskQuery(queryName, from, group(), fromNamed)
     }
 
     def parseDescribeTop(): (String, Seq[String]) = {
@@ -869,14 +877,29 @@ object SparqlParser {
     def parseConstructTop(): ConstructQuery = {
       parsePrefixes()
       expectKeyword("CONSTRUCT")
-      eat('{')
-      val template = mutable.Buffer.empty[TriplePattern]
-      templateTriples(template)
-      eat('}')
-      val from = mutable.Buffer.empty[String]
-      while (keyword("FROM")) from += iriRef()
-      expectKeyword("WHERE")
-      ConstructQuery(queryName, template.toSeq, from.toSeq, group())
+      ws()
+      if (peek == '{') {
+        eat('{')
+        val template = mutable.Buffer.empty[TriplePattern]
+        templateTriples(template)
+        eat('}')
+        val (from, fromNamed) = datasetClauses()
+        expectKeyword("WHERE")
+        ConstructQuery(queryName, template.toSeq, from, group(), fromNamed)
+      } else {
+        // `CONSTRUCT WHERE { triples }` shorthand (§10.2.2): the pattern
+        // group doubles as the template — plain triples only, no paths/
+        // FILTER/OPTIONAL (those desugar to non-Pat elements and fail).
+        val (from, fromNamed) = datasetClauses()
+        expectKeyword("WHERE")
+        val g = group()
+        val template = g.elems.map {
+          case Pat(tp) => tp
+          case other => fail(
+            s"CONSTRUCT WHERE shorthand allows only triple patterns, got $other")
+        }
+        ConstructQuery(queryName, template, from, g, fromNamed)
+      }
     }
 
     private def parseTemplateWhere(withGraph: Option[String]): MappingQuery = {

@@ -596,6 +596,41 @@ class SparqlParserSpec extends AnyFunSuite {
       SELECT ?g WHERE { GRAPH ?g { ex:a ex:p ?x . ex:b ex:p ?y } }""")
       .collect().map(_.getString(0))
     assert(joined.toSeq == Seq("http://ex/g1"))
+    // FROM NAMED restricts what GRAPH ?g ranges over (§13.2)
+    val named = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?g ?v FROM NAMED <http://ex/g2>
+      WHERE { GRAPH ?g { ex:a ex:p ?v } }""")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(named.toSeq == Seq(("http://ex/g2", "3")))
+    // a dataset with FROM but no FROM NAMED gives GRAPH nothing to match
+    val fromOnly = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?g ?v FROM <http://ex/g1>
+      WHERE { GRAPH ?g { ex:a ex:p ?v } }""").collect()
+    assert(fromOnly.isEmpty)
+    // both clauses: patterns outside GRAPH read FROM, inside read NAMED
+    val both = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?v ?w FROM <http://ex/g1> FROM NAMED <http://ex/g2>
+      WHERE { ex:a ex:p ?v . GRAPH ?g { ex:a ex:p ?w } } ORDER BY ?v""")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(both.toSeq == Seq(("1", "3")))
+  }
+
+  test("CONSTRUCT WHERE shorthand reuses the pattern as the template") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("cw").toString + "/quads")
+    val engine = new GraphEngine(st)
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/g> {
+        ex:a ex:name "Alpha" . ex:b ex:name "Beta" . ex:b ex:size "2" . } }""")
+    val out = engine.construct("""
+      PREFIX ex: <http://ex/>
+      CONSTRUCT FROM <http://ex/g> WHERE { ?s ex:name ?n }""")
+      .select("s", "o_value").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSet == Set(("http://ex/a", "Alpha"), ("http://ex/b", "Beta")))
   }
 
   test("§17 expression grammar: precedence, IN, REGEX, arithmetic") {
