@@ -25,17 +25,18 @@ final class GraphEngine(val store: QuadStore) {
       case InsertWhere(q) =>
         // the compiled template writes only q.targetGraph — pass it so
         // the anti-join scope needs no extra batch computation
-        store.appendDistinct(Compiler.run(q, store.readGraphs(q.usingGraphs)),
-          Some(Seq(q.targetGraph)))
+        store.appendDistinct(Compiler.run(q, store.readGraphs(q.usingGraphs),
+          namedScope(q.usingGraphs, q.usingNamed)), Some(Seq(q.targetGraph)))
       case InsertData(quads) => store.insertData(quads)
       case DeleteWhere(q) =>
-        store.deleteQuads(Compiler.run(q, store.readGraphs(q.usingGraphs)),
-          Some(Seq(q.targetGraph)))
+        store.deleteQuads(Compiler.run(q, store.readGraphs(q.usingGraphs),
+          namedScope(q.usingGraphs, q.usingNamed)), Some(Seq(q.targetGraph)))
       case DeleteData(quads) => store.deleteData(quads)
-      case ModifyWhere(delG, insG, using, where, delT, insT) =>
+      case ModifyWhere(delG, insG, using, where, delT, insT, usingNamed) =>
         // ONE binding evaluation feeds both templates; materialize it
         // BEFORE mutating so both see the pre-update state (§3.1.3)
-        val b = Compiler.bindingsOf(where, store.readGraphs(using))
+        val b = Compiler.bindingsOf(where, store.readGraphs(using),
+          namedScope(using, usingNamed))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           b.count()
@@ -139,7 +140,8 @@ final class GraphEngine(val store: QuadStore) {
     * produce, without writing (for inspection / testing). */
   def preview(text: String, name: String = "preview"): DataFrame =
     SparqlParser.parse(text, name) match {
-      case InsertWhere(q) => Compiler.run(q, store.readGraphs(q.usingGraphs))
+      case InsertWhere(q) => Compiler.run(q, store.readGraphs(q.usingGraphs),
+        namedScope(q.usingGraphs, q.usingNamed))
       case other => throw new IllegalArgumentException(
         s"preview requires INSERT..WHERE, got $other")
     }

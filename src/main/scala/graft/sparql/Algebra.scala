@@ -40,9 +40,11 @@ object Algebra {
     * with some solution of the inner group; no shared variables = no
     * removal, per SPARQL MINUS. */
   final case class MinusE(group: Group) extends Element
-  /** `VALUES ?v { term term ... }` — inline binding table (single-var
-    * form; each term is an IRI or literal Node). */
-  final case class ValuesE(varName: String, terms: Seq[Node]) extends Element
+  /** `VALUES ?v { t ... }` / `VALUES (?v1 ?v2) { (t1 t2) ... }` —
+    * inline binding table. Each row has one entry per variable; None is
+    * `UNDEF` (the variable stays unbound in that row). */
+  final case class ValuesE(vars: Seq[String],
+      rows: Seq[Seq[Option[Node]]]) extends Element
   /** Path repetition `s path{minHops,maxHops} o` — the runtime node
     * behind `+` (1,∞), `*` (0,∞) and `?` (0,1). `edges` is the desugared
     * one-hop pattern group binding `(ev1, ev2)`; the compiler iterates
@@ -72,7 +74,7 @@ object Algebra {
       case FilterE(_) => Seq.empty
       case UnionE(bs) => bs.flatMap(_.vars)
       case MinusE(_) => Seq.empty // MINUS binds nothing outward
-      case ValuesE(v, _) => Seq(v)
+      case ValuesE(vs, _) => vs
       case c: ClosureE =>
         Seq(c.s, c.o).collect { case V(n) => n } // edge vars stay internal
       case GraphE(g, inner) =>
@@ -150,13 +152,16 @@ object Algebra {
     * (it compiles to a semi/anti join, not a per-row expression). */
   final case class ExistsE(group: Group, negated: Boolean) extends Expr
 
-  /** One SPARQL-update mapping task. */
+  /** One SPARQL-update mapping task. `usingNamed` is the `USING NAMED`
+    * list — the named-graph dataset GRAPH patterns in the WHERE clause
+    * range over (same §13.2 rules as FROM NAMED on the read side). */
   final case class MappingQuery(
       name: String,
       targetGraph: String,
       usingGraphs: Seq[String],
       where: Group,
-      template: Seq[TriplePattern])
+      template: Seq[TriplePattern],
+      usingNamed: Seq[String] = Seq.empty)
 
   // ---- read-side query forms --------------------------------------
   /** One SELECT projection item: a plain variable or an aggregate. */

@@ -427,17 +427,31 @@ object Compiler {
           else res.limit(1).select() // fully-ground path: existence row
         acc = Some(joinStep(acc, nullable, projected, Set.empty))
         nullable --= cols.map(_._1)
-      case ValuesE(v, terms) =>
+      case ValuesE(vars, rows) =>
         flush()
-        val rows = terms.map {
-          case I(iri) => unitRow(quads).select(iriTerm(lit(iri)).as(v))
-          case L(value, dt, lang) => unitRow(quads).select(
+        val nullTerm = lit(null)
+          .cast("struct<v:string,k:string,dt:string,lg:string>")
+        def termCol(t: Option[Node]): Column = t match {
+          case Some(I(iri)) => iriTerm(lit(iri))
+          case Some(L(value, dt, lang)) =>
             litTerm(lit(value), Option(dt).map(lit).getOrElse(nullStr),
-              Option(lang).map(lit).getOrElse(nullStr)).as(v))
-          case V(_) => throw new IllegalArgumentException("VALUES needs ground terms")
+              Option(lang).map(lit).getOrElse(nullStr))
+          case Some(V(_)) =>
+            throw new IllegalArgumentException("VALUES needs ground terms")
+          case None => nullTerm // UNDEF
+        }
+        val table = rows.map { r =>
+          unitRow(quads).select(vars.zip(r).map {
+            case (v, t) => termCol(t).as(v)
+          }: _*)
         }.reduce(_ unionAll _)
-        acc = Some(joinStep(acc, nullable, rows, Set.empty))
-        nullable -= v
+        // a var some row UNDEFs joins null-tolerantly; fully-ground
+        // vars are plain equi keys and leave the nullable set
+        val soft = vars.zipWithIndex
+          .filter { case (_, i) => rows.exists(r => r(i).isEmpty) }
+          .map(_._1).toSet
+        acc = Some(joinStep(acc, nullable, table, soft))
+        nullable = (nullable ++ soft) -- vars.filterNot(soft)
     }
     flush()
     (acc.getOrElse(unitRow(quads)), nullable)
@@ -686,15 +700,17 @@ object Compiler {
 
   /** Run a mapping query against the USING-scoped quads, returning the
     * quads its template produces (not yet merged into a store). */
-  def run(query: MappingQuery, scopedQuads: DataFrame): DataFrame = {
-    val bindings = compileGroup(scopedQuads, query.where, None)
+  def run(query: MappingQuery, scopedQuads: DataFrame,
+      namedQuads: Option[DataFrame] = None): DataFrame = {
+    val bindings = compileGroup(scopedQuads, query.where, None, namedQuads)
     instantiate(bindings, query.template, query.targetGraph)
   }
 
   /** The WHERE group's binding table (for callers that instantiate more
     * than one template from one evaluation — DELETE/INSERT WHERE). */
-  def bindingsOf(where: Group, scopedQuads: DataFrame): DataFrame =
-    compileGroup(scopedQuads, where, None)
+  def bindingsOf(where: Group, scopedQuads: DataFrame,
+      namedQuads: Option[DataFrame] = None): DataFrame =
+    compileGroup(scopedQuads, where, None, namedQuads)
 
   /** Public face of [[instantiate]] for multi-template updates. */
   def instantiateTemplate(bindings: DataFrame, template: Seq[TriplePattern],

@@ -34,7 +34,8 @@ object SparqlParser {
   final case class ModifyWhere(
       deleteGraph: String, insertGraph: String, usingGraphs: Seq[String],
       where: Group, deleteTemplate: Seq[TriplePattern],
-      insertTemplate: Seq[TriplePattern]) extends UpdateOp
+      insertTemplate: Seq[TriplePattern],
+      usingNamed: Seq[String] = Seq.empty) extends UpdateOp
   final case class ClearGraphOp(graph: String, silent: Boolean) extends UpdateOp
   final case class DropGraphOp(graph: String, silent: Boolean) extends UpdateOp
   /** `COPY|MOVE|ADD [SILENT] [GRAPH] g1 TO [GRAPH] g2` — graph-level
@@ -426,20 +427,50 @@ object SparqlParser {
           elems += GraphE(gn, group())
           tryEat('.')
         } else if (keyword("VALUES")) {
-          val v = varName()
-          eat('{')
-          val terms = mutable.Buffer.empty[Node]
-          ws()
-          while (peek != '}') {
-            terms += (peek match {
+          def term(): Option[Node] = {
+            ws()
+            if (keyword("UNDEF")) None
+            else Some(peek match {
               case '<' => I(iriRef())
               case '"' | '\'' => literalNode()
-              case _ => fail("VALUES terms must be IRIs or literals")
+              case c if c.isLetter || c == '_' => I(iriRef()) // prefixed name
+              case _ => fail("VALUES terms must be IRIs, literals, or UNDEF")
             })
-            ws()
           }
-          eat('}')
-          elems += ValuesE(v, terms.toSeq)
+          ws()
+          if (peek == '(') {
+            // multi-var form: VALUES (?a ?b) { (t1 t2) (UNDEF t3) ... }
+            pos += 1
+            val vars = mutable.Buffer.empty[String]
+            ws()
+            while (peek == '?' || peek == '$') { vars += varName(); ws() }
+            eat(')')
+            if (vars.isEmpty) fail("VALUES needs at least one variable")
+            eat('{')
+            val rows = mutable.Buffer.empty[Seq[Option[Node]]]
+            ws()
+            while (peek == '(') {
+              pos += 1
+              val row = mutable.Buffer.empty[Option[Node]]
+              ws()
+              while (peek != ')') { row += term(); ws() }
+              eat(')')
+              if (row.size != vars.size) fail(
+                s"VALUES row has ${row.size} terms for ${vars.size} vars")
+              rows += row.toSeq
+              ws()
+            }
+            eat('}')
+            elems += ValuesE(vars.toSeq, rows.toSeq)
+          } else {
+            val v = varName()
+            eat('{')
+            val rows = mutable.Buffer.empty[Seq[Option[Node]]]
+            ws()
+            while (peek != '}') { rows += Seq(term()); ws() }
+            eat('}')
+            elems += ValuesE(Seq(v), rows.toSeq)
+          }
           tryEat('.')
         } else if (peek == '{') {
           val save = pos
@@ -699,17 +730,15 @@ object SparqlParser {
             val (delGraph, delT) = templateBlock(withGraph)
             if (keyword("INSERT")) {
               val (insGraph, insT) = templateBlock(withGraph)
-              val using = mutable.Buffer.empty[String]
-              while (keyword("USING")) using += iriRef()
+              val (using, usingNamed) = usingClauses()
               expectKeyword("WHERE")
-              ModifyWhere(delGraph, insGraph, using.toSeq, group(),
-                delT, insT)
+              ModifyWhere(delGraph, insGraph, using, group(),
+                delT, insT, usingNamed)
             } else {
-              val using = mutable.Buffer.empty[String]
-              while (keyword("USING")) using += iriRef()
+              val (using, usingNamed) = usingClauses()
               expectKeyword("WHERE")
-              DeleteWhere(MappingQuery(queryName, delGraph, using.toSeq,
-                group(), delT))
+              DeleteWhere(MappingQuery(queryName, delGraph, using,
+                group(), delT, usingNamed))
             }
           }
         } else fail("expected INSERT or DELETE")
@@ -904,10 +933,21 @@ object SparqlParser {
 
     private def parseTemplateWhere(withGraph: Option[String]): MappingQuery = {
       val (target, template) = templateBlock(withGraph)
-      val using = mutable.Buffer.empty[String]
-      while (keyword("USING")) using += iriRef()
+      val (using, usingNamed) = usingClauses()
       expectKeyword("WHERE")
-      MappingQuery(queryName, target, using.toSeq, group(), template)
+      MappingQuery(queryName, target, using, group(), template, usingNamed)
+    }
+
+    /** `(USING [NAMED] <iri>)*` — the update-side dataset clauses
+      * (3.1.3): USING feeds patterns outside GRAPH, USING NAMED the
+      * GRAPH patterns. */
+    private def usingClauses(): (Seq[String], Seq[String]) = {
+      val using = mutable.Buffer.empty[String]
+      val named = mutable.Buffer.empty[String]
+      while (keyword("USING")) {
+        if (keyword("NAMED")) named += iriRef() else using += iriRef()
+      }
+      (using.toSeq, named.toSeq)
     }
 
     private def templateTriples(out: mutable.Buffer[TriplePattern]): Unit = {

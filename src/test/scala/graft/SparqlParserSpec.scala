@@ -243,6 +243,39 @@ class SparqlParserSpec extends AnyFunSuite {
       WHERE { ?s ex:type ?t . VALUES ?t { 'bad' } } ORDER BY ?s""")
       .collect().map(_.getString(0))
     assert(vals.toSeq == Seq("http://ex/c"))
+    // multi-var VALUES: each row constrains the pair jointly; UNDEF
+    // leaves that var unconstrained in its row
+    val pairs = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?s ?t FROM <http://ex/g>
+      WHERE { ?s ex:type ?t .
+              VALUES (?s ?t) { (ex:a 'good') (ex:c UNDEF) } } ORDER BY ?s""")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.toSeq ==
+      Seq(("http://ex/a", "good"), ("http://ex/c", "bad")))
+  }
+
+  test("USING NAMED scopes GRAPH patterns in updates") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("usingnamed").toString + "/quads")
+    val engine = new GraphEngine(st)
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/g1> { ex:a ex:p "1" . } }""")
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/g2> { ex:b ex:p "2" . } }""")
+    // GRAPH ?g in the WHERE ranges over USING NAMED (g2) only
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT { GRAPH <http://ex/out> { ?s ex:copied ?v } }
+      USING NAMED <http://ex/g2>
+      WHERE { GRAPH ?g { ?s ex:p ?v } }""")
+    val out = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?s ?v FROM <http://ex/out>
+      WHERE { ?s ex:copied ?v }""").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("http://ex/b", "2")))
   }
 
   test("DELETE DATA and DELETE..WHERE remove quads; others survive") {
