@@ -41,6 +41,14 @@ object EventStreams {
     raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Streaming read of the documents parquet (corpus-as-a-stream: the
+    * shape a continuously-crawled training corpus arrives in). */
+  private def documentsStream(s: SparkSession, d: String): DataFrame = {
+    val fileSchema = s.read.parquet(s"$d/documents.parquet").schema
+    s.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink and
     * return the materialized result.
     *
@@ -204,6 +212,36 @@ object EventStreams {
         .orderBy(col("event_type"))
     }),
 
+    // ---- stream-STATIC join: decontamination over a corpus that
+    // arrives as a stream. The eval shingle set is a static batch side
+    // broadcast into every micro-batch — no stream-side shuffle before
+    // the per-doc aggregation, and no join state to bound (the static
+    // side is immutable), so this scales to an unbounded crawl. Same
+    // output as batch text_decontaminate; the shared oracle proves the
+    // incremental and batch paths agree.
+    "stream_decontaminate" -> ((s, d) => {
+      import graft.ops.{Dedup, TextOps}
+      val evalShingles = Tables.documents(s, d)
+        .filter(col("doc_id") % 97 === 0)
+        .select(Dedup.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+        .select(explode(col("sh")).as("shingle")).distinct()
+      val train = documentsStream(s, d)
+        .filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          Dedup.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+          explode(col("sh")).as("shingle"))
+      val flagged = train.join(broadcast(evalShingles), "shingle")
+        .groupBy(col("doc_id"), col("n_shingles"))
+        .agg(count(lit(1)).as("n_shared"))
+      runToTable(flagged, "complete")
+        .select(col("doc_id"), col("n_shared"),
+          TextOps.round4(col("n_shared") / col("n_shingles"))
+            .as("contamination"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- stream-stream self join: views matched to same-user
     // purchases within 30 minutes. Watermarks bound BOTH sides' join
     // state; an inner join emits every match exactly once regardless of
@@ -289,6 +327,25 @@ object EventStreams {
     "stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // identical to the batch text_decontaminate oracle: the streaming
+    // path must produce the same flags the batch path does
+    "stream_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                    FROM documents),
+          s AS (SELECT doc_id, unnest(list_distinct(
+                  [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   for i in range(1, len(toks) - 1)])) AS shingle
+                FROM t WHERE len(toks) >= 3),
+          c AS (SELECT doc_id, count(*) AS n_shingles FROM s GROUP BY doc_id),
+          ev AS (SELECT DISTINCT shingle FROM s WHERE doc_id % 97 = 0),
+          hits AS (SELECT s.doc_id, count(*) AS n_shared
+                   FROM s JOIN ev USING (shingle)
+                   WHERE s.doc_id % 97 <> 0 GROUP BY s.doc_id)
+        SELECT h.doc_id, CAST(h.n_shared AS BIGINT) AS n_shared,
+          floor(h.n_shared * 1.0 / c.n_shingles * 10000 + 0.5) / 10000
+            AS contamination
+        FROM hits h JOIN c ON h.doc_id = c.doc_id
+        ORDER BY h.doc_id""",
     "stream_stream_join" ->
       """SELECT v.user_id AS user_id, count(*) AS n_pairs
          FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
