@@ -73,6 +73,30 @@ object Sampling {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 10)
         .orderBy(col("lang"), col("rk"))
+    }),
+
+    // ---- temperature-based mixture resampling (the multilingual-mix
+    // move: source shares follow p^tau, tau=0.5, flattening head
+    // sources and boosting the tail). Per-source keep rate =
+    // min(1, n^tau / sum(n^tau) * N/2 / n), applied as a deterministic
+    // integer threshold on the doc's 24-bit md5 prefix — the rate table
+    // is sources-sized and broadcasts, so the corpus pass is map-side.
+    "sample_temperature" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("n_total"),
+        sum(pow(col("n"), 0.5)).as("w_total"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .withColumn("rate", least(lit(1.0),
+          pow(col("n"), 0.5) / col("w_total") * col("n_total") * 0.5 / col("n")))
+        .select(col("source"),
+          floor(col("rate") * (1 << 24)).cast("long").as("cut"))
+      docs.join(broadcast(rates), "source")
+        .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+          16, 10).cast("long") < col("cut"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -99,5 +123,20 @@ object Sampling {
              row_number() OVER (PARTITION BY lang
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
            FROM documents) t
-         WHERE rk <= 10 ORDER BY lang, rk""")
+         WHERE rk <= 10 ORDER BY lang, rk""",
+    "sample_temperature" ->
+      """WITH counts AS (SELECT source, count(*) AS n FROM documents
+                         GROUP BY source),
+           tot AS (SELECT sum(n) AS n_total, sum(pow(n, 0.5)) AS w_total
+                   FROM counts),
+           rates AS (SELECT source,
+               CAST(floor(least(1.0,
+                 pow(n, 0.5) / w_total * n_total * 0.5 / n) * 16777216)
+                 AS BIGINT) AS cut
+             FROM counts, tot)
+         SELECT d.source, count(*) AS n_kept
+         FROM documents d JOIN rates r ON d.source = r.source
+         WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+               < r.cut
+         GROUP BY d.source ORDER BY d.source""")
 }
