@@ -89,6 +89,31 @@ object QualityOps {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- the rewrite companion to dedup_token_windows: emit the
+    // CLEANED corpus, not just flags. Every duplicated 10-token window
+    // keeps exactly its globally-first occurrence (min (doc_id, pos) —
+    // deterministic, order-free); each doc is rebuilt from its kept
+    // windows in position order. Same bounded window-string keying as
+    // the flag op; the rebuild is one per-doc aggregation whose state
+    // is bounded by the doc's own length, so the whole rewrite is two
+    // shuffles at any corpus size. Docs reduced to nothing drop out.
+    "dedup_window_rewrite" -> ((s, d) => {
+      val wins = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+          posexplode(gramsOf(tokens(col("text")))).as(Seq("pos", "win")))
+        .where(col("pos") % W === 0 && col("win").isNotNull)
+      val firsts = wins.groupBy(col("win"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+      wins.join(firsts, "win")
+        .where(struct(col("doc_id"), col("pos")) === col("first"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("pos"), col("win")))),
+              x => x.getField("win")))).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- bigram-LM surprise (one step up from text_unigram_surprise):
     // mean -ln p(w2|w1) with p = c(w1 w2) / c(w1 ·) estimated from the
     // corpus itself. Two corpus passes over short keys: bigram counts,
@@ -159,6 +184,24 @@ object QualityOps {
            floor(sum(CAST(n_occ > 1 AS INT)) * 1.0 / count(*)
                  * 10000 + 0.5) / 10000 AS dup_frac
          FROM wins JOIN freq USING (win)
+         GROUP BY doc_id ORDER BY doc_id""",
+    // first occurrence = row_number 1 over (doc_id, pos) per window —
+    // the same deterministic keep rule as the Spark min-struct
+    "dedup_window_rewrite" ->
+      """WITH toks AS (SELECT doc_id,
+               string_split_regex(trim(text), '\s+') AS t FROM documents),
+           wins AS (SELECT doc_id, i AS pos,
+               array_to_string(t[(i-1)*10+1 : i*10], ' ') AS win
+             FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) // 10)) AS i
+                   FROM toks) ti),
+           kept AS (SELECT doc_id, pos, win,
+               row_number() OVER (PARTITION BY win
+                 ORDER BY doc_id, pos) AS rk
+             FROM wins)
+         SELECT doc_id, count(*) AS n_kept,
+           md5(string_agg(win, ' ' ORDER BY pos)) AS clean_md5
+         FROM kept WHERE rk = 1
          GROUP BY doc_id ORDER BY doc_id""",
     "text_bigram_surprise" ->
       """WITH toks AS (SELECT doc_id,
