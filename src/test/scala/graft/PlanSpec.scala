@@ -35,6 +35,21 @@ class PlanSpec extends AnyFunSuite {
       s"column pruning failed: $readSchema")
   }
 
+  test("importance weights: the per-doc scoring join broadcasts") {
+    // the 256-row bucket-rate table must broadcast so the corpus-side
+    // occurrence stream never shuffles for scoring (its only exchange
+    // is the final per-doc aggregation)
+    val p = plan("quality_importance_weights")
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+    assert(!p.contains("SortMergeJoin"), p.take(900))
+  }
+
+  test("temperature sampling: the rate table broadcasts, corpus pass is map-side") {
+    val p = plan("sample_temperature")
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+    assert(!p.contains("SortMergeJoin"), p.take(900))
+  }
+
   test("q05: dimension joins broadcast (no shuffle for small sides)") {
     val p = plan("q05_region_nation_volume")
     assert(p.contains("BroadcastHashJoin"), p.take(500))
