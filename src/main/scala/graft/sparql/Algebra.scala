@@ -171,6 +171,9 @@ object Algebra {
     * `sep` is GROUP_CONCAT's `; SEPARATOR="..."` (default " "). */
   final case class PAgg(fn: String, arg: Option[Expr], distinct: Boolean,
       as: String, sep: Option[String] = None) extends ProjItem
+  /** `(expr AS ?alias)` — non-aggregate projection expression (17.4);
+    * in grouped queries it may reference only grouped variables. */
+  final case class PExpr(expr: Expr, as: String) extends ProjItem
 
   final case class OrderKey(v: String, asc: Boolean)
 

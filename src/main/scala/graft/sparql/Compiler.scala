@@ -756,10 +756,20 @@ object Compiler {
     val bindings = compileGroup(scopedQuads, query.where, None, namedQuads)
     var out: DataFrame =
       if (query.aggs.isEmpty) {
-        val vars =
-          if (query.projection.nonEmpty) query.vars
+        // (expr AS ?v) projections compute like BIND, then project the
+        // lexical value with everything else
+        val withExprs = query.projection
+          .collect { case PExpr(e, as) => (e, as) }
+          .foldLeft(bindings) { case (df, (e, as)) =>
+            df.withColumn(as, compileExpr(e))
+          }
+        val names =
+          if (query.projection.nonEmpty) query.projection.collect {
+            case PVar(n) => n
+            case PExpr(_, as) => as
+          }
           else bindings.columns.toSeq.sorted // SELECT *: every bound variable
-        bindings.select(vars.map(v => col(v).getField("v").as(v)): _*)
+        withExprs.select(names.map(v => col(v).getField("v").as(v)): _*)
       } else {
         val aggCols = query.aggs.map(compileAgg)
         val grouped =
@@ -774,6 +784,10 @@ object Compiler {
                 s"?$n is projected but neither grouped nor aggregated")
             col(n).getField("v").as(n)
           case PAgg(_, _, _, as, _) => col(as)
+          case PExpr(e, as) =>
+            // grouped-query projection expression: legal over grouped
+            // vars only (they survive the agg as term structs)
+            compileExpr(e).getField("v").as(as)
         }: _*)
       }
     if (query.distinct) out = out.dropDuplicates()

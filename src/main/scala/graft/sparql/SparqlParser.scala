@@ -782,6 +782,29 @@ object SparqlParser {
       "GROUP_CONCAT")
 
     /** `(FN([DISTINCT] expr | * [; SEPARATOR="s"]) AS ?alias)` */
+    /** `(FN(...) AS ?v)` (aggregate) or `(expr AS ?v)` (17.4 projection
+      * expression) — disambiguated by whether the leading identifier is
+      * an aggregate function name. */
+    private def parenProjection(): ProjItem = {
+      val save = pos
+      eat('(')
+      ws()
+      val start = pos
+      while (pos < input.length &&
+        (input(pos).isLetter || input(pos) == '_')) pos += 1
+      val fn = input.substring(start, pos).toUpperCase
+      pos = save
+      if (AggFns(fn)) aggItem()
+      else {
+        eat('(')
+        val e = expr()
+        expectKeyword("AS")
+        val as = varName()
+        eat(')')
+        PExpr(e, as)
+      }
+    }
+
     private def aggItem(): PAgg = {
       eat('(')
       ws()
@@ -838,7 +861,7 @@ object SparqlParser {
         while (more) {
           ws()
           if (peek == '?' || peek == '$') proj += PVar(varName())
-          else if (peek == '(') proj += aggItem()
+          else if (peek == '(') proj += parenProjection()
           else more = false
         }
         if (proj.isEmpty) fail("SELECT needs ?vars, (AGG(...) AS ?v), or *")

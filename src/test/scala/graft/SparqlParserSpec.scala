@@ -651,6 +651,34 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(both.toSeq == Seq(("1", "3")))
   }
 
+  test("SELECT (expr AS ?v) projection expressions") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("pexpr").toString + "/quads")
+    val engine = new GraphEngine(st)
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/g> {
+        ex:a ex:name "alpha" . ex:a ex:score "10" .
+        ex:b ex:name "beta" . ex:b ex:score "32" . } }""")
+    // plain expression projection alongside a variable
+    val rows = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?n (UCASE(?n) AS ?up) (?sc + 5 AS ?bumped)
+      FROM <http://ex/g>
+      WHERE { ?s ex:name ?n ; ex:score ?sc } ORDER BY ?n""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(("alpha", "ALPHA", "15.0"), ("beta", "BETA", "37.0")))
+    // grouped query: expression over the grouped var
+    val grouped = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT (UCASE(?n) AS ?label) (COUNT(*) AS ?c)
+      FROM <http://ex/g>
+      WHERE { ?s ex:name ?n }
+      GROUP BY ?n ORDER BY ?label""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(grouped.toSeq == Seq(("ALPHA", 1L), ("BETA", 1L)))
+  }
+
   test("CONSTRUCT WHERE shorthand reuses the pattern as the template") {
     val st = new graft.model.GraphStore(spark,
       Files.createTempDirectory("cw").toString + "/quads")
