@@ -130,10 +130,11 @@ final class GraphEngine(val store: QuadStore) {
   /** Execute a SPARQL DESCRIBE: the IRI's concise bounded description
     * (own triples + bounded blank-node closure) as a quad DataFrame. */
   def describe(text: String, name: String = "describe"): DataFrame = {
-    val (iri, fromGraphs) = SparqlParser.parseDescribe(text, name)
+    val q = SparqlParser.parseDescribe(text, name)
     val scoped =
-      if (fromGraphs.isEmpty) store.read() else store.readGraphs(fromGraphs)
-    Compiler.runDescribe(iri, scoped)
+      if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) store.read()
+      else store.readGraphs(q.fromGraphs)
+    Compiler.runDescribeQuery(q, scoped, namedScope(q.fromGraphs, q.fromNamed))
   }
 
   /** Compile an INSERT..WHERE update and return the quads it would

@@ -204,6 +204,15 @@ object Algebra {
   final case class AskQuery(name: String, fromGraphs: Seq[String],
       where: Group, fromNamed: Seq[String] = Seq.empty)
 
+  /** `DESCRIBE (<iri> | ?v) [FROM g]* [WHERE { group }]` — concise
+    * bounded description of the target resource(s); the variable form
+    * describes every IRI the WHERE group binds to ?v. */
+  final case class DescribeQuery(
+      target: Node,
+      fromGraphs: Seq[String],
+      where: Option[Group],
+      fromNamed: Seq[String] = Seq.empty)
+
   /** `CONSTRUCT { template } [FROM g]* WHERE { group }` — instantiate
     * the template once per solution (unbound slots skip, like INSERT).
     * The `CONSTRUCT WHERE { triples }` shorthand reuses the pattern

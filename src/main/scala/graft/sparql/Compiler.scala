@@ -724,7 +724,30 @@ object Compiler {
   def runDescribe(iri: String, scopedQuads: DataFrame): DataFrame = {
     val spark = scopedQuads.sparkSession
     import spark.implicits._
-    var subjects = Seq(iri).toDF("s").localCheckpoint()
+    runDescribeSeeded(Seq(iri).toDF("s"), scopedQuads)
+  }
+
+  /** DESCRIBE ?v WHERE { ... }: describe every IRI/bnode the group
+    * binds to the target var. One group evaluation seeds the same
+    * bounded-closure walk the constant form uses. */
+  def runDescribeQuery(q: DescribeQuery, scopedQuads: DataFrame,
+      namedQuads: Option[DataFrame] = None): DataFrame = q.target match {
+    case I(iri) => runDescribe(iri, scopedQuads)
+    case V(name) =>
+      val bindings = compileGroup(scopedQuads,
+        q.where.getOrElse(throw new IllegalArgumentException(
+          "DESCRIBE ?var needs a WHERE group")), None, namedQuads)
+      val seed = bindings
+        .where(col(name).getField("k").isin(Quad.KindIri, Quad.KindBnode))
+        .select(col(name).getField("v").as("s")).dropDuplicates()
+      runDescribeSeeded(seed, scopedQuads)
+    case L(_, _, _) =>
+      throw new IllegalArgumentException("cannot DESCRIBE a literal")
+  }
+
+  private def runDescribeSeeded(seed: DataFrame,
+      scopedQuads: DataFrame): DataFrame = {
+    var subjects = seed.localCheckpoint()
     var described = scopedQuads.join(subjects, "s")
     var rounds = 0
     var newCount = 1L

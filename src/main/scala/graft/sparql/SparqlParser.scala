@@ -66,8 +66,8 @@ object SparqlParser {
   def parseConstruct(text: String, name: String = "construct"): ConstructQuery =
     new P(text, name).parseConstructTop()
 
-  /** `DESCRIBE <iri> [FROM g]*` → (iri, fromGraphs). */
-  def parseDescribe(text: String, name: String = "describe"): (String, Seq[String]) =
+  /** `DESCRIBE (<iri> | ?v) [FROM g]* [WHERE { group }]`. */
+  def parseDescribe(text: String, name: String = "describe"): DescribeQuery =
     new P(text, name).parseDescribeTop()
 
   private final class P(input: String, queryName: String) {
@@ -917,13 +917,20 @@ object SparqlParser {
       AskQuery(queryName, from, group(), fromNamed)
     }
 
-    def parseDescribeTop(): (String, Seq[String]) = {
+    def parseDescribeTop(): DescribeQuery = {
       parsePrefixes()
       expectKeyword("DESCRIBE")
-      val iri = iriRef()
-      val from = mutable.Buffer.empty[String]
-      while (keyword("FROM")) from += iriRef()
-      (iri, from.toSeq)
+      ws()
+      val target: Node =
+        if (peek == '?' || peek == '$') V(varName()) else I(iriRef())
+      val (from, fromNamed) = datasetClauses()
+      val where = if (keyword("WHERE")) Some(group()) else None
+      target match {
+        case V(_) if where.isEmpty =>
+          fail("DESCRIBE ?var needs a WHERE group binding it")
+        case _ =>
+      }
+      DescribeQuery(target, from, where, fromNamed)
     }
 
     def parseConstructTop(): ConstructQuery = {

@@ -509,6 +509,15 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(d.length == 3)
     assert(d.count(_._1 == "http://ex/org") == 2)
     assert(d.exists(t => t._1.startsWith("_:") && t._2 == "http://ex/email"))
+    // variable form: describe every match of the WHERE group
+    val dv = engine.describe("""
+      PREFIX ex: <http://ex/>
+      DESCRIBE ?x FROM <http://ex/g>
+      WHERE { ?x ex:name ?n }""")
+      .collect().map(_.getAs[String]("s"))
+    // org (2 triples) + other (1) + org's bnode closure (1)
+    assert(dv.length == 4)
+    assert(dv.count(_ == "http://ex/other") == 1)
   }
 
   test("subquery: aggregated { SELECT } joins into the outer group") {
