@@ -171,8 +171,12 @@ object Bench {
           val m = runs.min
           // both runs over 3x floor: one more attempt separates "this
           // query genuinely regressed" from "two stall windows in a row"
-          if (floor.exists(f => m > f * 3 && m > 5.0)) math.min(m, onceTimed(nRuns + 1))
-          else m
+          if (floor.exists(f => m > f * 3 && m > 5.0)) {
+            // a failed confirmation run (-1 sentinel) must not erase
+            // two successful timings through math.min
+            val r3 = onceTimed(nRuns + 1)
+            if (r3 >= 0) math.min(m, r3) else m
+          } else m
         }
       System.err.println(f"[bench] $name%-32s runs=${runs.map(r => f"$r%.2f").mkString("/")} -> $best%.2f s")
       name -> best

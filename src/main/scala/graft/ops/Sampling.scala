@@ -81,14 +81,20 @@ object Sampling {
     // min(1, n^tau / sum(n^tau) * N/2 / n), applied as a deterministic
     // integer threshold on the doc's 24-bit md5 prefix — the rate table
     // is sources-sized and broadcasts, so the corpus pass is map-side.
+    // The n^tau weights are rounded to a 1e6 grid BEFORE summing: a
+    // float sum's value depends on accumulation order, which differs
+    // between engines, while a sum of integers is exact — from there
+    // every op in the rate chain is the same IEEE-deterministic
+    // sequence in Spark and the oracle, so the cut can't straddle.
     "sample_temperature" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
       val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .withColumn("w", round(pow(col("n"), 0.5) * 1e6).cast("long"))
       val tot = counts.agg(sum(col("n")).as("n_total"),
-        sum(pow(col("n"), 0.5)).as("w_total"))
+        sum(col("w")).as("w_total"))
       val rates = counts.crossJoin(broadcast(tot))
         .withColumn("rate", least(lit(1.0),
-          pow(col("n"), 0.5) / col("w_total") * col("n_total") * 0.5 / col("n")))
+          col("w").cast("double") / col("w_total") * col("n_total") * 0.5 / col("n")))
         .select(col("source"),
           floor(col("rate") * (1 << 24)).cast("long").as("cut"))
       docs.join(broadcast(rates), "source")
@@ -125,13 +131,14 @@ object Sampling {
            FROM documents) t
          WHERE rk <= 10 ORDER BY lang, rk""",
     "sample_temperature" ->
-      """WITH counts AS (SELECT source, count(*) AS n FROM documents
-                         GROUP BY source),
-           tot AS (SELECT sum(n) AS n_total, sum(pow(n, 0.5)) AS w_total
+      """WITH counts AS (SELECT source, count(*) AS n,
+                           CAST(round(pow(n, 0.5) * 1000000) AS BIGINT) AS w
+                         FROM documents GROUP BY source),
+           tot AS (SELECT sum(n) AS n_total, sum(w) AS w_total
                    FROM counts),
            rates AS (SELECT source,
                CAST(floor(least(1.0,
-                 pow(n, 0.5) / w_total * n_total * 0.5 / n) * 16777216)
+                 CAST(w AS DOUBLE) / w_total * n_total * 0.5 / n) * 16777216)
                  AS BIGINT) AS cut
              FROM counts, tot)
          SELECT d.source, count(*) AS n_kept

@@ -74,7 +74,17 @@ object RdfXml {
 
     private val schemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:".r
     private def resolve(iri: String): String =
-      if (base.isEmpty || schemeRe.findFirstIn(iri).isDefined) iri else base + iri
+      if (schemeRe.findFirstIn(iri).isDefined) iri
+      else if (base.isEmpty) {
+        // rdf:ID mints "#id": without a base that relative form can
+        // never become an absolute IRI — fail rather than emit it
+        if (iri.startsWith("#"))
+          fail(s"relative IRI '$iri' (rdf:ID) requires xml:base")
+        iri
+      } else
+        // RFC 3986 reference resolution, not string concatenation:
+        // base ".../dir/doc.rdf" + "rel" must drop the last segment
+        new java.net.URI(base).resolve(iri).toString
 
     private def attr(ns: String, local: String): Option[String] =
       Option(reader.getAttributeValue(ns, local))

@@ -343,8 +343,9 @@ object Compiler {
             nullable ++= innerNullable
           case V(name) =>
             // variable graph → every inner pattern also binds ?name, so
-            // the BGP joins align within one graph per solution. (A `+`
-            // closure inside GRAPH ?g does not constrain the graph.)
+            // the BGP joins align within one graph per solution —
+            // including `+`/`*` closures, whose pair sets are built and
+            // iterated per graph (see ClosureE below).
             val (innerDf, innerNullable) =
               compileGroupTracked(graphScope, inner, None, Some(name), namedQuads)
             acc = Some(joinStep(acc, nullable, innerDf, innerNullable))
@@ -354,10 +355,17 @@ object Compiler {
         }
       case ClosureE(sN, edgeGroup, v1, v2, oN, minHops, maxHops) =>
         flush()
+        // Inside GRAPH ?g the closure is PER GRAPH: edge pairs carry the
+        // graph term as `_g`, the doubling join keys on it, and the
+        // zero-length domain is drawn graph-by-graph — so ?g is bound
+        // and constrained by the path like by any other pattern.
+        val gSel = graphVar.map(g => col(g).as("_g")).toSeq
+        val gKey = graphVar.map(_ => col("_g")).toSeq
         // one-hop edge pairs from the desugared inner path; checkpointed
         // so the iterative plan below stays flat (lineage pitfall)
-        val edgePairs = compileGroupTracked(quads, edgeGroup, None)._1
-          .select(col(v1).as("_src"), col(v2).as("_dst"))
+        val edgePairs = compileGroupTracked(quads, edgeGroup, None, graphVar,
+          namedQuads)._1
+          .select(gSel ++ Seq(col(v1).as("_src"), col(v2).as("_dst")): _*)
           .dropDuplicates().localCheckpoint()
         // reachability by PAIR DOUBLING: round k covers paths up to
         // 2^k hops, so 20 bounded rounds reach any practical diameter
@@ -371,9 +379,10 @@ object Compiler {
           var rounds = 0
           while (changed && rounds < 20) {
             val doubled = closure.join(
-              closure.select(col("_src").as("_dst"), col("_dst").as("_hop")),
-              "_dst")
-              .select(col("_src"), col("_hop").as("_dst"))
+              closure.select(gKey ++ Seq(col("_src").as("_dst"),
+                col("_dst").as("_hop")): _*),
+              graphVar.map(_ => "_g").toSeq :+ "_dst")
+              .select(gKey ++ Seq(col("_src"), col("_hop").as("_dst")): _*)
             val next = closure.unionAll(doubled).dropDuplicates().localCheckpoint()
             val m = next.count()
             changed = m != n
@@ -388,18 +397,26 @@ object Compiler {
           // the query's own constant endpoints (a constant matches its
           // zero-length path whether or not the graph mentions it). One
           // distinct over narrow term structs; partitionable at scale.
-          val subjTerms = quads.select(subjectTerm(col("s")).as("_t"))
-          val objTerms = quads.select(objectTerm().as("_t"))
+          // Per graph when ?g is in scope: each graph contributes its
+          // own terms, and constants pair with every graph in scope.
+          val gTermSel = graphVar.map(_ => iriTerm(col("graph")).as("_g")).toSeq
+          val subjTerms = quads.select(gTermSel :+ subjectTerm(col("s")).as("_t"): _*)
+          val objTerms = quads.select(gTermSel :+ objectTerm().as("_t"): _*)
+          val constHost = graphVar match {
+            case Some(_) => quads.select(iriTerm(col("graph")).as("_g")).dropDuplicates()
+            case None => unitRow(quads)
+          }
           val constTerms = Seq(sN, oN).collect {
-            case I(iri) => unitRow(quads).select(iriTerm(lit(iri)).as("_t"))
-            case L(value, dt, lang) => unitRow(quads).select(litTerm(lit(value),
+            case I(iri) => constHost.select(gKey :+ iriTerm(lit(iri)).as("_t"): _*)
+            case L(value, dt, lang) => constHost.select(gKey :+ litTerm(lit(value),
               Option(dt).map(lit).getOrElse(nullStr),
-              Option(lang).map(lit).getOrElse(nullStr)).as("_t"))
+              Option(lang).map(lit).getOrElse(nullStr)).as("_t"): _*)
           }
           val domain = constTerms.foldLeft(subjTerms.unionAll(objTerms))(_ unionAll _)
             .dropDuplicates()
           closure = closure
-            .unionAll(domain.select(col("_t").as("_src"), col("_t").as("_dst")))
+            .unionAll(domain.select(gKey ++ Seq(col("_t").as("_src"),
+              col("_t").as("_dst")): _*))
             .dropDuplicates()
         }
         var res = closure
@@ -417,11 +434,17 @@ object Compiler {
               Option(dt).map(lit).getOrElse(nullStr),
               Option(lang).map(lit).getOrElse(nullStr)))
         }
+        graphVar.foreach(g => outCols += g -> col("_g"))
         val colsAll = outCols.result()
-        // `?x p+ ?x` (same var both ends): cycle test — equality filter
+        // a var bound twice (`?x p+ ?x` cycle test, or ?g doubling as an
+        // endpoint): every repeat is an equality filter on its columns
         val cols = colsAll.distinctBy(_._1)
-        if (cols.size != colsAll.size)
-          res = res.where(col("_src") === col("_dst"))
+        colsAll.groupBy(_._1).valuesIterator.filter(_.size > 1).foreach { dups =>
+          dups.map(_._2).sliding(2).foreach {
+            case Seq(a, b) => res = res.where(a === b)
+            case _ =>
+          }
+        }
         val projected =
           if (cols.nonEmpty) res.select(cols.map { case (nm, c) => c.as(nm) }: _*)
           else res.limit(1).select() // fully-ground path: existence row
@@ -444,7 +467,12 @@ object Compiler {
           unitRow(quads).select(vars.zip(r).map {
             case (v, t) => termCol(t).as(v)
           }: _*)
-        }.reduce(_ unionAll _)
+        }.reduceOption(_ unionAll _).getOrElse {
+          // `VALUES ?v { }` is legal SPARQL: the empty table — zero
+          // solutions, but the vars still need their term-struct schema
+          unitRow(quads).limit(0)
+            .select(vars.map(v => nullTerm.as(v)): _*)
+        }
         // a var some row UNDEFs joins null-tolerantly; fully-ground
         // vars are plain equi keys and leave the nullable set
         val soft = vars.zipWithIndex

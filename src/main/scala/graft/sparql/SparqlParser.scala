@@ -1001,18 +1001,36 @@ object SparqlParser {
 
     private def parseQuadData(withGraph: Option[String]): Seq[Quad] = {
       eat('{')
-      var target = withGraph
-      val triples = mutable.Buffer.empty[TriplePattern]
-      ws()
-      if (keyword("GRAPH")) {
-        target = Some(iriRef())
-        eat('{')
-        templateTriples(triples)
-        eat('}')
-      } else templateTriples(triples)
+      // QuadData allows any number of `GRAPH g {...}` blocks interleaved
+      // with bare triples (which go to WITH's graph, or the default)
+      val quads = mutable.Buffer.empty[(String, TriplePattern)]
+      var more = true
+      while (more) {
+        ws()
+        if (peek == '}') more = false
+        else if (keyword("GRAPH")) {
+          val g = iriRef()
+          eat('{')
+          val block = mutable.Buffer.empty[TriplePattern]
+          templateTriples(block)
+          eat('}')
+          ws(); tryEat('.')
+          quads ++= block.map(g -> _)
+        } else {
+          // one subject-group per pass, so a following GRAPH block is
+          // seen by the outer loop rather than read as a subject
+          val g = withGraph.getOrElse(graft.model.Quad.DefaultGraph)
+          val buf = mutable.Buffer.empty[Element]
+          triplesSameSubject(buf, allowPaths = false)
+          tryEat('.')
+          quads ++= buf.map {
+            case Pat(tp) => g -> tp
+            case other => fail(s"quad data may only contain triples, got $other")
+          }
+        }
+      }
       eat('}')
-      val g = target.getOrElse(fail("INSERT/DELETE DATA without graph"))
-      triples.toSeq.map { tp =>
+      quads.toSeq.map { case (g, tp) =>
         val s = tp.s match {
           case I(iri) => iri
           case _ => fail("INSERT DATA requires ground subjects")

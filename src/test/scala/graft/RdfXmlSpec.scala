@@ -74,6 +74,28 @@ class RdfXmlSpec extends AnyFunSuite {
     assert(back == quads.toSet)
   }
 
+  test("relative IRIs resolve per RFC 3986, not string concatenation") {
+    val d = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:ex="http://ex/" xml:base="http://base/dir/doc.rdf">
+      <rdf:Description rdf:about="http://ex/a">
+        <ex:rel rdf:resource="sib"/>
+        <ex:abs rdf:resource="/root"/>
+        <ex:frag rdf:resource="#part"/>
+      </rdf:Description></rdf:RDF>"""
+    val qs = RdfXml.parse(d, "g")
+    def obj(p: String) = qs.find(_.p == "http://ex/" + p).get.o_value
+    assert(obj("rel") == "http://base/dir/sib", "drops the last segment")
+    assert(obj("abs") == "http://base/root", "root-relative")
+    assert(obj("frag") == "http://base/dir/doc.rdf#part", "fragment on doc")
+  }
+
+  test("rdf:ID without xml:base fails instead of emitting a relative IRI") {
+    val d = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:ex="http://ex/">
+      <rdf:Description rdf:ID="thing"><ex:k>v</ex:k></rdf:Description></rdf:RDF>"""
+    assertThrows[IllegalArgumentException](RdfXml.parse(d, "g"))
+  }
+
   test("unsupported forms fail loudly") {
     val bad = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
       xmlns:ex="http://ex/"><rdf:Description rdf:about="http://ex/a">

@@ -466,6 +466,51 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(negInv.toSeq == Seq("http://ex/acme"))
   }
 
+  test("closure inside GRAPH ?g binds the graph and stays per-graph") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("gpaths").toString + "/quads")
+    val engine = new GraphEngine(st)
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA {
+        GRAPH <http://ex/g1> { ex:a ex:knows ex:b . ex:b ex:knows ex:c . }
+        GRAPH <http://ex/g2> { ex:c ex:knows ex:d . } }""")
+    // reachability must NOT leap the graph boundary: a→b→c lives in g1,
+    // c→d in g2, so a + closure never reaches d, and ?g is bound
+    val plus = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?g ?x WHERE { GRAPH ?g { ex:a ex:knows+ ?x } } ORDER BY ?x""")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(plus.toSeq == Seq(
+      ("http://ex/g1", "http://ex/b"),
+      ("http://ex/g1", "http://ex/c")))
+    // zero-length identity: the constant subject pairs with EVERY named
+    // graph in scope (a matches its own zero-length path in each)
+    val star = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?g ?x WHERE { GRAPH ?g { ex:c ex:knows* ?x } } ORDER BY ?g ?x""")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(star.toSeq == Seq(
+      ("http://ex/g1", "http://ex/c"),
+      ("http://ex/g2", "http://ex/c"),
+      ("http://ex/g2", "http://ex/d")))
+  }
+
+  test("VALUES with an empty row list is the empty table, not a crash") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("emptyvals").toString + "/quads")
+    val engine = new GraphEngine(st)
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/g> { ex:a ex:name "A" . } }""")
+    val out = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?s ?v FROM <http://ex/g>
+      WHERE { ?s ex:name ?n . VALUES ?v { } }""")
+    assert(out.columns.toSeq == Seq("s", "v"))
+    assert(out.count() == 0)
+  }
+
   test("DELETE/INSERT WHERE: one pre-state evaluation feeds both templates") {
     val st = new graft.model.GraphStore(spark,
       Files.createTempDirectory("modify").toString + "/quads")
