@@ -76,6 +76,32 @@ final class Pipeline(store: QuadStore) {
     }
   }
 
+  /** Entry point B of the reference (`load_knowledge_graph.py:178-195`):
+    * the DAG posts SPARQL UPDATE *texts* — the 14 files plus rendered
+    * inline templates. Each text is parsed by the SPARQL front end and
+    * the resulting queries drive the SAME scoped-cache / parallel /
+    * single-merge machinery as the DSL transcriptions; a text that is
+    * not an INSERT..WHERE mapping is rejected loudly. */
+  def runMappingsFromTexts(texts: Seq[(String, String)]): Unit = {
+    import graft.sparql.SparqlParser
+    val parsed = texts.map { case (name, text) =>
+      SparqlParser.parse(text, name) match {
+        case SparqlParser.InsertWhere(q) => q
+        case other => throw new IllegalArgumentException(
+          s"mapping text $name is not INSERT..WHERE: ${other.getClass.getSimpleName}")
+      }
+    }
+    runMappings(parsed)
+  }
+
+  /** PROV-O lineage via the verbatim inline template (task mp) — parses
+    * and executes [[ReferenceTexts.provenanceText]], so the text path is
+    * exercised end to end. Records the reference's own executor naming;
+    * [[addProvenance]] is the Spark-honest variant. */
+  def addProvenanceFromText(runId: String, startedAt: String): Unit =
+    new graft.GraphEngine(store).update(
+      ReferenceTexts.provenanceText(runId, startedAt), "add_provenance")
+
   /** PROV-O lineage (task mp, `load_knowledge_graph.py:510-545`). */
   def addProvenance(runId: String, startedAt: String): Unit = {
     val prov = "http://www.w3.org/ns/prov#"
@@ -131,12 +157,7 @@ final class Pipeline(store: QuadStore) {
   }
 
   /** python urllib.parse.quote_plus — used by the reference to mint the
-    * run IRI (`load_knowledge_graph.py:55`). NOT java URLEncoder, which
-    * diverges on '*' (kept) and '~' (encoded); quote_plus keeps exactly
-    * the RFC 3986 unreserved set and maps space to '+'. Built on
-    * encodeForUri (same unreserved set): spaces become %20 there and are
-    * rewritten to '+'; a literal '%' in the input was already escaped to
-    * %25, so the rewrite cannot touch user data. */
-  private def urlEncodePlus(s: String): String =
-    graft.sparql.SparqlRuntime.encodeForUri(s).replace("%20", "+")
+    * run IRI (`load_knowledge_graph.py:55`); see
+    * [[ReferenceTexts.quotePlus]] for the java-URLEncoder caveat. */
+  private def urlEncodePlus(s: String): String = ReferenceTexts.quotePlus(s)
 }

@@ -138,15 +138,39 @@ object SparqlParser {
       val pfx = input.substring(start, pos)
       if (peek != ':') fail(s"expected prefixed name, got '$pfx'")
       pos += 1
-      val lstart = pos
-      while (pos < input.length &&
-        (isNameChar(input(pos)) || input(pos) == '.')) pos += 1
+      // PN_LOCAL: name chars and '.', plus the PLX forms — '%' HEX HEX
+      // kept verbatim (a percent-encoded IRI octet) and '\'-escaped
+      // punctuation unescaped. The reference's provenance template mints
+      // run IRIs through quote_plus, so ':scheduled__...T00%3A00' must
+      // round-trip (`load_knowledge_graph.py:523-526`).
+      val lbuf = new StringBuilder
+      val escaped = new scala.collection.mutable.BitSet
+      var more = true
+      while (more && pos < input.length) {
+        val c = input(pos)
+        if (c == '%' && pos + 2 < input.length &&
+          isHex(input(pos + 1)) && isHex(input(pos + 2))) {
+          escaped ++= Seq(lbuf.length, lbuf.length + 1, lbuf.length + 2)
+          lbuf ++= input.substring(pos, pos + 3); pos += 3
+        } else if (c == '\\' && pos + 1 < input.length &&
+          PnLocalEsc.indexOf(input(pos + 1).toInt) >= 0) {
+          escaped += lbuf.length
+          lbuf += input(pos + 1); pos += 2
+        } else if (isNameChar(c) || c == '.') { lbuf += c; pos += 1 }
+        else more = false
+      }
       // PN_LOCAL may not end with '.', so give back trailing dots
-      while (pos > lstart && input(pos - 1) == '.') pos -= 1
-      val local = input.substring(lstart, pos)
+      // (escaped ones — '\.' or inside %HH — are real content and stay)
+      while (lbuf.nonEmpty && lbuf.last == '.' && !escaped(lbuf.length - 1)) {
+        lbuf.deleteCharAt(lbuf.length - 1); pos -= 1
+      }
       prefixes.getOrElse(pfx,
-        fail(s"undeclared prefix '$pfx'")) + local
+        fail(s"undeclared prefix '$pfx'")) + lbuf.result()
     }
+
+    private val PnLocalEsc = "_~.-!$&'()*+,;=/?#@%"
+    private def isHex(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
 
     private def varName(): String = {
       ws()
