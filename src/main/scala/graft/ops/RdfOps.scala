@@ -337,6 +337,45 @@ object RdfOps {
         ORDER BY ?c""")
     }),
 
+    // Trailing VALUES clause (§18.2.4.3) + sameTerm/langMatches
+    // builtins: language-tagged names (en for even keys, nl for odd),
+    // the data block constrains ?seg after the WHERE, langMatches keeps
+    // the English names, and !sameTerm drops the AUTOMOBILE segment by
+    // full term identity. Oracle recomputes relationally.
+    "rdf_sparql_values_builtins" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-tvals-${System.nanoTime()}"
+      val g = "http://ex/custv"
+      val store = new graft.model.GraphStore(s, dir)
+      val cust = Tables.customer(s, d)
+      val base = cust.select(
+        lit(g).as("graph"),
+        concat(lit("cust:"), col("c_custkey").cast("string")).as("s"),
+        lit("segment").as("p"), col("c_mktsegment").as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      val names = cust.select(
+        lit(g).as("graph"),
+        concat(lit("cust:"), col("c_custkey").cast("string")).as("s"),
+        lit("name").as("p"),
+        concat(lit("Name-"), col("c_custkey").cast("string")).as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        when(col("c_custkey") % 2 === 0, "en").otherwise("nl").as("o_lang"),
+        lit("literal").as("o_kind"))
+      store.append(base.unionAll(names))
+      val engine = new graft.GraphEngine(store)
+      engine.select(s"""
+        SELECT ?c ?seg ?nm
+        FROM <$g>
+        WHERE {
+          ?c <segment> ?seg ; <name> ?nm .
+          FILTER (LANGMATCHES(LANG(?nm), 'en'))
+          FILTER (!SAMETERM(?seg, 'AUTOMOBILE'))
+        }
+        ORDER BY ?c
+        VALUES ?seg { 'BUILDING' 'AUTOMOBILE' 'MACHINERY' }""")
+    }),
+
     // SPARQL aggregates end-to-end: GROUP BY compiles to groupBy-agg
     // (map-side partial combine for free), HAVING filters native agg
     // aliases, ORDER BY DESC + tiebreaker keep the output total-ordered.
@@ -1243,6 +1282,14 @@ ORDER BY s, p, o_value""",
            AND c_mktsegment NOT IN ('FURNITURE')
            AND contains(c_mktsegment, 'I')
            AND length(c_mktsegment) >= 8
+         ORDER BY c""",
+    "rdf_sparql_values_builtins" ->
+      """SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS c,
+           c_mktsegment AS seg,
+           'Name-' || CAST(c_custkey AS VARCHAR) AS nm
+         FROM customer
+         WHERE c_custkey % 2 = 0
+           AND c_mktsegment IN ('BUILDING', 'MACHINERY')
          ORDER BY c""",
     "rdf_sparql_delete" ->
       """SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS s,

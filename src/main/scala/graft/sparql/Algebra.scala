@@ -195,7 +195,11 @@ object Algebra {
         * range over. Empty with a nonempty `fromGraphs` means GRAPH
         * matches nothing — per spec, any dataset clause makes the
         * dataset explicit. Both empty = whole-store default. */
-      fromNamed: Seq[String] = Seq.empty) {
+      fromNamed: Seq[String] = Seq.empty,
+      /** trailing `VALUES` clause (§18.2.4.3): joined with the
+        * solutions — inside the WHERE join for plain queries, after
+        * grouping and HAVING for aggregate queries. */
+      trailingValues: Option[ValuesE] = None) {
     def vars: Seq[String] = projection.collect { case PVar(n) => n }
     def aggs: Seq[PAgg] = projection.collect { case a: PAgg => a }
   }

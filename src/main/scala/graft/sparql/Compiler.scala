@@ -802,8 +802,17 @@ object Compiler {
     * dropDuplicates / groupBy-agg (partial map-side combine for free) /
     * orderBy / limit, so Catalyst plans them (a LIMIT under ORDER BY
     * becomes TakeOrderedAndProject — no global sort materializes). */
-  def runSelect(query: SelectQuery, scopedQuads: DataFrame,
+  def runSelect(query0: SelectQuery, scopedQuads: DataFrame,
       namedQuads: Option[DataFrame] = None): DataFrame = {
+    // trailing VALUES (§18.2.4.3): for a plain query the join with the
+    // solutions commutes into the WHERE group (and UNDEF-tolerant join
+    // machinery already lives there); aggregate queries join after
+    // grouping/HAVING below, per the spec's operator order
+    val query = query0.trailingValues match {
+      case Some(v) if query0.aggs.isEmpty =>
+        query0.copy(where = Group(query0.where.elems :+ v))
+      case _ => query0
+    }
     val bindings = compileGroup(scopedQuads, query.where, None, namedQuads)
     var out: DataFrame =
       if (query.aggs.isEmpty) {
@@ -827,7 +836,23 @@ object Compiler {
           if (query.groupBy.isEmpty) bindings.agg(aggCols.head, aggCols.tail: _*)
           else bindings.groupBy(query.groupBy.map(col): _*)
             .agg(aggCols.head, aggCols.tail: _*)
-        val havinged = query.having.fold(grouped)(h => grouped.where(havingBool(h)))
+        val postHaving = query.having.fold(grouped)(h => grouped.where(havingBool(h)))
+        // aggregate query + trailing VALUES: join the grouped solutions
+        // with the data block (UNDEF rows are null → compatible-with-any)
+        val havinged = query.trailingValues match {
+          case None => postHaving
+          case Some(v) =>
+            val vt = compileGroup(scopedQuads, Group(Seq(v)), None, namedQuads)
+            val shared = vt.columns.toSeq.intersect(postHaving.columns.toSeq)
+            if (shared.isEmpty) postHaving.crossJoin(vt)
+            else {
+              val vtr = shared.foldLeft(vt)((d, c) =>
+                d.withColumnRenamed(c, "_tv_" + c))
+              val cond = shared.map(c =>
+                col("_tv_" + c).isNull || col("_tv_" + c) === col(c)).reduce(_ && _)
+              postHaving.join(vtr, cond).drop(shared.map("_tv_" + _): _*)
+            }
+        }
         havinged.select(query.projection.map {
           case PVar(n) =>
             if (!query.groupBy.contains(n))

@@ -451,50 +451,7 @@ object SparqlParser {
           elems += GraphE(gn, group())
           tryEat('.')
         } else if (keyword("VALUES")) {
-          def term(): Option[Node] = {
-            ws()
-            if (keyword("UNDEF")) None
-            else Some(peek match {
-              case '<' => I(iriRef())
-              case '"' | '\'' => literalNode()
-              case c if c.isLetter || c == '_' => I(iriRef()) // prefixed name
-              case _ => fail("VALUES terms must be IRIs, literals, or UNDEF")
-            })
-          }
-          ws()
-          if (peek == '(') {
-            // multi-var form: VALUES (?a ?b) { (t1 t2) (UNDEF t3) ... }
-            pos += 1
-            val vars = mutable.Buffer.empty[String]
-            ws()
-            while (peek == '?' || peek == '$') { vars += varName(); ws() }
-            eat(')')
-            if (vars.isEmpty) fail("VALUES needs at least one variable")
-            eat('{')
-            val rows = mutable.Buffer.empty[Seq[Option[Node]]]
-            ws()
-            while (peek == '(') {
-              pos += 1
-              val row = mutable.Buffer.empty[Option[Node]]
-              ws()
-              while (peek != ')') { row += term(); ws() }
-              eat(')')
-              if (row.size != vars.size) fail(
-                s"VALUES row has ${row.size} terms for ${vars.size} vars")
-              rows += row.toSeq
-              ws()
-            }
-            eat('}')
-            elems += ValuesE(vars.toSeq, rows.toSeq)
-          } else {
-            val v = varName()
-            eat('{')
-            val rows = mutable.Buffer.empty[Seq[Option[Node]]]
-            ws()
-            while (peek != '}') { rows += Seq(term()); ws() }
-            eat('}')
-            elems += ValuesE(Seq(v), rows.toSeq)
-          }
+          elems += valuesBlock()
           tryEat('.')
         } else if (peek == '{') {
           val save = pos
@@ -919,8 +876,59 @@ object SparqlParser {
       var limit = intAfter("LIMIT")
       val offset = intAfter("OFFSET")
       if (limit.isEmpty) limit = intAfter("LIMIT")
+      // trailing ValuesClause (18.2.4.3): joined with the solutions
+      val tv = if (keyword("VALUES")) Some(valuesBlock()) else None
       SelectQuery(queryName, proj.toSeq, distinct, from, where,
-        groupVars.toSeq, having, order.toSeq, limit, offset, fromNamed)
+        groupVars.toSeq, having, order.toSeq, limit, offset, fromNamed, tv)
+    }
+
+    /** A VALUES data block (after the keyword): inline in a group, or
+      * the trailing ValuesClause of a SELECT (§18.2.4.3). */
+    private def valuesBlock(): ValuesE = {
+      def term(): Option[Node] = {
+        ws()
+        if (keyword("UNDEF")) None
+        else Some(peek match {
+          case '<' => I(iriRef())
+          case '"' | '\'' => literalNode()
+          case c if c.isLetter || c == '_' => I(iriRef()) // prefixed name
+          case _ => fail("VALUES terms must be IRIs, literals, or UNDEF")
+        })
+      }
+      ws()
+      if (peek == '(') {
+        // multi-var form: VALUES (?a ?b) { (t1 t2) (UNDEF t3) ... }
+        pos += 1
+        val vars = mutable.Buffer.empty[String]
+        ws()
+        while (peek == '?' || peek == '$') { vars += varName(); ws() }
+        eat(')')
+        if (vars.isEmpty) fail("VALUES needs at least one variable")
+        eat('{')
+        val rows = mutable.Buffer.empty[Seq[Option[Node]]]
+        ws()
+        while (peek == '(') {
+          pos += 1
+          val row = mutable.Buffer.empty[Option[Node]]
+          ws()
+          while (peek != ')') { row += term(); ws() }
+          eat(')')
+          if (row.size != vars.size) fail(
+            s"VALUES row has ${row.size} terms for ${vars.size} vars")
+          rows += row.toSeq
+          ws()
+        }
+        eat('}')
+        ValuesE(vars.toSeq, rows.toSeq)
+      } else {
+        val v = varName()
+        eat('{')
+        val rows = mutable.Buffer.empty[Seq[Option[Node]]]
+        ws()
+        while (peek != '}') { rows += Seq(term()); ws() }
+        eat('}')
+        ValuesE(Seq(v), rows.toSeq)
+      }
     }
 
     /** `(FROM [NAMED] <iri>)*` — default-graph and named-graph lists. */

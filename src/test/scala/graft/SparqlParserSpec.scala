@@ -496,6 +496,32 @@ class SparqlParserSpec extends AnyFunSuite {
       ("http://ex/g2", "http://ex/d")))
   }
 
+  test("trailing VALUES joins after grouping in aggregate queries") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("tvagg").toString + "/quads")
+    val engine = new GraphEngine(st)
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/g> {
+        ex:a ex:kind "x" . ex:b ex:kind "x" . ex:c ex:kind "y" .
+        ex:d ex:kind "z" . } }""")
+    // the data block filters the GROUPED solutions (x and z survive the
+    // VALUES join; y does not) — §18.2.4.3 joins after grouping/HAVING
+    val rows = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?k (COUNT(*) AS ?n) FROM <http://ex/g>
+      WHERE { ?s ex:kind ?k } GROUP BY ?k ORDER BY ?k
+      VALUES ?k { "x" "z" }""").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("x", 2L), ("z", 1L)))
+    // UNDEF row: compatible with every group
+    val all = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?k (COUNT(*) AS ?n) FROM <http://ex/g>
+      WHERE { ?s ex:kind ?k } GROUP BY ?k ORDER BY ?k
+      VALUES ?k { UNDEF }""").collect().map(_.getString(0))
+    assert(all.toSeq == Seq("x", "y", "z"))
+  }
+
   test("VALUES with an empty row list is the empty table, not a crash") {
     val st = new graft.model.GraphStore(spark,
       Files.createTempDirectory("emptyvals").toString + "/quads")
