@@ -38,7 +38,12 @@ object Sources {
       jsonField: String,
       fetchSize: Int = 10000,
       partitionOptions: Map[String, String] = Map.empty,
-      connectionProperties: Map[String, String] = Map.empty): DataFrame = {
+      connectionProperties: Map[String, String] = Map.empty,
+      /** extra source columns kept alongside `json` — as plain
+        * attributes they keep downstream filters JDBC-pushable (an
+        * incremental sync filters on id/updated_at and the predicate
+        * must reach the database, not Spark) */
+      keepColumns: Seq[String] = Nil): DataFrame = {
     val reader = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
@@ -49,7 +54,8 @@ object Sources {
     val withProps = connectionProperties.foldLeft(withPartitions) {
       case (r, (k, v)) => r.option(k, v)
     }
-    withProps.load().select(col(jsonField).cast("string").as("json"))
+    withProps.load().select(
+      col(jsonField).cast("string").as("json") +: keepColumns.map(col): _*)
   }
 
   /** S1 composed with T1: JDBC JSON column → quads in `graph`. */

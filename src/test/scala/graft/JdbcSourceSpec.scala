@@ -56,6 +56,38 @@ class JdbcSourceSpec extends AnyFunSuite {
       == """{"Name": "Tenant 0", "ExternalId": "OR-0"}""")
   }
 
+  test("the 4 partitions carry 4 range WHERE clauses; predicates push to JDBC") {
+    import org.apache.spark.sql.functions.col
+    val df = Sources.jdbcJson(spark, url, "docs", "payload",
+      fetchSize = 5,
+      partitionOptions = Map(
+        "partitionColumn" -> "id", "lowerBound" -> "0",
+        "upperBound" -> "20", "numPartitions" -> "4"),
+      connectionProperties = Map("driver" -> Driver),
+      keepColumns = Seq("id"))
+    // (a) each runtime partition is a separate range query: the
+    // JDBCPartition's whereClause is appended verbatim to that
+    // partition's SELECT (reflected — the class is spark-private)
+    val clauses = df.rdd.partitions.map { p =>
+      p.getClass.getMethod("whereClause").invoke(p).asInstanceOf[String]
+    }
+    assert(clauses.length == 4, clauses.mkString("; "))
+    // stride (20-0)/4 = 5: three upper bounds and one unbounded tail,
+    // every inner partition bounded on both sides
+    assert(clauses.count(_.contains("< 5")) == 1, clauses.mkString("; "))
+    assert(clauses.count(c => c.contains(">= 5") && c.contains("< 10")) == 1)
+    assert(clauses.count(c => c.contains(">= 10") && c.contains("< 15")) == 1)
+    assert(clauses.count(c => c.contains(">= 15") && !c.contains("<")) == 1)
+    // (b) a filter on a kept source column is pushed INTO the JDBC scan
+    // (the database evaluates it), not applied Spark-side after the read
+    val filtered = df.where(col("id") >= 10)
+    assert(filtered.count() == 10)
+    val plan = filtered.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters:") &&
+      "(?i)GreaterThanOrEqual\\(id,10\\)".r.findFirstIn(plan).isDefined,
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
   test("jdbcJsonToQuads composes the live scan with the flattener") {
     val quads = Sources.jdbcJsonToQuads(spark, url, "docs", "payload",
       graph = "http://g/jdbc", namespace = "http://localhost/",
