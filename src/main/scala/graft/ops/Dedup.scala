@@ -109,13 +109,21 @@ object Dedup {
   private def shinglePairs(ex: DataFrame): DataFrame =
     shinglePairsCapped(ex, ShingleDfCap)
 
-  private[graft] def shinglePairsCapped(ex: DataFrame, cap: Int): DataFrame = {
+  /** `ex` minus the shingles with document frequency above `cap` — the
+    * shared candidate-generation input of the shingle join AND the
+    * min-hash signatures (hot shingles carry no discriminative signal
+    * either way; they still count in every exact verify). */
+  private[ops] def belowCap(ex: DataFrame, cap: Int): DataFrame = {
     val hot = ex.groupBy(col("hs")).agg(count(lit(1)).as("df"))
       .filter(col("df") > cap)
       .select(col("hs"))
+    ex.join(hot, Seq("hs"), "left_anti")
+  }
+
+  private[graft] def shinglePairsCapped(ex: DataFrame, cap: Int): DataFrame = {
     // candidates from rare shingles only: bucket size is capped, so the
     // per-key join fan-out is bounded by C(cap, 2) no matter the corpus
-    val rare = ex.join(hot, Seq("hs"), "left_anti")
+    val rare = belowCap(ex, cap)
     val a = rare.select(col("doc_id").as("i"), col("hs"))
     val b = rare.select(col("doc_id").as("j"), col("hs"))
     val cand = a.join(b, a("hs") === b("hs") && col("i") < col("j"))
@@ -139,7 +147,7 @@ object Dedup {
   /** Per-doc MinHash signature, banded: (doc_id, band, bandHash). The k
     * signature components are murmur mixes of the 8-byte shingle hash —
     * the shingle string is hashed ONCE upstream, not k times here. */
-  private def minhashBands(ex: DataFrame): DataFrame = {
+  private[ops] def minhashBands(ex: DataFrame): DataFrame = {
     val k = MinhashBands * MinhashRows
     val sigCols = (0 until k).map(i =>
       min(hash(lit(i), col("hs"))).as(s"h$i"))
@@ -175,8 +183,15 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s, d) => {
       val (ex, counts) = shingleTables(s, d)
       // both self-join sides consume the banded signatures — persist so
-      // the 48-column min-hash aggregation runs once, not per side
-      val bands = minhashBands(ex)
+      // the 48-column min-hash aggregation runs once, not per side.
+      // Signatures are built from BELOW-CAP shingles only (same df-cap
+      // as the shingle join): a corpus-wide boilerplate shingle would
+      // otherwise dominate the min-hash of every doc carrying it, so
+      // all boilerplate docs co-band and candidates go quadratic — the
+      // round-6 ScaleProbe measured ×87 candidate growth on a 10×
+      // corpus without this, ~linear with it. Hot shingles still count
+      // in the exact-Jaccard verify below, so emitted pairs stay exact.
+      val bands = minhashBands(belowCap(ex, ShingleDfCap))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = bands.select(col("doc_id").as("i"), col("band"), col("bandHash"))
       val b = bands.select(col("doc_id").as("j"), col("band"), col("bandHash"))
@@ -261,8 +276,16 @@ object Dedup {
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
       .union(pairs.select(col("j").as("a"), col("i").as("b")))
       .localCheckpoint()
+    // every round reads `labels` as SELECT doc_id, lbl over a
+    // 3-column (doc_id, old, lbl) checkpointed RDD — including round 1.
+    // The shape match makes each round's generated code byte-identical,
+    // so whole-stage codegen for rounds 2..k is a CACHE HIT instead of
+    // a fresh janino compile (round-6 measurement in BENCH_NOTES.md:
+    // per-round compiles drop to 0 after round 1).
     var labels = edges.select(col("a").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id")).localCheckpoint()
+      .select(col("doc_id"), col("doc_id").as("old"), col("doc_id").as("lbl"))
+      .localCheckpoint()
+      .select(col("doc_id"), col("lbl"))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) {

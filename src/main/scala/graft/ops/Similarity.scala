@@ -168,8 +168,10 @@ object Similarity {
     // enter the dedup shuffle.
     // Rows-only check (recall vs brute force pinned in TrainingOpsSpec).
     "ann_lsh_bucketed" -> ((s, d) => {
+      // signature width from corpus size: expected bucket ~125 docs
+      val rows = lshRowsFor(vecs(s, d).count())
       val banded = vecs(s, d).select(col("vec_id"),
-        posexplode(lshBands(col("v"), embDim(s, d))).as(Seq("band", "sig")))
+        posexplode(lshBands(col("v"), embDim(s, d), rows)).as(Seq("band", "sig")))
       val qkeys = banded.filter(col("vec_id") % 250 === 0)
         .select(col("vec_id").as("query_id"), col("band"), col("sig"))
       val candIds = banded.join(broadcast(qkeys), Seq("band", "sig"))
@@ -196,17 +198,20 @@ object Similarity {
     // Rows-only (recall vs brute force pinned in TrainingOpsSpec).
     "ann_ivf_bucketed" -> ((s, d) => {
       val base = vecsN(s, d)
-      // centroids collected to the driver: ordered-before-limit for
-      // determinism; they become plan literals so both assignment
-      // branches see the identical centroid set
+      // cell/probe counts from corpus size (≈√(n/8) cells — see
+      // ivfCellsFor); centroids collected to the driver:
+      // ordered-before-limit for determinism; they become plan
+      // literals so both assignment branches see the identical set
+      val cells = ivfCellsFor(base.count())
+      val probes = ivfProbesFor(cells)
       val centroidRows = base.filter(col("vec_id") % lit(31) === 7)
-        .orderBy(col("vec_id")).limit(IvfCells)
+        .orderBy(col("vec_id")).limit(cells)
         .select(col("vec_id"), col("v")).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
       val assigned = base.withColumn("cell",
         element_at(ivfCellsOf(centroidRows, keep = 1), 1))
       val queries = base.filter(col("vec_id") % 250 === 0)
-        .withColumn("cell", explode(ivfCellsOf(centroidRows, keep = IvfProbes)))
+        .withColumn("cell", explode(ivfCellsOf(centroidRows, keep = probes)))
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("cell"))
       val cand = assigned.join(broadcast(queries), Seq("cell"))
@@ -271,6 +276,24 @@ object Similarity {
     * model), each vector assigned to its max-dot centroid. */
   private val IvfCells = 16
   private val IvfProbes = 4
+
+  /** Corpus-adaptive bucket parameters (round-6 scale fix, validated by
+    * [[ScaleProbe]]): FIXED bucket counts make candidate volume
+    * Θ(n²/buckets) — fine at one scale, quadratic at the next. The
+    * IVF rule is the standard cells ≈ √(n/8) (probe cost per query
+    * then grows ~√n, centroid pull stays a √n×dim broadcast, far from
+    * the driver-literal limit); LSH signature bits grow with log₂ of
+    * the per-band bucket target so expected bucket size stays ~125.
+    * Both formulas return TODAY'S constants at the sf0.1 corpus
+    * (n=2000 → 16 cells / 4 probes / 4 bits), so every committed
+    * oracle, recall floor, and bench floor is unchanged at test scale. */
+  private[ops] def ivfCellsFor(n: Long): Int =
+    math.max(IvfCells, math.ceil(math.sqrt(n / 8.0)).toInt)
+  private[ops] def ivfProbesFor(cells: Int): Int =
+    math.max(IvfProbes, cells / 4)
+  private[ops] def lshRowsFor(n: Long): Int =
+    math.max(LshRows,
+      math.ceil(math.log(math.max(1.0, n / 125.0)) / math.log(2.0)).toInt)
 
   /** Cell assignment as a pure projection: the centroid set is a plan
     * LITERAL (16 cells × dim doubles), so per-vector scoring is `IvfCells`
@@ -349,11 +372,11 @@ object Similarity {
     * literal plane — NOT a per-element lambda: higher-order-function
     * lambdas evaluate interpreted and re-hash per element, which made
     * this the slowest expression in the engine before the rewrite. */
-  def lshBands(v: Column, dim: Int): Column = {
+  def lshBands(v: Column, dim: Int, rows: Int = LshRows): Column = {
     def bit(p: Int): Column =
       when(dot(v, lit(planeVec(p, dim))) > 0, 1).otherwise(0)
     array((0 until LshBands).map { b =>
-      (0 until LshRows).map(r => bit(b * LshRows + r) * (1 << r))
+      (0 until rows).map(r => bit(b * rows + r) * (1 << r))
         .reduce(_ + _)
     }: _*)
   }
