@@ -72,7 +72,30 @@ object Plans {
       ("negated property set: a variable-predicate store scan with the " +
         "NOT IN exclusion pushed into the scan filter; the mixed-set " +
         "inverse branch is a second scan unioned, not a vocabulary " +
-        "enumeration."))
+        "enumeration."),
+    "rdf_sparql_path_closure" ->
+      ("`+` closure scale envelope: SPARQL semantics require the " +
+        "transitive-closure PAIR SET itself (ALP §18.4), so the result " +
+        "size — not the algorithm — is the scale bound: Θ(nodes × " +
+        "avg-reachability). Pair doubling reaches diameter D in ⌈log₂D⌉ " +
+        "rounds (bounded 20), each round ONE equi-join shuffle on the " +
+        "hop endpoint plus a distinct, with a localCheckpoint so round " +
+        "k's plan is flat (and codegen-cache-identical to round k-1's). " +
+        "Envelope: hierarchy/forest graphs (org trees, provenance " +
+        "chains) give pairs ≈ nodes × depth — comfortably linear; a " +
+        "dense scale-free component gives Θ(n²) pairs, which no " +
+        "evaluator can avoid while honoring set semantics — at 100 TB, " +
+        "bind an endpoint (const subject/object) or bound the hop count " +
+        "so the closure is seeded, not global. AQE interaction: each " +
+        "round is its own job over a checkpointed RDD with EXACT size " +
+        "stats, so AQE picks broadcast-hash when the frontier is small " +
+        "and splits hub-skewed _dst partitions via skew-join handling " +
+        "when one node dominates the doubling join."),
+    "rdf_sparql_path_star" ->
+      ("`*` adds the zero-length identity domain: one distinct over the " +
+        "scoped graph's term structs unioned under the closure — no " +
+        "extra join rounds; inside GRAPH ?g the identity pairs carry " +
+        "the graph column so per-graph semantics survive (round-6 fix)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
