@@ -75,22 +75,25 @@ object Plans {
         "enumeration."),
     "rdf_sparql_path_closure" ->
       ("`+` closure scale envelope: SPARQL semantics require the " +
-        "transitive-closure PAIR SET itself (ALP §18.4), so the result " +
-        "size — not the algorithm — is the scale bound: Θ(nodes × " +
-        "avg-reachability). Pair doubling reaches diameter D in ⌈log₂D⌉ " +
-        "rounds (bounded 20), each round ONE equi-join shuffle on the " +
-        "hop endpoint plus a distinct, with a localCheckpoint so round " +
-        "k's plan is flat (and codegen-cache-identical to round k-1's). " +
-        "Envelope: hierarchy/forest graphs (org trees, provenance " +
-        "chains) give pairs ≈ nodes × depth — comfortably linear; a " +
-        "dense scale-free component gives Θ(n²) pairs, which no " +
-        "evaluator can avoid while honoring set semantics — at 100 TB, " +
-        "bind an endpoint (const subject/object) or bound the hop count " +
-        "so the closure is seeded, not global. AQE interaction: each " +
-        "round is its own job over a checkpointed RDD with EXACT size " +
-        "stats, so AQE picks broadcast-hash when the frontier is small " +
-        "and splits hub-skewed _dst partitions via skew-join handling " +
-        "when one node dominates the doubling join."),
+        "transitive-closure PAIR SET itself (ALP §18.4), so for " +
+        "variable-variable paths the result size — not the algorithm — " +
+        "is the scale bound: Θ(nodes × avg-reachability), built by pair " +
+        "doubling (diameter D in ⌈log₂D⌉ rounds, bounded 20, one " +
+        "equi-join shuffle + distinct per round over checkpointed " +
+        "RDDs). A CONSTANT endpoint — this query's `nation:0 knows+ " +
+        "?x`, and the common shape in practice — switches to SEEDED " +
+        "BFS (round-6): every round joins a shrinking frontier against " +
+        "the edge set and the full pair set never materializes, so the " +
+        "cost is O(reach(seed)) even on a dense 100 TB graph " +
+        "(diameter-bounded 64 rounds). Envelope for the var-var case: " +
+        "hierarchy/forest graphs give pairs ≈ nodes × depth — " +
+        "comfortably linear; a dense scale-free component gives Θ(n²) " +
+        "pairs, which no evaluator can avoid while honoring set " +
+        "semantics. AQE interaction: each round is its own job over a " +
+        "checkpointed RDD with EXACT size stats, so AQE picks " +
+        "broadcast-hash when the frontier is small and splits " +
+        "hub-skewed _dst partitions via skew-join handling when one " +
+        "node dominates."),
     "rdf_sparql_path_star" ->
       ("`*` adds the zero-length identity domain: one distinct over the " +
         "scoped graph's term structs unioned under the closure — no " +

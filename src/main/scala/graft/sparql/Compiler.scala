@@ -367,29 +367,80 @@ object Compiler {
           namedQuads)._1
           .select(gSel ++ Seq(col(v1).as("_src"), col(v2).as("_dst")): _*)
           .dropDuplicates().localCheckpoint()
-        // reachability by PAIR DOUBLING: round k covers paths up to
-        // 2^k hops, so 20 bounded rounds reach any practical diameter
-        // with one equi-join + distinct per round — each shuffles on
-        // the join endpoint, never all-pairs. maxHops == 1 (`?`) needs
-        // no iteration at all.
+        // Reachability strategy by endpoint shape:
+        //  - constant endpoint → SEEDED BFS: only the seed's reachable
+        //    set is materialized, and every round joins a FRONTIER
+        //    (shrinking) against the edge set — the full pair set never
+        //    exists. This is the 100 TB path PLANS.md prescribes for
+        //    closures: `<x> p+ ?y` over a dense graph costs O(reach(x))
+        //    instead of O(all pairs). Diameter-bounded at 64 rounds.
+        //  - both ends variables → PAIR DOUBLING: round k covers paths
+        //    up to 2^k hops, so 20 bounded rounds reach any practical
+        //    diameter with one equi-join + distinct per round — each
+        //    shuffles on the join endpoint, never all-pairs.
+        // (Both bounds are pragmatic envelopes of the spec's unbounded
+        // semantics.) maxHops == 1 (`?`) needs no iteration at all.
+        def seedTerm(node: Node): Option[Column] = node match {
+          case I(iri) => Some(iriTerm(lit(iri)))
+          case L(value, dt, lang) => Some(litTerm(lit(value),
+            Option(dt).map(lit).getOrElse(nullStr),
+            Option(lang).map(lit).getOrElse(nullStr)))
+          case V(_) => None
+        }
+        val fwdSeed = seedTerm(sN)
+        val bwdSeed = if (fwdSeed.isEmpty) seedTerm(oN) else None
+        val gJoin = graphVar.map(_ => "_g").toSeq
         var closure = edgePairs
-        if (maxHops > 1) {
-          var n = closure.count()
-          var changed = n > 0
-          var rounds = 0
-          while (changed && rounds < 20) {
-            val doubled = closure.join(
-              closure.select(gKey ++ Seq(col("_src").as("_dst"),
-                col("_dst").as("_hop")): _*),
-              graphVar.map(_ => "_g").toSeq :+ "_dst")
-              .select(gKey ++ Seq(col("_src"), col("_hop").as("_dst")): _*)
-            val next = closure.unionAll(doubled).dropDuplicates().localCheckpoint()
-            val m = next.count()
-            changed = m != n
-            n = m
-            closure = next
-            rounds += 1
-          }
+        if (maxHops > 1) (fwdSeed orElse bwdSeed) match {
+          case Some(seedT) =>
+            val fwd = fwdSeed.isDefined
+            // walk edges forward from a const subject, backward to a
+            // const object — one relation, flipped once
+            val step =
+              if (fwd) edgePairs
+              else edgePairs.select(gKey ++ Seq(col("_dst").as("_src"),
+                col("_src").as("_dst")): _*)
+            var reach = step.where(col("_src") <=> seedT)
+              .select(gKey :+ col("_dst"): _*).dropDuplicates().localCheckpoint()
+            var frontier = reach
+            var rounds = 0
+            var growing = frontier.count() > 0
+            while (growing && rounds < 64) {
+              val fresh = frontier
+                .join(step.select(gKey ++ Seq(col("_src").as("_dst"),
+                  col("_dst").as("_hop")): _*), gJoin :+ "_dst")
+                .select(gKey :+ col("_hop").as("_dst"): _*)
+                .dropDuplicates()
+                .join(reach, gJoin :+ "_dst", "left_anti")
+                .localCheckpoint()
+              growing = fresh.count() > 0
+              if (growing) {
+                reach = reach.unionAll(fresh).localCheckpoint()
+                frontier = fresh
+              }
+              rounds += 1
+            }
+            closure =
+              if (fwd) reach.select(gKey ++ Seq(seedT.as("_src"), col("_dst")): _*)
+              else reach.select(gKey ++ Seq(col("_dst").as("_src"),
+                seedT.as("_dst")): _*)
+          case None =>
+            var n = closure.count()
+            var changed = n > 0
+            var rounds = 0
+            while (changed && rounds < 20) {
+              val doubled = closure.join(
+                closure.select(gKey ++ Seq(col("_src").as("_dst"),
+                  col("_dst").as("_hop")): _*),
+                gJoin :+ "_dst")
+                .select(gKey ++ Seq(col("_src"), col("_hop").as("_dst")): _*)
+              val next = closure.unionAll(doubled).dropDuplicates().localCheckpoint()
+              val m = next.count()
+              changed = m != n
+              n = m
+              closure = next
+              rounds += 1
+            }
         }
         if (minHops == 0) {
           // zero-length identity, domain-restricted (ALP §18.4): every
