@@ -403,13 +403,19 @@ object Compiler {
             var reach = step.where(col("_src") <=> seedT)
               .select(gKey :+ col("_dst"): _*).dropDuplicates().localCheckpoint()
             var frontier = reach
+            // 4 hops per round in ONE job (the per-round fixed cost —
+            // checkpoint + emptiness count — dominates on long chains,
+            // so batching hops cuts jobs 4× at unchanged semantics);
+            // 64 rounds cover 256-hop paths
+            val stepB = step.select(gKey ++ Seq(col("_src").as("_dst"),
+              col("_dst").as("_hop")): _*)
+            def hop(df: DataFrame): DataFrame = df.join(stepB, gJoin :+ "_dst")
+              .select(gKey :+ col("_hop").as("_dst"): _*)
             var rounds = 0
             var growing = frontier.count() > 0
             while (growing && rounds < 64) {
-              val fresh = frontier
-                .join(step.select(gKey ++ Seq(col("_src").as("_dst"),
-                  col("_dst").as("_hop")): _*), gJoin :+ "_dst")
-                .select(gKey :+ col("_hop").as("_dst"): _*)
+              val hops = Iterator.iterate(frontier)(hop).slice(1, 5).toSeq
+              val fresh = hops.reduce(_ unionAll _)
                 .dropDuplicates()
                 .join(reach, gJoin :+ "_dst", "left_anti")
                 .localCheckpoint()
