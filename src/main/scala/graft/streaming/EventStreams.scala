@@ -30,15 +30,14 @@ object EventStreams {
   private val nameCounter = new AtomicInteger
 
   /** Streaming read of the events parquet with the same ts handling as
-    * `Tables.events` (TIMESTAMP(NANOS) → long → micros). */
+    * `Tables.events` (nanos-as-long or TIMESTAMP_NTZ → TIMESTAMP). */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = s.read.parquet(s"$d/events.parquet").schema
     // file-source streams need a directory; glob-filter to the one table
     val raw = s.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-    // integer division — double division loses precision on epoch nanos
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.util.Tables.normalizeTs(raw)
   }
 
   /** Streaming read of the documents parquet (corpus-as-a-stream: the

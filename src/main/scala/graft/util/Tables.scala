@@ -24,22 +24,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot represent
-    * natively; read it as a long (legacy conf) and truncate to micros.
+  /** Normalize `events.ts` to TIMESTAMP (ltz) whatever the generator
+    * wrote: TIMESTAMP(NANOS) (Spark can't represent it — read as long
+    * via the legacy conf and truncate to micros), TIMESTAMP_NTZ (cast;
+    * sessions run UTC so wall-clock == instant), or already TIMESTAMP.
     * Set per-read so the session the driver builds needs no special conf.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = apply(s, d, "events")
+    normalizeTs(apply(s, d, "events"))
+  }
+
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // integer division: `/` would go through double and lose
         // precision (epoch nanos ~1.7e18 > 2^53)
         raw.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
