@@ -47,6 +47,8 @@ object Quad {
     val boolean: String = ns + "boolean"
     val string: String = ns + "string"
     val dateTime: String = ns + "dateTime"
+    val decimal: String = ns + "decimal"
+    val dayTimeDuration: String = ns + "dayTimeDuration"
   }
 
   def iri(graph: String, s: String, p: String, o: String): Quad =

@@ -376,6 +376,51 @@ object RdfOps {
         VALUES ?seg { 'BUILDING' 'AUTOMOBILE' 'MACHINERY' }""")
     }),
 
+    // SPARQL §17.4.5 datetime accessors + §17.4.4 SHA digests +
+    // isNumeric, end-to-end at data scale: events timestamps become
+    // xsd:dateTime lexical forms (UTC "Z" for even ids, a "+02:00"
+    // wall-clock rewrite for odd ids — accessors are defined over the
+    // WRITTEN form, so both spellings of the same instant must yield
+    // their own fields). All accessors are map-side regexp_extract over
+    // one scan; the oracle recomputes from `events` relationally.
+    "rdf_sparql_datetime" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-dt-${System.nanoTime()}"
+      val g = "http://ex/ev"
+      val store = new GraphStore(s, dir)
+      val ev = Tables.events(s, d)
+      val lex = when(col("event_id") % 2 === 0,
+          concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS"), lit("Z")))
+        .otherwise(concat(date_format(col("ts") + expr("INTERVAL 2 HOURS"),
+          "yyyy-MM-dd'T'HH:mm:ss.SSS"), lit("+02:00")))
+      def evQuads(p: String, v: Column, dt: Column) = ev.select(
+        lit(g).as("graph"),
+        concat(lit("ev:"), col("event_id").cast("string")).as("s"),
+        lit(p).as("p"), v.as("o_value"), dt.as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      store.append(evQuads("at", lex, lit(Quad.xsd.dateTime))
+        .unionAll(evQuads("etype", col("event_type"),
+          lit(null).cast("string"))))
+      val engine = new graft.GraphEngine(store)
+      engine.select(s"""
+        SELECT ?e ?y ?mo ?d ?h ?mi ?sec ?tz ?dig
+        FROM <$g>
+        WHERE {
+          ?e <at> ?t ; <etype> ?ty .
+          FILTER (ISNUMERIC(STRLEN(?ty)) && !ISNUMERIC(?ty) && !ISNUMERIC(?e))
+          BIND (YEAR(?t) AS ?y) BIND (MONTH(?t) AS ?mo) BIND (DAY(?t) AS ?d)
+          BIND (HOURS(?t) AS ?h) BIND (MINUTES(?t) AS ?mi)
+          BIND (SECONDS(?t) AS ?sec)
+          BIND (TZ(?t) AS ?tz) BIND (SHA256(?ty) AS ?dig)
+        }
+        ORDER BY ?e""")
+        .select(col("e"),
+          col("y").cast("int").as("y"), col("mo").cast("int").as("mo"),
+          col("d").cast("int").as("d"), col("h").cast("int").as("h"),
+          col("mi").cast("int").as("mi"),
+          col("sec").cast("double").as("sec"), col("tz"), col("dig"))
+    }),
+
     // SPARQL aggregates end-to-end: GROUP BY compiles to groupBy-agg
     // (map-side partial combine for free), HAVING filters native agg
     // aliases, ORDER BY DESC + tiebreaker keep the output total-ordered.
@@ -1283,6 +1328,21 @@ ORDER BY s, p, o_value""",
            AND contains(c_mktsegment, 'I')
            AND length(c_mktsegment) >= 8
          ORDER BY c""",
+    // accessor fields recomputed relationally on the shifted wall-clock
+    // the engine wrote into the lexical form; seconds truncate micros to
+    // the millis the "SSS" format kept
+    "rdf_sparql_datetime" ->
+      """SELECT 'ev:' || CAST(event_id AS VARCHAR) AS e,
+           year(t2) AS y, month(t2) AS mo, day(t2) AS d,
+           hour(t2) AS h, minute(t2) AS mi,
+           CAST(floor(epoch_us(t2) % 60000000 / 1000) / 1000.0 AS DOUBLE) AS sec,
+           CASE WHEN event_id % 2 = 0 THEN 'Z' ELSE '+02:00' END AS tz,
+           sha256(event_type) AS dig
+         FROM (SELECT event_id, event_type,
+                 CASE WHEN event_id % 2 = 0 THEN ts
+                      ELSE ts + INTERVAL 2 HOUR END AS t2
+               FROM events)
+         ORDER BY e""",
     "rdf_sparql_values_builtins" ->
       """SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS c,
            c_mktsegment AS seg,

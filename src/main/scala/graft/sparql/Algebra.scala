@@ -148,6 +148,24 @@ object Algebra {
   final case class CoalesceE(args: Seq[Expr]) extends Expr
   /** fn ∈ { ABS ROUND CEIL FLOOR } over the numeric value (double). */
   final case class NumFnE(fn: String, arg: Expr) extends Expr
+  /** fn ∈ { SHA1 SHA256 SHA384 SHA512 } — hex digest of the lexical
+    * form (§17.4.4; MD5 has its own node for historical reasons). */
+  final case class HashE(fn: String, arg: Expr) extends Expr
+  /** fn ∈ { YEAR MONTH DAY HOURS MINUTES SECONDS TZ TIMEZONE } over an
+    * xsd:dateTime lexical form (§17.4.5). Malformed input ⇒ unbound. */
+  final case class DtFnE(fn: String, arg: Expr) extends Expr
+  /** NOW() — one timestamp per query execution (§17.4.5.1). */
+  case object NowE extends Expr
+  /** UUID() (urn:uuid IRI) / STRUUID() (plain literal) — fresh per
+    * solution (§17.4.4.13–14). */
+  final case class UuidE(asIri: Boolean) extends Expr
+  /** RAND() — xsd:double in [0,1), fresh per solution (§17.4.4.1). */
+  case object RandE extends Expr
+  /** BNODE() — fresh label per solution; BNODE(str) — label stable per
+    * lexical argument within the query (§17.4.2.9). */
+  final case class BNodeE(arg: Option[Expr]) extends Expr
+  /** isNumeric(term) — literal with a numeric datatype (§17.4.2.4). */
+  final case class IsNumericE(arg: Expr) extends Expr
   /** `[NOT] EXISTS { group }` — valid only as a whole FILTER constraint
     * (it compiles to a semi/anti join, not a per-row expression). */
   final case class ExistsE(group: Group, negated: Boolean) extends Expr

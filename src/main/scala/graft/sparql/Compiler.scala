@@ -619,6 +619,37 @@ object Compiler {
         case other => throw new IllegalArgumentException(s"numeric fn $other")
       }
       litTerm(r.cast("string"), lit(Quad.xsd.double), nullStr)
+    case HashE(fn, a) =>
+      val v = valueOf(a)
+      val h = fn match {
+        case "SHA1" => sha1(v)
+        case "SHA256" => sha2(v, 256)
+        case "SHA384" => sha2(v, 384)
+        case "SHA512" => sha2(v, 512)
+        case other => throw new IllegalArgumentException(s"hash fn $other")
+      }
+      litTerm(h, nullStr, nullStr)
+    case DtFnE(fn, a) => compileDtFn(fn, valueOf(a))
+    case NowE =>
+      // Spark evaluates current_timestamp once per query — exactly
+      // SPARQL's "same value for the whole query execution"
+      litTerm(date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"),
+        lit(Quad.xsd.dateTime), nullStr)
+    case UuidE(asIri) =>
+      if (asIri) iriTerm(concat(lit("urn:uuid:"), expr("uuid()")))
+      else litTerm(expr("uuid()"), nullStr, nullStr)
+    case RandE =>
+      litTerm(rand().cast("string"), lit(Quad.xsd.double), nullStr)
+    case BNodeE(arg) =>
+      val label = arg match {
+        // stable per lexical argument (md5 keeps it deterministic and
+        // collision-safe at bnode-label granularity); unbound arg
+        // null-propagates to an unbound result
+        case Some(a) => concat(lit(Quad.BnodePrefix + "b"), md5(valueOf(a)))
+        case None => concat(lit(Quad.BnodePrefix + "f"),
+          expr("replace(uuid(), '-', '')"))
+      }
+      term(label, lit(Quad.KindBnode), nullStr, nullStr)
     case ExistsE(_, _) => throw new IllegalArgumentException(
       "EXISTS is only supported as a whole FILTER constraint")
     case LangE(a) =>
@@ -634,10 +665,54 @@ object Compiler {
     case BoundE(_) | StrStartsE(_, _) | CmpE(_, _, _) | AndE(_, _) | OrE(_, _) |
          NotE(_) | InE(_, _, _) | RegexE(_, _, _) | ContainsE(_, _) |
          StrEndsE(_, _) | IsIriE(_) | IsLiteralE(_) | IsBlankE(_) |
-         LangMatchesE(_, _) | SameTermE(_, _) =>
+         LangMatchesE(_, _) | SameTermE(_, _) | IsNumericE(_) =>
       // boolean expr used in term position (e.g. BIND(?a > ?b AS ?x))
       litTerm(when(compileBool(e), lit("true")).otherwise(lit("false")),
         lit(Quad.xsd.boolean), nullStr)
+  }
+
+  /** xsd:dateTime lexical shape (§17.4.5): date, time with optional
+    * fractional seconds, optional timezone (Z or ±HH:MM). Extraction is
+    * pure string work — the accessor semantics are over the WRITTEN form
+    * (a "+02:00" dateTime keeps its own wall-clock fields), so a cast
+    * through Spark's session-zoned TimestampType would be wrong. */
+  private val dtPat =
+    "^(-?\\d{4,})-(\\d{2})-(\\d{2})T(\\d{2}):(\\d{2}):(\\d{2}(?:\\.\\d+)?)(Z|[+-]\\d{2}:\\d{2})?$"
+
+  private def compileDtFn(fn: String, lex: Column): Column = {
+    def g(i: Int) = regexp_extract(lex, dtPat, i)
+    // "" on no-match; try_cast turns that into null = error-as-unbound
+    def intField(i: Int) =
+      litTerm(g(i).try_cast("int").cast("string"), lit(Quad.xsd.integer), nullStr)
+    fn match {
+      case "YEAR" => intField(1)
+      case "MONTH" => intField(2)
+      case "DAY" => intField(3)
+      case "HOURS" => intField(4)
+      case "MINUTES" => intField(5)
+      case "SECONDS" =>
+        // xsd:decimal per spec; canonicalized through double so "13" and
+        // "13.0" agree ("13.815" keeps its fraction)
+        litTerm(g(6).try_cast("double").cast("string"),
+          lit(Quad.xsd.decimal), nullStr)
+      case "TZ" =>
+        // simple literal: offset text, "" when the dateTime has none;
+        // unbound only when the whole lexical form is malformed
+        litTerm(when(lex.rlike(dtPat), g(7)), nullStr, nullStr)
+      case "TIMEZONE" =>
+        // canonical xsd:dayTimeDuration of the offset; absent ⇒ unbound
+        val tz = g(7)
+        val hh = substring(tz, 2, 2).try_cast("int")
+        val mm = substring(tz, 5, 2).try_cast("int")
+        val sign = when(tz.startsWith("-"), lit("-")).otherwise(lit(""))
+        val dur = when(tz === "Z" || (hh === 0 && mm === 0), lit("PT0S"))
+          .when(tz === "" || tz.isNull, lit(null).cast("string"))
+          .otherwise(concat(sign, lit("PT"),
+            when(hh > 0, concat(hh.cast("string"), lit("H"))).otherwise(lit("")),
+            when(mm > 0, concat(mm.cast("string"), lit("M"))).otherwise(lit(""))))
+        litTerm(dur, lit(Quad.xsd.dayTimeDuration), nullStr)
+      case other => throw new IllegalArgumentException(s"datetime fn $other")
+    }
   }
 
   private def substring_index_after(s: Column, pos: Column, sep: String): Column =
@@ -668,6 +743,15 @@ object Compiler {
     case IsIriE(a) => compileExpr(a).getField("k") === Quad.KindIri
     case IsLiteralE(a) => compileExpr(a).getField("k") === Quad.KindLiteral
     case IsBlankE(a) => compileExpr(a).getField("k") === Quad.KindBnode
+    case IsNumericE(a) =>
+      // the engine's numeric datatypes (all it ever mints); non-literal
+      // kinds and plain/string literals are false per §17.4.2.4. A plain
+      // literal's dt is NULL — isin would three-value to NULL and a
+      // negated filter would drop the row, so pin it to false.
+      val t = compileExpr(a)
+      t.getField("k") === Quad.KindLiteral &&
+        coalesce(t.getField("dt").isin(
+          Quad.xsd.integer, Quad.xsd.double, Quad.xsd.decimal), lit(false))
     case LangMatchesE(tagE, rangeE) =>
       // §17.4.3.1 basic language range: "*" matches any non-empty tag;
       // otherwise case-insensitive equality or a hyphen-extended prefix

@@ -631,6 +631,20 @@ object SparqlParser {
             case "COALESCE" => CoalesceE(argList())
             case "ABS" | "ROUND" | "CEIL" | "FLOOR" =>
               argList() match { case Seq(a) => NumFnE(fn, a) }
+            case "SHA1" | "SHA256" | "SHA384" | "SHA512" =>
+              argList() match { case Seq(a) => HashE(fn, a) }
+            case "YEAR" | "MONTH" | "DAY" | "HOURS" | "MINUTES" |
+                 "SECONDS" | "TZ" | "TIMEZONE" =>
+              argList() match { case Seq(a) => DtFnE(fn, a) }
+            case "NOW" => emptyArgs(); NowE
+            case "UUID" => emptyArgs(); UuidE(asIri = true)
+            case "STRUUID" => emptyArgs(); UuidE(asIri = false)
+            case "RAND" => emptyArgs(); RandE
+            case "BNODE" =>
+              eat('('); ws()
+              if (peek == ')') { pos += 1; BNodeE(None) }
+              else { val a = expr(); eat(')'); BNodeE(Some(a)) }
+            case "ISNUMERIC" => argList() match { case Seq(a) => IsNumericE(a) }
             case "EXISTS" => ExistsE(group(), negated = false)
             case "NOT" =>
               expectKeyword("EXISTS"); ExistsE(group(), negated = true)
@@ -662,6 +676,9 @@ object SparqlParser {
       eat(')')
       args.toSeq
     }
+
+    /** Nilary builtin call: `(` `)` with optional whitespace. */
+    private def emptyArgs(): Unit = { eat('('); ws(); eat(')') }
 
     // ---------------- update forms ----------------
     private def parsePrefixes(): Unit = {

@@ -134,6 +134,67 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(rows.contains(("http://ex/y", "manager", null)))
   }
 
+  test("§17.4.4–5 builtins: SHA*, datetime accessors, NOW/UUID/STRUUID/RAND/BNODE/isNumeric") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("fns").toString + "/quads")
+    val engine = new GraphEngine(st)
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+      INSERT DATA { GRAPH <http://ex/src> {
+        ex:a ex:at "2011-01-10T14:45:13.815-05:00"^^xsd:dateTime ; ex:n "abc" .
+        ex:b ex:at "2024-02-29T23:59:07Z"^^xsd:dateTime ; ex:n "xyz" .
+        ex:c ex:at "2024-06-01T00:30:00"^^xsd:dateTime ; ex:n "42" .
+      } }""")
+    val df = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?s ?y ?mo ?d ?h ?mi ?sec ?tz ?dur ?s1 ?s512 ?u ?su ?r ?bn ?bn2 ?bn3 ?isb ?now ?numn ?numlen
+      FROM <http://ex/src>
+      WHERE {
+        ?s ex:at ?t ; ex:n ?nm .
+        BIND (YEAR(?t) AS ?y) BIND (MONTH(?t) AS ?mo) BIND (DAY(?t) AS ?d)
+        BIND (HOURS(?t) AS ?h) BIND (MINUTES(?t) AS ?mi) BIND (SECONDS(?t) AS ?sec)
+        BIND (TZ(?t) AS ?tz) BIND (TIMEZONE(?t) AS ?dur)
+        BIND (SHA1(?nm) AS ?s1) BIND (SHA512(?nm) AS ?s512)
+        BIND (UUID() AS ?u) BIND (STRUUID() AS ?su) BIND (RAND() AS ?r)
+        BIND (BNODE() AS ?bn) BIND (BNODE(?nm) AS ?bn2) BIND (BNODE(?nm) AS ?bn3)
+        BIND (ISBLANK(BNODE()) AS ?isb)
+        BIND (NOW() AS ?now)
+        BIND (ISNUMERIC(?nm) AS ?numn) BIND (ISNUMERIC(STRLEN(?nm)) AS ?numlen)
+      } ORDER BY ?s""")
+    val cols = df.columns.zipWithIndex.toMap
+    val rows = df.collect()
+    assert(rows.length == 3)
+    def get(r: Int, c: String): String = rows(r).getString(cols(c))
+    // ex:a — negative-offset dateTime keeps its own wall-clock fields
+    assert((get(0, "y"), get(0, "mo"), get(0, "d")) == (("2011", "1", "10")))
+    assert((get(0, "h"), get(0, "mi"), get(0, "sec")) == (("14", "45", "13.815")))
+    assert(get(0, "tz") == "-05:00" && get(0, "dur") == "-PT5H")
+    assert(get(0, "s1") == "a9993e364706816aba3e25717850c26c9cd0d89d") // sha1("abc")
+    assert(get(0, "s512").length == 128 && get(0, "s512").matches("[0-9a-f]+"))
+    // ex:b — Z offset; integral seconds canonicalize through double
+    assert((get(1, "y"), get(1, "mo"), get(1, "d")) == (("2024", "2", "29")))
+    assert(get(1, "sec") == "7.0" && get(1, "tz") == "Z" && get(1, "dur") == "PT0S")
+    // ex:c — no timezone: TZ is "", TIMEZONE is unbound
+    assert(get(2, "tz") == "" && get(2, "dur") == null)
+    // nondeterministic ctors: right shape, fresh per solution
+    assert(rows.map(_.getString(cols("u"))).distinct.length == 3)
+    assert(get(0, "u").matches("urn:uuid:[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+    assert(get(0, "su").matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+    val r0 = get(0, "r").toDouble
+    assert(r0 >= 0.0 && r0 < 1.0)
+    assert(rows.map(_.getString(cols("bn"))).distinct.length == 3)
+    assert(get(0, "bn").startsWith("_:f") && get(0, "isb") == "true")
+    // BNODE(str) is stable for the same argument within the query
+    assert(get(0, "bn2") == get(0, "bn3") && get(0, "bn2").startsWith("_:b"))
+    assert(get(0, "bn2") != get(1, "bn2"))
+    // NOW(): one value for the whole query, xsd:dateTime shape
+    assert(get(0, "now") == get(2, "now"))
+    assert(get(0, "now").matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z"""))
+    // isNumeric: plain "42" literal is NOT numeric; STRLEN result is
+    assert(get(2, "numn") == "false" && get(2, "numlen") == "true")
+  }
+
   test("INSERT DATA / CLEAR / DROP forms") {
     val InsertData(quads) = SparqlParser.parse(s"""
       PREFIX ex: <http://ex/>
