@@ -45,6 +45,42 @@ object Contamination {
           .as("contamination"))
   }
 
+  /** Bloom-prefiltered decontamination — the oversized-eval-set path.
+    *
+    * [[flagContaminated]] broadcasts the raw eval shingle set; fine
+    * while the eval suite is benchmark-sized, but a consortium-scale
+    * holdout (hundreds of benchmarks × 1e8 n-grams of strings) stops
+    * fitting in a broadcast long before the corpus stops growing. This
+    * variant aggregates the eval shingles into a fixed-size Bloom
+    * filter (Spark's own `bloom_filter_agg` over xxhash64 — bits, not
+    * strings: 16 MiB covers 1e8 items at ~1% FPR), feeds the FILTER in
+    * as a scalar subquery (Spark's own runtime-row-filter shape),
+    * prefilters corpus shingles map-side with `might_contain`, and only
+    * the surviving sliver reaches the exact join. Bloom filters have no false negatives, so
+    * after the exact-verify join the output is IDENTICAL to
+    * [[flagContaminated]] — same DuckDB oracle — while the verify
+    * join's probe side shrinks from every-corpus-shingle to
+    * true-hits + FPR·corpus.
+    */
+  def flagContaminatedBloom(train: DataFrame, eval: DataFrame,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    val evalShingles = shingled(eval).select(col("shingle")).distinct()
+    val bloom = evalShingles.agg(GraftShim
+      .bloomFilterAgg(xxhash64(col("shingle")), expectedItems, numBits).as("bf"))
+    // scalar subquery: the filter plan runs once, its one binary value
+    // feeds every probe — no join, no per-row broadcast variable
+    val candidates = shingled(train)
+      .filter(GraftShim.mightContain(
+        GraftShim.scalarSubquery(bloom), xxhash64(col("shingle"))))
+    candidates.join(evalShingles, "shingle") // exact verify — FPs die here
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"),
+        TextOps.round4(col("n_shared") / col("n_shingles"))
+          .as("contamination"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -52,11 +88,23 @@ object Contamination {
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0))
         .orderBy(col("doc_id"))
+    }),
+    "text_decontaminate_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      flagContaminatedBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0))
+        .orderBy(col("doc_id"))
     }))
 
   def oracleSql: Map[String, String] = Map(
-    "text_decontaminate" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+    // bloom variant verifies candidates exactly (no false negatives),
+    // so both operators share one oracle: byte-identical output
+    "text_decontaminate_bloom" -> decontOracle,
+    "text_decontaminate" -> decontOracle)
+
+  private val decontOracle: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
                     FROM documents),
           s AS (SELECT doc_id, unnest(list_distinct(
                   [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
@@ -71,5 +119,5 @@ object Contamination {
           floor(h.n_shared * 1.0 / c.n_shingles * 10000 + 0.5) / 10000
             AS contamination
         FROM hits h JOIN c ON h.doc_id = c.doc_id
-        ORDER BY h.doc_id""")
+        ORDER BY h.doc_id"""
 }

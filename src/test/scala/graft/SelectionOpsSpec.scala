@@ -27,6 +27,36 @@ class SelectionOpsSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("n_shared") == 2L)
   }
 
+  test("bloom decontamination is exact even when the filter is FP-saturated") {
+    import spark.implicits._
+    val docs = (0L until 60L).map { i =>
+      (i, if (i % 7 == 0) "alpha beta gamma delta epsilon zeta"
+          else s"doc $i words w${i}a w${i}b w${i}c w${i}d w${i}e")
+    }.toDF("doc_id", "text")
+    val eval = docs.filter(col("doc_id") % 7 === 0 && col("doc_id") > 0)
+    val train = docs.filter(col("doc_id") % 7 =!= 0 || col("doc_id") === 0)
+    val exact = Contamination.flagContaminated(train, eval)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 64-bit filter for hundreds of shingles — near-every probe is a
+    // false positive; the exact-verify join must still kill them all
+    val bloom = Contamination.flagContaminatedBloom(train, eval,
+      expectedItems = 4, numBits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bloom == exact)
+    assert(exact.contains((0L, 4L))) // doc 0 shares all four 3-grams
+  }
+
+  test("bloom decontamination probes map-side before the exact join") {
+    val df = SparkEntry.queries("text_decontaminate_bloom")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), p.take(800))
+    // the bloom probe must sit below the exact-verify join: the filter's
+    // first appearance comes after (deeper than) the last join header line
+    val probeIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("HashJoin")
+    assert(joinIdx >= 0 && probeIdx > joinIdx, p.take(1200))
+  }
+
   test("decontamination broadcasts the eval shingle set") {
     val df = SparkEntry.queries("text_decontaminate")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
