@@ -73,6 +73,11 @@ object SparqlParser {
   private final class P(input: String, queryName: String) {
     private var pos = 0
     private val prefixes = mutable.Map.empty[String, String]
+    /** `BASE <iri>` — relative `<...>` refs resolve against it (RFC
+      * 3986). Absent (the historical default), relative refs pass
+      * through verbatim, which the engine's own test graphs rely on. */
+    private var base: Option[String] = None
+    private val schemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:".r
     private var anonCounter = 0
 
     // ---------------- lexing helpers ----------------
@@ -127,7 +132,13 @@ object SparqlParser {
       if (peek == '<') {
         val end = input.indexOf('>', pos)
         val v = input.substring(pos + 1, end); pos = end + 1
-        v
+        base match {
+          case Some(b) if schemeRe.findFirstIn(v).isEmpty =>
+            // RFC 3986 reference resolution, not concatenation: base
+            // ".../dir/doc" + "rel" must drop the last segment
+            new java.net.URI(b).resolve(v).toString
+          case _ => v
+        }
       } else prefixedName()
     }
 
@@ -682,17 +693,32 @@ object SparqlParser {
 
     // ---------------- update forms ----------------
     private def parsePrefixes(): Unit = {
-      while (keyword("PREFIX")) {
-        ws()
-        val start = pos
-        while (pos < input.length && isNameChar(input(pos))) pos += 1
-        val pfx = input.substring(start, pos)
-        eat(':')
-        ws()
-        if (peek != '<') fail("expected <iri> in PREFIX")
-        val end = input.indexOf('>', pos)
-        prefixes(pfx) = input.substring(pos + 1, end)
-        pos = end + 1
+      var more = true
+      while (more) {
+        if (keyword("BASE")) {
+          ws()
+          if (peek != '<') fail("expected <iri> in BASE")
+          val end = input.indexOf('>', pos)
+          base = Some(input.substring(pos + 1, end))
+          pos = end + 1
+        } else if (keyword("PREFIX")) {
+          ws()
+          val start = pos
+          while (pos < input.length && isNameChar(input(pos))) pos += 1
+          val pfx = input.substring(start, pos)
+          eat(':')
+          ws()
+          if (peek != '<') fail("expected <iri> in PREFIX")
+          val end = input.indexOf('>', pos)
+          // a PREFIX expansion may itself be relative to BASE
+          prefixes(pfx) = base match {
+            case Some(b) if schemeRe.findFirstIn(
+              input.substring(pos + 1, end)).isEmpty =>
+              new java.net.URI(b).resolve(input.substring(pos + 1, end)).toString
+            case _ => input.substring(pos + 1, end)
+          }
+          pos = end + 1
+        } else more = false
       }
       ws()
     }
@@ -724,7 +750,14 @@ object SparqlParser {
           else InsertWhere(parseTemplateWhere(withGraph))
         } else if (keyword("DELETE")) {
           if (keyword("DATA")) DeleteData(parseQuadData(withGraph))
-          else {
+          else if (keyword("WHERE")) {
+            // §3.1.3.3 shorthand: one quad pattern is both template and
+            // WHERE; without WITH/GRAPH it ranges over the default graph
+            val (delGraph, delT) =
+              templateBlock(withGraph.orElse(Some(graft.model.Quad.DefaultGraph)))
+            DeleteWhere(MappingQuery(queryName, delGraph, Seq(delGraph),
+              Group(delT.map(Pat(_))), delT))
+          } else {
             val (delGraph, delT) = templateBlock(withGraph)
             if (keyword("INSERT")) {
               val (insGraph, insT) = templateBlock(withGraph)
@@ -850,7 +883,9 @@ object SparqlParser {
       * `{ SELECT ... }` subqueries. */
     private def selectBody(): SelectQuery = {
       expectKeyword("SELECT")
-      val distinct = keyword("DISTINCT")
+      // REDUCED permits (without requiring) duplicate elimination; the
+      // engine eliminates — deterministic output, conformant cardinality
+      val distinct = keyword("DISTINCT") || keyword("REDUCED")
       val proj = mutable.Buffer.empty[ProjItem]
       ws()
       if (peek == '*') pos += 1

@@ -195,6 +195,36 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(get(2, "numn") == "false" && get(2, "numlen") == "true")
   }
 
+  test("BASE resolution, SELECT REDUCED, DELETE WHERE shorthand") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("bform").toString + "/quads")
+    val engine = new GraphEngine(st)
+    // BASE: relative <...> refs and relative PREFIX expansions resolve
+    engine.update("""
+      BASE <http://ex.org/dir/doc>
+      PREFIX r: <rel/>
+      INSERT DATA { GRAPH <g1> {
+        <a> <p> "one" . r:b <p> "two" . <a> <p> "dup" . <a> <p> "dup" .
+      } }""")
+    val subs = engine.select("""
+      SELECT ?s FROM <http://ex.org/dir/g1> WHERE { ?s ?p ?o } ORDER BY ?s""")
+      .collect().map(_.getString(0)).distinct.toSeq
+    assert(subs == Seq("http://ex.org/dir/a", "http://ex.org/dir/rel/b"))
+    // REDUCED eliminates duplicate rows (conformant: may ⇒ does)
+    val red = engine.select("""
+      SELECT REDUCED ?o FROM <http://ex.org/dir/g1>
+      WHERE { <http://ex.org/dir/a> ?p ?o } ORDER BY ?o""")
+      .collect().map(_.getString(0)).toSeq
+    assert(red == Seq("dup", "one"))
+    // DELETE WHERE shorthand: pattern is both template and WHERE
+    engine.update("""
+      DELETE WHERE { GRAPH <http://ex.org/dir/g1> { ?s ?p "dup" } }""")
+    val left = engine.select("""
+      SELECT ?o FROM <http://ex.org/dir/g1> WHERE { ?s ?p ?o } ORDER BY ?o""")
+      .collect().map(_.getString(0)).toSeq
+    assert(left == Seq("one", "two"))
+  }
+
   test("INSERT DATA / CLEAR / DROP forms") {
     val InsertData(quads) = SparqlParser.parse(s"""
       PREFIX ex: <http://ex/>
