@@ -72,6 +72,45 @@ object Curation {
         .orderBy(col("lang"))
     }),
 
+    // ---- approx per-language percentiles — the 100 TB path. Exact
+    // `percentile` buffers every group value; approx_percentile is a
+    // one-pass MERGEABLE sketch with bounded memory per group, so the
+    // same plan holds when a language has 1e10 documents. Sketch output
+    // is engine-specific (rows-only); the audit twin below pins its
+    // rank error against exact quantiles and IS oracle-checked.
+    "corpus_percentiles_approx" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), size(TextOps.tokens(col("text"))).as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(expr(
+          "approx_percentile(n_tokens, array(0.25, 0.5, 0.75, 0.95), 1000)")
+          .as("q"))
+        .select(col("lang"), col("q")(0).as("p25"), col("q")(1).as("p50"),
+          col("q")(2).as("p75"), col("q")(3).as("p95"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- audit twin: every approx quantile must land inside the exact
+    // quantile envelope at ±5% rank (generous vs the sketch's 1/1000
+    // bound — the margin absorbs interpolation vs nearest-value
+    // semantics). All-true output; the oracle asserts the same shape.
+    "corpus_percentiles_approx_audit" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), size(TextOps.tokens(col("text"))).as("n_tokens"))
+      val approx = toks.groupBy(col("lang"))
+        .agg(expr(
+          "approx_percentile(n_tokens, array(0.25, 0.5, 0.75, 0.95), 1000)")
+          .as("q"))
+      val envelope = toks.groupBy(col("lang"))
+        .agg(expr("percentile(n_tokens, array(0.20, 0.45, 0.70, 0.90))").as("lo"),
+          expr("percentile(n_tokens, array(0.30, 0.55, 0.80, 1.00))").as("hi"))
+      approx.join(envelope, "lang")
+        .select(col("lang") +: (0 until 4).map(i =>
+          (col("q")(i) >= col("lo")(i) && col("q")(i) <= col("hi")(i))
+            .as(s"ok_q$i")): _*)
+        .orderBy(col("lang"))
+    }),
+
     // ---- deterministic hash-Bernoulli sample (~1/8): membership is a
     // pure function of doc_id, so the sample is identical on every run,
     // every executor layout, and every engine (no seed plumbing)
@@ -227,6 +266,13 @@ object Curation {
          FROM (SELECT lang, len(string_split_regex(trim(text), '\s+'))
                  AS n_tokens FROM documents) t
          GROUP BY lang ORDER BY lang""",
+    // the audit's verdicts are engine-independent facts (approx must sit
+    // in the exact-rank envelope), so the oracle just states the
+    // expected all-true shape per language
+    "corpus_percentiles_approx_audit" ->
+      """SELECT lang, true AS ok_q0, true AS ok_q1, true AS ok_q2,
+           true AS ok_q3
+         FROM documents GROUP BY lang ORDER BY lang""",
     "sample_hash_bernoulli" ->
       """SELECT doc_id, lang FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
