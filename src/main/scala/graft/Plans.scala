@@ -98,7 +98,17 @@ object Plans {
       ("`*` adds the zero-length identity domain: one distinct over the " +
         "scoped graph's term structs unioned under the closure — no " +
         "extra join rounds; inside GRAPH ?g the identity pairs carry " +
-        "the graph column so per-graph semantics survive (round-6 fix)."))
+        "the graph column so per-graph semantics survive (round-6 fix)."),
+    "text_decontaminate_bloom" ->
+      ("the Bloom filter arrives as a scalar subquery (Subquery over the " +
+        "eval-shingle bloom_filter_agg); might_contain filters corpus " +
+        "shingles in the SCAN-side codegen span, before the exact-verify " +
+        "join — the join's probe side is true-hits + FPR·corpus, not " +
+        "every corpus shingle."),
+    "rdf_sparql_datetime" ->
+      ("all eight §17.4.5 accessors + SHA256 compile to one " +
+        "regexp_extract/sha2 projection inside the BGP join's codegen " +
+        "span — no UDFs, no second pass over the store scan."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
