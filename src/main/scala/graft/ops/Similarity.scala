@@ -236,6 +236,73 @@ object Similarity {
     "ann_lsh_recall" -> ((s, d) => annRecall(s, d, "ann_lsh_bucketed", 0.3)),
     "ann_ivf_recall" -> ((s, d) => annRecall(s, d, "ann_ivf_bucketed", 0.3)),
 
+    // ---- product quantization codes (the 100 TB ANN storage path):
+    // split each vector into M=8 subvectors, quantize each against a
+    // 16-entry per-subspace codebook → 4 bits per subspace, 32 bits per
+    // vector — a dim×8-byte embedding shrinks to one BIGINT. The
+    // codebook is the same deterministic modulo sample IVF uses (a
+    // stand-in for trained k-means that needs no stored model), so the
+    // assignment is a pure function of the data and the DuckDB oracle
+    // recomputes every code bit-for-bit: subspace distances are
+    // left-fold double sums on both engines, rounded to 6 decimals
+    // before the argmin, first-index tie-break on both sides.
+    "embed_pq_codes" -> ((s, d) => {
+      val (sd, cb) = pqCodebook(s, d)
+      val codes = pqCodeCols(cb, sd)
+      vecs(s, d).select(col("vec_id") +: codes: _*)
+        .select(col("vec_id"),
+          codes.indices.map(m =>
+            col(s"c$m") * lit(1L << (4 * m))).reduce(_ + _).as("code"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- ADC search over PQ codes + exact re-rank: score every base
+    // vector against the query using only its RECONSTRUCTED codebook
+    // vector (the scan reads 8-byte codes, not dim×8-byte embeddings —
+    // that bandwidth ratio is the entire point at 100 TB), keep the
+    // top-50 ADC candidates per query, then join the true vectors back
+    // for exact-cosine re-ranking to top-5. At cluster scale the ADC
+    // scan composes with IVF cells (scan one cell's codes, not the
+    // corpus); the re-rank join touches 50 vectors per query either
+    // way. Rows-only; recall audit below is the oracle gate.
+    "ann_pq_rerank" -> ((s, d) => {
+      val (sd, cb) = pqCodebook(s, d)
+      val codes = pqCodeCols(cb, sd)
+      val M = codes.length
+      // codebook literal per subspace: array of 16 subvector literals
+      val cbLit = (0 until M).map { m =>
+        array(cb.map(v => lit(v.slice(m * sd, m * sd + sd).toArray)): _*)
+      }
+      val recon = flatten(array((0 until M).map(m =>
+        element_at(cbLit(m), col(s"c$m").cast("int") + 1)): _*))
+      val coded = vecs(s, d).select(col("vec_id") +: codes: _*)
+        .withColumn("r", recon)
+        .select(col("vec_id"), col("r"), dot(col("r"), col("r")).as("rr"))
+      val qvecs = vecsN(s, d).filter(col("vec_id") % 250 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val adc = coded.join(broadcast(qvecs), col("vec_id") =!= col("query_id"))
+        .withColumn("adist",
+          round(col("rr") - lit(2.0) * dot(col("r"), col("qv")), 6))
+      val wAdc = Window.partitionBy(col("query_id"))
+        .orderBy(col("adist").asc, col("vec_id"))
+      val cands = adc.withColumn("arn", row_number().over(wAdc))
+        .filter(col("arn") <= 50)
+        .select(col("query_id"), col("vec_id"), col("qv"), col("qn"))
+      val rer = cands.join(vecsN(s, d), "vec_id")
+        .withColumn("cos",
+          round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      rer.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("rn"), col("vec_id").as("neighbor"),
+          col("cos"))
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
+    "ann_pq_recall" -> ((s, d) => annRecall(s, d, "ann_pq_rerank", 0.3)),
+
     // ---- int8 symmetric quantization of the embedding column (the
     // 4x storage/bandwidth shrink an ANN index at 100 TB runs on):
     // per-vector scale = max|x| / 127, elementwise floor(x/scale + 0.5).
@@ -270,6 +337,40 @@ object Similarity {
       .select(col("n_exact"),
         (col("n_hit") >= col("n_exact") * floor).cast("int").as("recall_ok"))
   }
+
+  // ---- product quantization helpers -------------------------------
+
+  private val PqM = 8  // subspaces
+  private val PqK = 16 // centroids per subspace (4-bit codes)
+
+  /** Deterministic PQ codebook: the same modulo sample as IVF, collected
+    * once (≤ 16 × dim doubles — far under the plan-literal limit).
+    * Returns (subspace dim, sampled vectors). */
+  private def pqCodebook(s: SparkSession, d: String): (Int, Array[Seq[Double]]) = {
+    val dim = embDim(s, d)
+    val cb = vecs(s, d).filter(col("vec_id") % 31 === 7)
+      .orderBy(col("vec_id")).limit(PqK)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    (dim / PqM, cb)
+  }
+
+  /** Squared distance as a left-fold over the zipped difference — the
+    * identical summation order DuckDB's list_sum uses, so the rounded
+    * result matches the oracle bit-for-bit. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** One 0..15 code column per subspace (`c0`..`c7`): rounded distances
+    * to each codebook entry, argmin by first index. */
+  private def pqCodeCols(cb: Array[Seq[Double]], sd: Int): Seq[Column] =
+    (0 until PqM).map { m =>
+      val dists = array(cb.toIndexedSeq.map { cv =>
+        round(sqDist(slice(col("v"), m * sd + 1, sd),
+          lit(cv.slice(m * sd, m * sd + sd).toArray)), 6)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("long").as(s"c$m")
+    }
 
   /** IVF cells: deterministic coarse centroids (a fixed modulo sample of
     * the corpus — a stand-in for trained k-means that needs no stored
@@ -416,6 +517,41 @@ object Similarity {
     // float->double widening is exact in both engines, so the
     // elementwise doubles (and their floor) agree bit-for-bit; the
     // checksum is an integer sum, immune to summation order
+    // every PQ code recomputed: same modulo-sampled codebook, same
+    // left-fold subspace distances rounded to 6 decimals, same
+    // first-index argmin, same 4-bit packing
+    "embed_pq_codes" ->
+      """WITH p AS (SELECT CAST(max(len(embedding)) / 8 AS INT) AS sd
+                    FROM embeddings),
+          cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k,
+                   embedding AS cv
+                 FROM (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id % 31 = 7 ORDER BY vec_id LIMIT 16) t),
+          dist AS (
+            SELECT e.vec_id, m.m, cb.k,
+              round(list_sum(list_transform(
+                range(1, p.sd + 1), i ->
+                  (CAST(e.embedding[m.m * p.sd + i] AS DOUBLE)
+                   - CAST(cb.cv[m.m * p.sd + i] AS DOUBLE))
+                * (CAST(e.embedding[m.m * p.sd + i] AS DOUBLE)
+                   - CAST(cb.cv[m.m * p.sd + i] AS DOUBLE)))),
+                6) AS dd
+            FROM embeddings e
+            CROSS JOIN p
+            CROSS JOIN (SELECT unnest(range(0, 8)) AS m) m
+            CROSS JOIN cb),
+          codes AS (
+            SELECT vec_id, m,
+              CAST(list_position(l, list_min(l)) - 1 AS BIGINT) AS c
+            FROM (SELECT vec_id, m, list(dd ORDER BY k) AS l
+                  FROM dist GROUP BY vec_id, m) t)
+         SELECT vec_id,
+           CAST(sum(c * (CAST(1 AS BIGINT) << CAST(4 * m AS INT)))
+             AS BIGINT) AS code
+         FROM codes GROUP BY vec_id ORDER BY vec_id""",
+    "ann_pq_recall" ->
+      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
+         FROM embeddings WHERE vec_id % 250 = 0""",
     "embed_quantize" ->
       """SELECT vec_id, round(mx / 127, 6) AS scale,
            CAST(list_sum(list_transform(embedding,

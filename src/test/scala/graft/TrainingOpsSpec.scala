@@ -55,6 +55,27 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3)
   }
 
+  test("PQ+ADC+rerank ANN reaches usable recall vs brute force") {
+    val exact = SparkEntry.queries("ann_bruteforce_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = SparkEntry.queries("ann_pq_rerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pq.nonEmpty)
+    val recall = exact.count(pq) * 1.0 / exact.size
+    info(s"PQ ADC top-50 + exact rerank recall: $recall")
+    assert(recall >= 0.3)
+  }
+
+  test("PQ codes pack 8 four-bit subspace codes deterministically") {
+    val a = SparkEntry.queries("embed_pq_codes")(spark, sf).collect()
+    val b = SparkEntry.queries("embed_pq_codes")(spark, sf).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // every packed code fits in 32 bits (8 × 4-bit) and they vary
+    assert(a.forall(r => r.getLong(1) >= 0L && r.getLong(1) <= 0xFFFFFFFFL))
+    assert(a.map(_.getLong(1)).distinct.length > 1)
+  }
+
   test("simhash fingerprints are deterministic and 64-bit") {
     import graft.ops.Dedup
     val docs = graft.util.Tables.documents(spark, sf)
