@@ -108,7 +108,12 @@ object Plans {
     "rdf_sparql_datetime" ->
       ("all eight §17.4.5 accessors + SHA256 compile to one " +
         "regexp_extract/sha2 projection inside the BGP join's codegen " +
-        "span — no UDFs, no second pass over the store scan."))
+        "span — no UDFs, no second pass over the store scan."),
+    "ann_pq_rerank" ->
+      ("the ADC scan reads 8-byte PQ codes, never the wide embedding " +
+        "arrays — reconstruction is element_at over codebook literals " +
+        "inside the codegen span; only the 50 ADC survivors per query " +
+        "join the true vectors back for exact re-ranking."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -93,6 +93,23 @@ object ScaleProbe {
         a.join(b, Seq("band", "bandHash")).filter(col("i") < col("j"))
           .select(col("i"), col("j")).distinct().count()
       }
+      // Bloom decontamination path: survivors of the might_contain
+      // prefilter vs total corpus shingle rows — i.e. the exact-verify
+      // join's probe side. Linear scaling looks like
+      // survivors ≈ true_hits + FPR × train_rows at every factor.
+      val shim = org.apache.spark.sql.GraftShim
+      val isEval = abs(xxhash64(col("doc_id"))) % 97 === 0
+      val evalHs = ex.filter(isEval).select(col("hs")).distinct()
+      val trainHs = ex.filter(!isEval)
+      val bloomDf = evalHs.agg(
+        shim.bloomFilterAgg(col("hs"), 1L << 20, 1L << 23).as("bf"))
+      val (nSurv, tBloom) = timed {
+        trainHs.filter(shim.mightContain(
+          shim.scalarSubquery(bloomDf), col("hs"))).count()
+      }
+      val nTrue = trainHs.join(evalHs, "hs").count()
+      val nTrain = trainHs.count()
+
       ex.unpersist()
 
       // embedding LSH bucket join at the same replication factor
@@ -126,7 +143,9 @@ object ScaleProbe {
         s""""uncapped_cand_rows":$uncappedRows,"capped_cand_rows":$cappedRows,""" +
         s""""ngram_candidates":$nCand,"ngram_sec":${f"$tCand%.2f"},""" +
         s""""minhash_candidates":$nBand,"minhash_sec":${f"$tBand%.2f"},""" +
-        s""""emb_lsh_candidates":$nEmbCand,"emb_lsh_sec":${f"$tEmb%.2f"}}""")
+        s""""emb_lsh_candidates":$nEmbCand,"emb_lsh_sec":${f"$tEmb%.2f"},""" +
+        s""""bloom_train_rows":$nTrain,"bloom_survivors":$nSurv,""" +
+        s""""bloom_true_hits":$nTrue,"bloom_sec":${f"$tBloom%.2f"}}""")
     }
     spark.stop()
   }
