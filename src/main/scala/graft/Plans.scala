@@ -113,7 +113,14 @@ object Plans {
       ("the ADC scan reads 8-byte PQ codes, never the wide embedding " +
         "arrays — reconstruction is element_at over codebook literals " +
         "inside the codegen span; only the 50 ADC survivors per query " +
-        "join the true vectors back for exact re-ranking."))
+        "join the true vectors back for exact re-ranking."),
+    "ann_ivfpq_bucketed" ->
+      ("IVFADC composed: the cell equi-join prunes the scan to the " +
+        "query's probed cells BEFORE any vector math, the pruned rows " +
+        "are PQ codes (8 bytes), and exact vectors appear only in the " +
+        "top-100 re-rank join — at cluster scale the cell column is " +
+        "the partition key, so this is partition pruning over a " +
+        "compressed index."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -267,41 +267,53 @@ object Similarity {
     // way. Rows-only; recall audit below is the oracle gate.
     "ann_pq_rerank" -> ((s, d) => {
       val (sd, cb) = pqCodebook(s, d)
-      val codes = pqCodeCols(cb, sd)
-      val M = codes.length
-      // codebook literal per subspace: array of 16 subvector literals
-      val cbLit = (0 until M).map { m =>
-        array(cb.map(v => lit(v.slice(m * sd, m * sd + sd).toArray)): _*)
-      }
-      val recon = flatten(array((0 until M).map(m =>
-        element_at(cbLit(m), col(s"c$m").cast("int") + 1)): _*))
-      val coded = vecs(s, d).select(col("vec_id") +: codes: _*)
-        .withColumn("r", recon)
+      val coded = vecs(s, d).select(col("vec_id") +: pqCodeCols(cb, sd): _*)
+        .withColumn("r", pqReconOf(cb, sd))
         .select(col("vec_id"), col("r"), dot(col("r"), col("r")).as("rr"))
       val qvecs = vecsN(s, d).filter(col("vec_id") % 250 === 0)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"))
       val adc = coded.join(broadcast(qvecs), col("vec_id") =!= col("query_id"))
-        .withColumn("adist",
-          round(col("rr") - lit(2.0) * dot(col("r"), col("qv")), 6))
-      val wAdc = Window.partitionBy(col("query_id"))
-        .orderBy(col("adist").asc, col("vec_id"))
-      val cands = adc.withColumn("arn", row_number().over(wAdc))
-        .filter(col("arn") <= 50)
-        .select(col("query_id"), col("vec_id"), col("qv"), col("qn"))
-      val rer = cands.join(vecsN(s, d), "vec_id")
-        .withColumn("cos",
-          round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      rer.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select(col("query_id"), col("rn"), col("vec_id").as("neighbor"),
-          col("cos"))
-        .orderBy(col("query_id"), col("rn"))
+      adcTop5(s, d, adc)
     }),
 
     "ann_pq_recall" -> ((s, d) => annRecall(s, d, "ann_pq_rerank", 0.3)),
+
+    // ---- IVF + PQ composed (the canonical IVFADC index shape): the
+    // coarse quantizer prunes the scan to the query's `probes` nearest
+    // cells, ADC scores those cells' 8-byte codes against the
+    // reconstructed codebook vectors, and only the top-50 survivors
+    // touch the true embeddings for exact re-ranking. At cluster scale
+    // the cell column is the partition key, so a query reads
+    // probes/cells of the index — and each partition it reads is
+    // PQ-compressed. Rows-only; recall audit below is the oracle gate.
+    "ann_ivfpq_bucketed" -> ((s, d) => {
+      val base = vecsN(s, d)
+      val cells = ivfCellsFor(base.count())
+      val probes = ivfProbesFor(cells)
+      val centroidRows = base.filter(col("vec_id") % lit(31) === 7)
+        .orderBy(col("vec_id")).limit(cells)
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val (sd, cb) = pqCodebook(s, d)
+      val coded = base
+        .withColumn("cell", element_at(ivfCellsOf(centroidRows, keep = 1), 1))
+        .select(col("vec_id") +: col("cell") +: pqCodeCols(cb, sd): _*)
+        .withColumn("r", pqReconOf(cb, sd))
+        .select(col("vec_id"), col("cell"), col("r"),
+          dot(col("r"), col("r")).as("rr"))
+      val qvecs = base.filter(col("vec_id") % 250 === 0)
+        .withColumn("cell", explode(ivfCellsOf(centroidRows, keep = probes)))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell"))
+      val adc = coded.join(broadcast(qvecs), Seq("cell"))
+        .where(col("vec_id") =!= col("query_id"))
+      // deeper ADC cut than plain PQ: the cell pruning has already paid
+      // the scan cost, and recall here compounds IVF x ADC losses
+      adcTop5(s, d, adc, depth = 100)
+    }),
+
+    "ann_ivfpq_recall" -> ((s, d) => annRecall(s, d, "ann_ivfpq_bucketed", 0.3)),
 
     // ---- int8 symmetric quantization of the embedding column (the
     // 4x storage/bandwidth shrink an ANN index at 100 TB runs on):
@@ -371,6 +383,44 @@ object Similarity {
       }: _*)
       (array_position(dists, array_min(dists)) - 1).cast("long").as(s"c$m")
     }
+
+  /** Reconstructed vector from the `c0`..`c7` code columns: per
+    * subspace, `element_at` into the 16-entry codebook literal, then
+    * flatten — all inside the codegen span, no join against a codebook
+    * table. */
+  private def pqReconOf(cb: Array[Seq[Double]], sd: Int): Column = {
+    val cbLit = (0 until PqM).map { m =>
+      array(cb.toIndexedSeq.map(v =>
+        lit(v.slice(m * sd, m * sd + sd).toArray)): _*)
+    }
+    flatten(array((0 until PqM).map(m =>
+      element_at(cbLit(m), col(s"c$m").cast("int") + 1)): _*))
+  }
+
+  /** ADC ranking + exact re-rank shared by the PQ variants: `adc` holds
+    * (vec_id, r, rr, query_id, qv, qn) candidate rows; keep the top-50
+    * by approximate distance per query, join the true vectors back,
+    * exact-cosine top-5. */
+  private def adcTop5(s: SparkSession, d: String, adc: DataFrame,
+      depth: Int = 50): DataFrame = {
+    val scored = adc.withColumn("adist",
+      round(col("rr") - lit(2.0) * dot(col("r"), col("qv")), 6))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id"))
+    val cands = scored.withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= depth)
+      .select(col("query_id"), col("vec_id"), col("qv"), col("qn"))
+    val rer = cands.join(vecsN(s, d), "vec_id")
+      .withColumn("cos",
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    rer.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("rn"), col("vec_id").as("neighbor"),
+        col("cos"))
+      .orderBy(col("query_id"), col("rn"))
+  }
 
   /** IVF cells: deterministic coarse centroids (a fixed modulo sample of
     * the corpus — a stand-in for trained k-means that needs no stored
@@ -550,6 +600,9 @@ object Similarity {
              AS BIGINT) AS code
          FROM codes GROUP BY vec_id ORDER BY vec_id""",
     "ann_pq_recall" ->
+      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
+         FROM embeddings WHERE vec_id % 250 = 0""",
+    "ann_ivfpq_recall" ->
       """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
          FROM embeddings WHERE vec_id % 250 = 0""",
     "embed_quantize" ->

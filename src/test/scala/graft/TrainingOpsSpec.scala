@@ -66,6 +66,17 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3)
   }
 
+  test("IVF+PQ composed ANN reaches usable recall vs brute force") {
+    val exact = SparkEntry.queries("ann_bruteforce_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfpq = SparkEntry.queries("ann_ivfpq_bucketed")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivfpq.nonEmpty)
+    val recall = exact.count(ivfpq) * 1.0 / exact.size
+    info(s"IVFADC (cell-pruned, PQ-scored, reranked) recall: $recall")
+    assert(recall >= 0.3)
+  }
+
   test("PQ codes pack 8 four-bit subspace codes deterministically") {
     val a = SparkEntry.queries("embed_pq_codes")(spark, sf).collect()
     val b = SparkEntry.queries("embed_pq_codes")(spark, sf).collect()
