@@ -448,7 +448,7 @@ object RdfOps {
         FROM <$g>
         WHERE { ?c <segment> ?seg ; <bal> ?bal }
         GROUP BY ?seg
-        HAVING (?n > 10)
+        HAVING (?n > 10 && COUNT(?bal) > 10)
         ORDER BY DESC(?n) ?seg""")
         .select(col("seg"), col("n"),
           (floor(col("avg_bal") * 10000 + 0.5) / 10000).as("avg_bal"))

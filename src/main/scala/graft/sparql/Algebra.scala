@@ -166,6 +166,10 @@ object Algebra {
   final case class BNodeE(arg: Option[Expr]) extends Expr
   /** isNumeric(term) — literal with a numeric datatype (§17.4.2.4). */
   final case class IsNumericE(arg: Expr) extends Expr
+  /** Aggregate call in expression position — HAVING (§11.5) permits
+    * aggregates that are not projected, e.g. `HAVING (COUNT(?x) > 5)`.
+    * The compiler pulls each occurrence into a hidden aggregate column. */
+  final case class AggE(fn: String, arg: Option[Expr], distinct: Boolean) extends Expr
   /** `[NOT] EXISTS { group }` — valid only as a whole FILTER constraint
     * (it compiles to a semi/anti join, not a per-row expression). */
   final case class ExistsE(group: Group, negated: Boolean) extends Expr

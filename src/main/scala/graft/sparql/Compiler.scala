@@ -652,6 +652,8 @@ object Compiler {
       term(label, lit(Quad.KindBnode), nullStr, nullStr)
     case ExistsE(_, _) => throw new IllegalArgumentException(
       "EXISTS is only supported as a whole FILTER constraint")
+    case AggE(_, _, _) => throw new IllegalArgumentException(
+      "aggregate expressions are only valid in HAVING")
     case LangE(a) =>
       litTerm(coalesce(compileExpr(a).getField("lg"), lit("")), nullStr, nullStr)
     case DatatypeE(a) =>
@@ -972,12 +974,13 @@ object Compiler {
           else bindings.columns.toSeq.sorted // SELECT *: every bound variable
         withExprs.select(names.map(v => col(v).getField("v").as(v)): _*)
       } else {
-        val aggCols = query.aggs.map(compileAgg)
+        val (havingRw, hiddenAggs) = extractHavingAggs(query.having)
+        val aggCols = (query.aggs ++ hiddenAggs).map(compileAgg)
         val grouped =
           if (query.groupBy.isEmpty) bindings.agg(aggCols.head, aggCols.tail: _*)
           else bindings.groupBy(query.groupBy.map(col): _*)
             .agg(aggCols.head, aggCols.tail: _*)
-        val postHaving = query.having.fold(grouped)(h => grouped.where(havingBool(h)))
+        val postHaving = havingRw.fold(grouped)(h => grouped.where(havingBool(h)))
         // aggregate query + trailing VALUES: join the grouped solutions
         // with the data block (UNDEF rows are null → compatible-with-any)
         val havinged = query.trailingValues match {
@@ -1030,12 +1033,13 @@ object Compiler {
           else bindings.columns.toSeq.sorted
         bindings.select(vars.map(col): _*)
       } else {
-        val aggCols = query.aggs.map(compileAgg)
+        val (havingRw, hiddenAggs) = extractHavingAggs(query.having)
+        val aggCols = (query.aggs ++ hiddenAggs).map(compileAgg)
         val grouped =
           if (query.groupBy.isEmpty) bindings.agg(aggCols.head, aggCols.tail: _*)
           else bindings.groupBy(query.groupBy.map(col): _*)
             .agg(aggCols.head, aggCols.tail: _*)
-        val havinged = query.having.fold(grouped)(h => grouped.where(havingBool(h)))
+        val havinged = havingRw.fold(grouped)(h => grouped.where(havingBool(h)))
         havinged.select(query.projection.map {
           case PVar(n) => col(n)
           case PAgg(fn, _, _, as, _) =>
@@ -1088,6 +1092,28 @@ object Compiler {
 
   /** HAVING compiles over the NATIVE aggregate alias columns (not term
     * structs) — comparisons, boolean combinators and arithmetic only. */
+  /** Inline aggregates in HAVING (§11.5): pull each AggE into a hidden
+    * aggregate column (`_hav0`…) and rewrite the expression to reference
+    * it — the grouped plan then computes projection + hidden aggregates
+    * in ONE aggregation pass and the filter stays a plain post-agg
+    * Filter over native columns. */
+  private def extractHavingAggs(having: Option[Expr]): (Option[Expr], Seq[PAgg]) = {
+    val hidden = scala.collection.mutable.Buffer.empty[PAgg]
+    def rw(e: Expr): Expr = e match {
+      case AggE(fn, arg, distinct) =>
+        val as = s"_hav${hidden.length}"
+        hidden += PAgg(fn, arg, distinct, as)
+        VarRef(as)
+      case CmpE(op, l, r) => CmpE(op, rw(l), rw(r))
+      case AndE(l, r) => AndE(rw(l), rw(r))
+      case OrE(l, r) => OrE(rw(l), rw(r))
+      case NotE(x) => NotE(rw(x))
+      case ArithE(op, l, r) => ArithE(op, rw(l), rw(r))
+      case other => other
+    }
+    (having.map(rw), hidden.toSeq)
+  }
+
   private def havingBool(e: Expr): Column = e match {
     case CmpE(op, l, r) =>
       val (a, b) = (havingVal(l), havingVal(r))

@@ -656,6 +656,14 @@ object SparqlParser {
               if (peek == ')') { pos += 1; BNodeE(None) }
               else { val a = expr(); eat(')'); BNodeE(Some(a)) }
             case "ISNUMERIC" => argList() match { case Seq(a) => IsNumericE(a) }
+            case agg if AggFns(agg) =>
+              // aggregate in expression position (HAVING §11.5)
+              eat('(')
+              val distinct = keyword("DISTINCT")
+              ws()
+              val arg = if (peek == '*') { pos += 1; None } else Some(expr())
+              eat(')')
+              AggE(agg, arg, distinct)
             case "EXISTS" => ExistsE(group(), negated = false)
             case "NOT" =>
               expectKeyword("EXISTS"); ExistsE(group(), negated = true)

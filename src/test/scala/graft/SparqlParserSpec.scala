@@ -195,6 +195,31 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(get(2, "numn") == "false" && get(2, "numlen") == "true")
   }
 
+  test("HAVING with inline (unprojected) aggregates") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("havagg").toString + "/quads")
+    val engine = new GraphEngine(st)
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/src> {
+        ex:a ex:v "1" . ex:a ex:v "2" . ex:a ex:v "3" .
+        ex:b ex:v "10" . ex:b ex:v "20" .
+        ex:c ex:v "5" .
+      } }""")
+    // COUNT appears only in HAVING — never projected
+    val rows = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?s (SUM(?o) AS ?total) FROM <http://ex/src>
+      WHERE { ?s ex:v ?o }
+      GROUP BY ?s
+      HAVING (COUNT(?o) >= 2 && SUM(?o) < 10)
+      ORDER BY ?s""").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "http://ex/a")
+    // hidden aggregate columns must not leak into the projection
+    assert(rows.head.schema.fieldNames.toSeq == Seq("s", "total"))
+  }
+
   test("BASE resolution, SELECT REDUCED, DELETE WHERE shorthand") {
     val st = new graft.model.GraphStore(spark,
       Files.createTempDirectory("bform").toString + "/quads")
