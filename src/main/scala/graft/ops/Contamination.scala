@@ -45,7 +45,9 @@ object Contamination {
           .as("contamination"))
   }
 
-  /** Bloom-prefiltered decontamination — the oversized-eval-set path.
+  /** Bloom-prefiltered decontamination — the oversized-eval-set path
+    * (standard Bloom-filter semi-join pruning, Bloom CACM 1970; the
+    * same shape Spark's own DS-v2 runtime row-level filtering uses).
     *
     * [[flagContaminated]] broadcasts the raw eval shingle set; fine
     * while the eval suite is benchmark-sized, but a consortium-scale

@@ -236,7 +236,9 @@ object Similarity {
     "ann_lsh_recall" -> ((s, d) => annRecall(s, d, "ann_lsh_bucketed", 0.3)),
     "ann_ivf_recall" -> ((s, d) => annRecall(s, d, "ann_ivf_bucketed", 0.3)),
 
-    // ---- product quantization codes (the 100 TB ANN storage path):
+    // ---- product quantization codes (the 100 TB ANN storage path;
+    // PQ/ADC per Jégou, Douze & Schmid, "Product Quantization for
+    // Nearest Neighbor Search", TPAMI 2011 — public literature):
     // split each vector into M=8 subvectors, quantize each against a
     // 16-entry per-subspace codebook → 4 bits per subspace, 32 bits per
     // vector — a dim×8-byte embedding shrinks to one BIGINT. The
