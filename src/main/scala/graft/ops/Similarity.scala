@@ -48,10 +48,13 @@ object Similarity {
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
-  /** Drop the memoized pair frames and their persisted blocks. */
+  /** Drop the memoized pair/coded frames and their persisted blocks. */
   def clearCaches(): Unit = {
     pairCache.forEachValue(Long.MaxValue, df => { df.unpersist(); () })
     pairCache.clear()
+    pqCodedCache.forEachValue(Long.MaxValue, df => { df.unpersist(); () })
+    pqCodedCache.clear()
+    pqCbCache.clear()
   }
 
   private[ops] def lshVerifiedPairs(s: SparkSession, d: String): DataFrame =
@@ -268,10 +271,7 @@ object Similarity {
     // corpus); the re-rank join touches 50 vectors per query either
     // way. Rows-only; recall audit below is the oracle gate.
     "ann_pq_rerank" -> ((s, d) => {
-      val (sd, cb) = pqCodebook(s, d)
-      val coded = vecs(s, d).select(col("vec_id") +: pqCodeCols(cb, sd): _*)
-        .withColumn("r", pqReconOf(cb, sd))
-        .select(col("vec_id"), col("r"), dot(col("r"), col("r")).as("rr"))
+      val coded = pqCoded(s, d)
       val qvecs = vecsN(s, d).filter(col("vec_id") % 250 === 0)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"))
@@ -358,15 +358,35 @@ object Similarity {
   private val PqK = 16 // centroids per subspace (4-bit codes)
 
   /** Deterministic PQ codebook: the same modulo sample as IVF, collected
-    * once (≤ 16 × dim doubles — far under the plan-literal limit).
-    * Returns (subspace dim, sampled vectors). */
-  private def pqCodebook(s: SparkSession, d: String): (Int, Array[Seq[Double]]) = {
-    val dim = embDim(s, d)
-    val cb = vecs(s, d).filter(col("vec_id") % 31 === 7)
-      .orderBy(col("vec_id")).limit(PqK)
-      .select(col("v")).collect().map(_.getSeq[Double](0))
-    (dim / PqM, cb)
-  }
+    * once (≤ 16 × dim doubles — far under the plan-literal limit) and
+    * memoized per (session, dir) — four queries (codes, both reranks,
+    * their audits) would otherwise re-collect it. Returns (subspace
+    * dim, sampled vectors). */
+  private val pqCbCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Int, Array[Seq[Double]])]
+  private def pqCodebook(s: SparkSession, d: String): (Int, Array[Seq[Double]]) =
+    pqCbCache.computeIfAbsent((s, d), { _ =>
+      val dim = embDim(s, d)
+      val cb = vecs(s, d).filter(col("vec_id") % 31 === 7)
+        .orderBy(col("vec_id")).limit(PqK)
+        .select(col("v")).collect().map(_.getSeq[Double](0))
+      (dim / PqM, cb)
+    })
+
+  /** Memoized + persisted (vec_id, reconstructed vector, ||r||²) coded
+    * frame — ann_pq_rerank and its recall audit consume the identical
+    * encoding, and at 100 TB the codes are a materialized index, not a
+    * per-query recompute (same rationale as [[lshVerifiedPairs]]). */
+  private val pqCodedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private def pqCoded(s: SparkSession, d: String): DataFrame =
+    pqCodedCache.computeIfAbsent((s, d), { _ =>
+      val (sd, cb) = pqCodebook(s, d)
+      vecs(s, d).select(col("vec_id") +: pqCodeCols(cb, sd): _*)
+        .withColumn("r", pqReconOf(cb, sd))
+        .select(col("vec_id"), col("r"), dot(col("r"), col("r")).as("rr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Squared distance as a left-fold over the zipped difference — the
     * identical summation order DuckDB's list_sum uses, so the rounded
