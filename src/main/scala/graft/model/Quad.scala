@@ -49,6 +49,15 @@ object Quad {
     val dateTime: String = ns + "dateTime"
     val decimal: String = ns + "decimal"
     val dayTimeDuration: String = ns + "dayTimeDuration"
+    /** The full XSD numeric-type hierarchy (XSD 1.1 §3.3–3.4): the engine
+      * itself only mints integer/double/decimal, but TTL / RDF-XML ingest
+      * can carry any of these, and ISNUMERIC (SPARQL §17.4.2.4) must be
+      * true for all of them. */
+    val numericTypes: Seq[String] =
+      Seq("integer", "decimal", "double", "float", "long", "int", "short",
+        "byte", "nonNegativeInteger", "nonPositiveInteger",
+        "negativeInteger", "positiveInteger", "unsignedLong", "unsignedInt",
+        "unsignedShort", "unsignedByte").map(ns + _)
   }
 
   def iri(graph: String, s: String, p: String, o: String): Quad =

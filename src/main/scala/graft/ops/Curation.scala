@@ -90,10 +90,15 @@ object Curation {
         .orderBy(col("lang"))
     }),
 
-    // ---- audit twin: every approx quantile must land inside the exact
-    // quantile envelope at ±5% rank (generous vs the sketch's 1/1000
-    // bound — the margin absorbs interpolation vs nearest-value
-    // semantics). All-true output; the oracle asserts the same shape.
+    // ---- audit twin: every approx quantile must land inside a
+    // nearest-rank envelope at ±5% rank (generous vs the sketch's 1/1000
+    // bound). The envelope is built from NON-interpolated quantiles —
+    // approx_percentile at accuracy 100000 returns actual data values
+    // with rank error ≤ 1/100000, i.e. nearest-rank exact — because an
+    // INTERPOLATED p20 on a tiny group (2 rows) can exceed the sketch's
+    // actual-value p25 and flip the verdict. Both sides select real data
+    // values ordered by rank, so lo ≤ q ≤ hi holds at any group size.
+    // All-true output; the oracle asserts the same shape.
     "corpus_percentiles_approx_audit" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("lang"), size(TextOps.tokens(col("text"))).as("n_tokens"))
@@ -102,8 +107,12 @@ object Curation {
           "approx_percentile(n_tokens, array(0.25, 0.5, 0.75, 0.95), 1000)")
           .as("q"))
       val envelope = toks.groupBy(col("lang"))
-        .agg(expr("percentile(n_tokens, array(0.20, 0.45, 0.70, 0.90))").as("lo"),
-          expr("percentile(n_tokens, array(0.30, 0.55, 0.80, 1.00))").as("hi"))
+        .agg(expr(
+          "approx_percentile(n_tokens, array(0.20, 0.45, 0.70, 0.90), 100000)")
+          .as("lo"),
+          expr(
+          "approx_percentile(n_tokens, array(0.30, 0.55, 0.80, 1.00), 100000)")
+          .as("hi"))
       approx.join(envelope, "lang")
         .select(col("lang") +: (0 until 4).map(i =>
           (col("q")(i) >= col("lo")(i) && col("q")(i) <= col("hi")(i))

@@ -454,6 +454,37 @@ object RdfOps {
           (floor(col("avg_bal") * 10000 + 0.5) / 10000).as("avg_bal"))
     }),
 
+    // GROUP BY with ZERO projected aggregates (§11.4): grouping still
+    // applies — the projection collapses to one row per group key — and
+    // HAVING's inline COUNT rides as a hidden aggregate. Pre-round-8 this
+    // shape silently dropped both GROUP BY and HAVING (the plain branch
+    // was taken whenever no aggregate was projected).
+    "rdf_sparql_groupby_noagg" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-gbn-${System.nanoTime()}"
+      val g = "http://ex/custn"
+      val store = new graft.model.GraphStore(s, dir)
+      val cust = Tables.customer(s, d)
+      def custQuads(p: String, value: Column, dt: Column) = cust.select(
+        lit(g).as("graph"),
+        concat(lit("cust:"), col("c_custkey").cast("string")).as("s"),
+        lit(p).as("p"), value.cast("string").as("o_value"),
+        dt.as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      store.append(
+        custQuads("bal", col("c_acctbal"), lit(Quad.xsd.double))
+          .unionAll(custQuads("segment", col("c_mktsegment"),
+            lit(null).cast("string"))))
+      val engine = new graft.GraphEngine(store)
+      engine.select(s"""
+        SELECT ?seg
+        FROM <$g>
+        WHERE { ?c <segment> ?seg ; <bal> ?bal }
+        GROUP BY ?seg
+        HAVING (COUNT(?bal) > 10)
+        ORDER BY ?seg""")
+    }),
+
     // GROUP_CONCAT aggregate: nation names rolled up per region key.
     // SPARQL leaves concat order undefined; the engine sorts the
     // group's lexical forms, so the result is deterministic and the
@@ -1201,6 +1232,12 @@ ORDER BY s, p, o_value""",
          GROUP BY c_mktsegment
          HAVING count(*) > 10
          ORDER BY n DESC, seg""",
+    "rdf_sparql_groupby_noagg" ->
+      """SELECT c_mktsegment AS seg
+         FROM customer
+         GROUP BY c_mktsegment
+         HAVING count(*) > 10
+         ORDER BY seg""",
     "rdf_sparql_group_concat" ->
       """SELECT CAST(n_regionkey AS VARCHAR) AS r,
            string_agg(n_name, ',' ORDER BY n_name) AS names,

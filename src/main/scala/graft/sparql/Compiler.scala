@@ -746,14 +746,15 @@ object Compiler {
     case IsLiteralE(a) => compileExpr(a).getField("k") === Quad.KindLiteral
     case IsBlankE(a) => compileExpr(a).getField("k") === Quad.KindBnode
     case IsNumericE(a) =>
-      // the engine's numeric datatypes (all it ever mints); non-literal
-      // kinds and plain/string literals are false per §17.4.2.4. A plain
-      // literal's dt is NULL — isin would three-value to NULL and a
-      // negated filter would drop the row, so pin it to false.
+      // the full XSD numeric hierarchy (externally loaded TTL/RDF-XML can
+      // carry xsd:float/long/int/... even though the engine only mints
+      // integer/double/decimal); non-literal kinds and plain/string
+      // literals are false per §17.4.2.4. A plain literal's dt is NULL —
+      // isin would three-value to NULL and a negated filter would drop
+      // the row, so pin it to false.
       val t = compileExpr(a)
       t.getField("k") === Quad.KindLiteral &&
-        coalesce(t.getField("dt").isin(
-          Quad.xsd.integer, Quad.xsd.double, Quad.xsd.decimal), lit(false))
+        coalesce(t.getField("dt").isin(Quad.xsd.numericTypes: _*), lit(false))
     case LangMatchesE(tagE, rangeE) =>
       // §17.4.3.1 basic language range: "*" matches any non-empty tag;
       // otherwise case-insensitive equality or a hyphen-extended prefix
@@ -957,8 +958,14 @@ object Compiler {
       case _ => query0
     }
     val bindings = compileGroup(scopedQuads, query.where, None, namedQuads)
+    // A query is GROUPED when it has projected aggregates, a GROUP BY, or
+    // a HAVING (the latter two force grouping even with zero projected
+    // aggregates, §11.4 — routing them to the plain branch would silently
+    // drop both, returning ungrouped unfiltered rows)
+    val isGrouped =
+      query.aggs.nonEmpty || query.groupBy.nonEmpty || query.having.nonEmpty
     var out: DataFrame =
-      if (query.aggs.isEmpty) {
+      if (!isGrouped) {
         // (expr AS ?v) projections compute like BIND, then project the
         // lexical value with everything else
         val withExprs = query.projection
@@ -975,12 +982,22 @@ object Compiler {
         withExprs.select(names.map(v => col(v).getField("v").as(v)): _*)
       } else {
         val (havingRw, hiddenAggs) = extractHavingAggs(query.having)
-        val aggCols = (query.aggs ++ hiddenAggs).map(compileAgg)
+        val allAggs = query.aggs ++ hiddenAggs
+        val aggCols = allAggs.map(compileAgg)
+        val aggAliases = allAggs.map(_.as).toSet
         val grouped =
-          if (query.groupBy.isEmpty) bindings.agg(aggCols.head, aggCols.tail: _*)
+          if (aggCols.isEmpty) {
+            // GROUP BY with zero aggregate columns anywhere (projection or
+            // HAVING): grouping just collapses each group to one key row
+            if (query.groupBy.isEmpty) throw new IllegalArgumentException(
+              "HAVING without GROUP BY or any aggregate is not a grouped query")
+            bindings.select(query.groupBy.map(col): _*).dropDuplicates()
+          }
+          else if (query.groupBy.isEmpty) bindings.agg(aggCols.head, aggCols.tail: _*)
           else bindings.groupBy(query.groupBy.map(col): _*)
             .agg(aggCols.head, aggCols.tail: _*)
-        val postHaving = havingRw.fold(grouped)(h => grouped.where(havingBool(h)))
+        val postHaving =
+          havingRw.fold(grouped)(h => grouped.where(havingBool(h, aggAliases)))
         // aggregate query + trailing VALUES: join the grouped solutions
         // with the data block (UNDEF rows are null → compatible-with-any)
         val havinged = query.trailingValues match {
@@ -1027,19 +1044,27 @@ object Compiler {
   private def compileSubSelect(query: SelectQuery, quads: DataFrame): DataFrame = {
     val bindings = compileGroup(quads, query.where, None)
     var out: DataFrame =
-      if (query.aggs.isEmpty) {
+      if (query.aggs.isEmpty && query.groupBy.isEmpty && query.having.isEmpty) {
         val vars =
           if (query.projection.nonEmpty) query.vars
           else bindings.columns.toSeq.sorted
         bindings.select(vars.map(col): _*)
       } else {
         val (havingRw, hiddenAggs) = extractHavingAggs(query.having)
-        val aggCols = (query.aggs ++ hiddenAggs).map(compileAgg)
+        val allAggs = query.aggs ++ hiddenAggs
+        val aggCols = allAggs.map(compileAgg)
+        val aggAliases = allAggs.map(_.as).toSet
         val grouped =
-          if (query.groupBy.isEmpty) bindings.agg(aggCols.head, aggCols.tail: _*)
+          if (aggCols.isEmpty) {
+            if (query.groupBy.isEmpty) throw new IllegalArgumentException(
+              "HAVING without GROUP BY or any aggregate is not a grouped query")
+            bindings.select(query.groupBy.map(col): _*).dropDuplicates()
+          }
+          else if (query.groupBy.isEmpty) bindings.agg(aggCols.head, aggCols.tail: _*)
           else bindings.groupBy(query.groupBy.map(col): _*)
             .agg(aggCols.head, aggCols.tail: _*)
-        val havinged = havingRw.fold(grouped)(h => grouped.where(havingBool(h)))
+        val havinged =
+          havingRw.fold(grouped)(h => grouped.where(havingBool(h, aggAliases)))
         havinged.select(query.projection.map {
           case PVar(n) => col(n)
           case PAgg(fn, _, _, as, _) =>
@@ -1114,39 +1139,47 @@ object Compiler {
     (having.map(rw), hidden.toSeq)
   }
 
-  private def havingBool(e: Expr): Column = e match {
-    case CmpE(op, l, r) =>
-      val (a, b) = (havingVal(l), havingVal(r))
-      op match {
-        case "=" => a === b
-        case "!=" => a =!= b
-        case "<" => a < b
-        case "<=" => a <= b
-        case ">" => a > b
-        case ">=" => a >= b
-        case other => throw new IllegalArgumentException(s"comparison $other")
-      }
-    case AndE(l, r) => havingBool(l) && havingBool(r)
-    case OrE(l, r) => havingBool(l) || havingBool(r)
-    case NotE(x) => !havingBool(x)
-    case other =>
-      throw new IllegalArgumentException(s"unsupported HAVING shape: $other")
-  }
+  private def havingBool(e: Expr, aggAliases: Set[String]): Column =
+    e match {
+      case CmpE(op, l, r) =>
+        val (a, b) = (havingVal(l, aggAliases), havingVal(r, aggAliases))
+        op match {
+          case "=" => a === b
+          case "!=" => a =!= b
+          case "<" => a < b
+          case "<=" => a <= b
+          case ">" => a > b
+          case ">=" => a >= b
+          case other => throw new IllegalArgumentException(s"comparison $other")
+        }
+      case AndE(l, r) => havingBool(l, aggAliases) && havingBool(r, aggAliases)
+      case OrE(l, r) => havingBool(l, aggAliases) || havingBool(r, aggAliases)
+      case NotE(x) => !havingBool(x, aggAliases)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported HAVING shape: $other")
+    }
 
-  private def havingVal(e: Expr): Column = e match {
-    case VarRef(n) => col(n) // an aggregate alias — already native
-    case NumLit(lex) => lit(lex.toDouble)
-    case StrLit(s) => lit(s)
-    case ArithE(op, l, r) =>
-      val (a, b) = (havingVal(l), havingVal(r))
-      op match {
-        case "+" => a + b; case "-" => a - b
-        case "*" => a * b; case "/" => when(b =!= 0.0, a / b)
-        case other => throw new IllegalArgumentException(s"arith $other")
-      }
-    case other =>
-      throw new IllegalArgumentException(s"unsupported HAVING operand: $other")
-  }
+  private def havingVal(e: Expr, aggAliases: Set[String]): Column =
+    e match {
+      case VarRef(n) if aggAliases(n) =>
+        col(n) // an aggregate alias — already native
+      case VarRef(n) =>
+        // a GROUPED variable referenced in HAVING: its column is still a
+        // term struct; HAVING comparisons are numeric, so take the
+        // lexical form's numeric value (non-numeric → null → filtered)
+        col(n).getField("v").cast("double")
+      case NumLit(lex) => lit(lex.toDouble)
+      case StrLit(s) => lit(s)
+      case ArithE(op, l, r) =>
+        val (a, b) = (havingVal(l, aggAliases), havingVal(r, aggAliases))
+        op match {
+          case "+" => a + b; case "-" => a - b
+          case "*" => a * b; case "/" => when(b =!= 0.0, a / b)
+          case other => throw new IllegalArgumentException(s"arith $other")
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unsupported HAVING operand: $other")
+    }
 
   /** ASK: does any solution exist. LIMIT 1 keeps the scan short-
     * circuiting — Spark stops producing once one row is collected. */

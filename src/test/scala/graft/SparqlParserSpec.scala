@@ -218,6 +218,65 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(rows.head.getString(0) == "http://ex/a")
     // hidden aggregate columns must not leak into the projection
     assert(rows.head.schema.fieldNames.toSeq == Seq("s", "total"))
+
+    // GROUP BY with ZERO projected aggregates: still a grouped query —
+    // one row per group key, HAVING's inline COUNT filters groups
+    // (pre-round-8 this silently dropped GROUP BY + HAVING)
+    val noAgg = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?s FROM <http://ex/src>
+      WHERE { ?s ex:v ?o }
+      GROUP BY ?s
+      HAVING (COUNT(?o) >= 2)
+      ORDER BY ?s""").collect()
+    assert(noAgg.map(_.getString(0)).toSeq ==
+      Seq("http://ex/a", "http://ex/b"))
+
+    // GROUP BY with no aggregates anywhere: collapses to distinct keys
+    val bare = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?s FROM <http://ex/src>
+      WHERE { ?s ex:v ?o }
+      GROUP BY ?s
+      ORDER BY ?s""").collect()
+    assert(bare.map(_.getString(0)).toSeq ==
+      Seq("http://ex/a", "http://ex/b", "http://ex/c"))
+
+    // HAVING referencing a grouped variable (numeric lexical compare)
+    val havVar = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?o FROM <http://ex/src>
+      WHERE { ?s ex:v ?o }
+      GROUP BY ?o
+      HAVING (?o >= 5)
+      ORDER BY ?o""").collect()
+    assert(havVar.map(_.getString(0)).toSeq == Seq("10", "20", "5"))
+  }
+
+  test("ISNUMERIC covers the full XSD numeric hierarchy") {
+    val st = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("isnum").toString + "/quads")
+    val engine = new GraphEngine(st)
+    // externally-loaded data can carry any XSD numeric type even though
+    // the engine itself only mints integer/double/decimal
+    engine.update("""
+      PREFIX ex: <http://ex/>
+      PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+      INSERT DATA { GRAPH <http://ex/n> {
+        ex:a ex:v "1.5"^^xsd:float .
+        ex:b ex:v "7"^^xsd:long .
+        ex:c ex:v "3"^^xsd:unsignedByte .
+        ex:d ex:v "2"^^xsd:nonNegativeInteger .
+        ex:e ex:v "plain" .
+        ex:f ex:v "9"^^xsd:gYear .
+      } }""")
+    val rows = engine.select("""
+      PREFIX ex: <http://ex/>
+      SELECT ?s FROM <http://ex/n>
+      WHERE { ?s ex:v ?o . FILTER (ISNUMERIC(?o)) }
+      ORDER BY ?s""").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("http://ex/a", "http://ex/b", "http://ex/c", "http://ex/d"))
   }
 
   test("BASE resolution, SELECT REDUCED, DELETE WHERE shorthand") {
