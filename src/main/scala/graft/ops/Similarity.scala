@@ -55,6 +55,7 @@ object Similarity {
     pqCodedCache.forEachValue(Long.MaxValue, df => { df.unpersist(); () })
     pqCodedCache.clear()
     pqCbCache.clear()
+    ivfCbCache.clear()
   }
 
   private[ops] def lshVerifiedPairs(s: SparkSession, d: String): DataFrame =
@@ -202,19 +203,15 @@ object Similarity {
     "ann_ivf_bucketed" -> ((s, d) => {
       val base = vecsN(s, d)
       // cell/probe counts from corpus size (≈√(n/8) cells — see
-      // ivfCellsFor); centroids collected to the driver:
-      // ordered-before-limit for determinism; they become plan
-      // literals so both assignment branches see the identical set
+      // ivfCellsFor); centroids k-means-trained once (memoized), then
+      // plan literals so both assignment branches see the identical set
       val cells = ivfCellsFor(base.count())
       val probes = ivfProbesFor(cells)
-      val centroidRows = base.filter(col("vec_id") % lit(31) === 7)
-        .orderBy(col("vec_id")).limit(cells)
-        .select(col("vec_id"), col("v")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val centroids = ivfCentroids(s, d, cells)
       val assigned = base.withColumn("cell",
-        element_at(ivfCellsOf(centroidRows, keep = 1), 1))
+        element_at(ivfCellsOf(centroids, keep = 1), 1))
       val queries = base.filter(col("vec_id") % 250 === 0)
-        .withColumn("cell", explode(ivfCellsOf(centroidRows, keep = probes)))
+        .withColumn("cell", explode(ivfCellsOf(centroids, keep = probes)))
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("cell"))
       val cand = assigned.join(broadcast(queries), Seq("cell"))
@@ -236,8 +233,8 @@ object Similarity {
     // summary the oracle CAN bound: n_exact is 5 × the query-point
     // count (pure SQL), recall_ok asserts the deterministic (fixed
     // planes / fixed centroids) recall stays above the pinned floor.
-    "ann_lsh_recall" -> ((s, d) => annRecall(s, d, "ann_lsh_bucketed", 0.3)),
-    "ann_ivf_recall" -> ((s, d) => annRecall(s, d, "ann_ivf_bucketed", 0.3)),
+    "ann_lsh_recall" -> ((s, d) => annRecall(s, d, "ann_lsh_bucketed", 0.7)),
+    "ann_ivf_recall" -> ((s, d) => annRecall(s, d, "ann_ivf_bucketed", 0.7)),
 
     // ---- product quantization codes (the 100 TB ANN storage path;
     // PQ/ADC per Jégou, Douze & Schmid, "Product Quantization for
@@ -245,12 +242,15 @@ object Similarity {
     // split each vector into M=8 subvectors, quantize each against a
     // 16-entry per-subspace codebook → 4 bits per subspace, 32 bits per
     // vector — a dim×8-byte embedding shrinks to one BIGINT. The
-    // codebook is the same deterministic modulo sample IVF uses (a
-    // stand-in for trained k-means that needs no stored model), so the
-    // assignment is a pure function of the data and the DuckDB oracle
-    // recomputes every code bit-for-bit: subspace distances are
-    // left-fold double sums on both engines, rounded to 6 decimals
-    // before the argmin, first-index tie-break on both sides.
+    // codebook is TRAINED per subspace by the deterministic Lloyd
+    // k-means in trainSubspaceKmeans (modulo-sample init, 2 rounds,
+    // order-independent integer-quantized averaging), so the whole
+    // training is a pure function of the data and the DuckDB oracle
+    // recomputes it — init, both Lloyd rounds, and every code —
+    // bit-for-bit: subspace distances are left-fold double sums on both
+    // engines, rounded to 6 decimals before the argmin, first-index
+    // tie-break on both sides, centroid means exact divisions of
+    // order-free integer sums.
     "embed_pq_codes" -> ((s, d) => {
       val (sd, cb) = pqCodebook(s, d)
       val codes = pqCodeCols(cb, sd)
@@ -276,10 +276,10 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"))
       val adc = coded.join(broadcast(qvecs), col("vec_id") =!= col("query_id"))
-      adcTop5(s, d, adc)
+      adcTop5(s, d, adc, depth = 250)
     }),
 
-    "ann_pq_recall" -> ((s, d) => annRecall(s, d, "ann_pq_rerank", 0.3)),
+    "ann_pq_recall" -> ((s, d) => annRecall(s, d, "ann_pq_rerank", 0.7)),
 
     // ---- IVF + PQ composed (the canonical IVFADC index shape): the
     // coarse quantizer prunes the scan to the query's `probes` nearest
@@ -293,29 +293,26 @@ object Similarity {
       val base = vecsN(s, d)
       val cells = ivfCellsFor(base.count())
       val probes = ivfProbesFor(cells)
-      val centroidRows = base.filter(col("vec_id") % lit(31) === 7)
-        .orderBy(col("vec_id")).limit(cells)
-        .select(col("vec_id"), col("v")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val centroids = ivfCentroids(s, d, cells)
       val (sd, cb) = pqCodebook(s, d)
       val coded = base
-        .withColumn("cell", element_at(ivfCellsOf(centroidRows, keep = 1), 1))
+        .withColumn("cell", element_at(ivfCellsOf(centroids, keep = 1), 1))
         .select(col("vec_id") +: col("cell") +: pqCodeCols(cb, sd): _*)
         .withColumn("r", pqReconOf(cb, sd))
         .select(col("vec_id"), col("cell"), col("r"),
           dot(col("r"), col("r")).as("rr"))
       val qvecs = base.filter(col("vec_id") % 250 === 0)
-        .withColumn("cell", explode(ivfCellsOf(centroidRows, keep = probes)))
+        .withColumn("cell", explode(ivfCellsOf(centroids, keep = probes)))
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("cell"))
       val adc = coded.join(broadcast(qvecs), Seq("cell"))
         .where(col("vec_id") =!= col("query_id"))
       // deeper ADC cut than plain PQ: the cell pruning has already paid
       // the scan cost, and recall here compounds IVF x ADC losses
-      adcTop5(s, d, adc, depth = 100)
+      adcTop5(s, d, adc, depth = 250)
     }),
 
-    "ann_ivfpq_recall" -> ((s, d) => annRecall(s, d, "ann_ivfpq_bucketed", 0.3)),
+    "ann_ivfpq_recall" -> ((s, d) => annRecall(s, d, "ann_ivfpq_bucketed", 0.7)),
 
     // ---- int8 symmetric quantization of the embedding column (the
     // 4x storage/bandwidth shrink an ANN index at 100 TB runs on):
@@ -354,23 +351,107 @@ object Similarity {
 
   // ---- product quantization helpers -------------------------------
 
-  private val PqM = 8  // subspaces
-  private val PqK = 16 // centroids per subspace (4-bit codes)
+  private val PqM = 8      // subspaces
+  private val PqK = 16     // centroids per subspace (4-bit codes)
+  private val PqRounds = 2 // Lloyd iterations training each codebook
 
-  /** Deterministic PQ codebook: the same modulo sample as IVF, collected
-    * once (≤ 16 × dim doubles — far under the plan-literal limit) and
-    * memoized per (session, dir) — four queries (codes, both reranks,
-    * their audits) would otherwise re-collect it. Returns (subspace
-    * dim, sampled vectors). */
+  /** Deterministic Lloyd k-means over SUBSPACE rows `(id, m, sv)` — the
+    * trainer behind both the PQ per-subspace codebooks (m = 0..7) and
+    * the IVF coarse centroids (a single subspace, m = 0). Two design
+    * constraints make it oracle-checkable, which plain
+    * [[SemanticOps]].kmeans is not:
+    *
+    *  1. ORDER-INDEPENDENT averaging: coordinates are quantized to 1e-6
+    *     integers (`floor(x*1e6 + 0.5)`) and summed as longs. Integer
+    *     addition is associative+commutative, so the per-cluster sums —
+    *     and therefore the new centroids `(sum.toDouble/n)/1e6` — are
+    *     identical on every partitioning, every run, and in DuckDB SQL.
+    *     (Double `avg` would differ in the last ulp per shuffle layout.)
+    *  2. Deterministic assignment: distances round to 6 decimals before
+    *     a first-index argmin — the same contract the PQ code columns
+    *     already use, mirrored verbatim by `list_position(l, list_min(l))`
+    *     in the oracle.
+    *
+    * Empty clusters keep their previous centroid (mirrored by the
+    * oracle's COALESCE). Scale shape: assignment is map-side codegen'd
+    * literal-distance math; each round is ONE (m, cluster, dim) partial
+    * agg — k·M·dim result rows — nothing per-row ever collects. */
+  private[ops] def trainSubspaceKmeans(subs: DataFrame,
+      init: Array[Array[Array[Double]]], rounds: Int)
+      : Array[Array[Array[Double]]] = {
+    var cents = init
+    for (_ <- 1 to rounds) {
+      // per-row assignment: CaseWhen on m (lazy — only the matching
+      // subspace's 16 distances evaluate), argmin over rounded dists
+      val assign = (0 until cents.length).map { m =>
+        val dists = array(cents(m).indices.map(k =>
+          round(sqDist(col("sv"), lit(cents(m)(k))), 6)): _*)
+        (col("m") === m, (array_position(dists, array_min(dists)) - 1))
+      }.foldRight(lit(null).cast("long")) { case ((c, v), e) => when(c, v).otherwise(e) }
+      val sums = subs.withColumn("c", assign)
+        .select(col("m"), col("c"), posexplode(transform(col("sv"),
+          x => floor(x * lit(1000000.0) + lit(0.5)).cast("long")))
+          .as(Seq("dim", "xi")))
+        .groupBy(col("m"), col("c"), col("dim"))
+        .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(r => (r.getInt(0), r.getLong(1).toInt))
+      cents = Array.tabulate(cents.length) { m =>
+        Array.tabulate(cents(m).length) { k =>
+          byCell.get((m, k)) match {
+            case Some(rows) =>
+              val c = cents(m)(k).clone()
+              rows.foreach(r =>
+                c(r.getInt(2)) = (r.getLong(3).toDouble / r.getLong(4)) / 1e6)
+              c
+            case None => cents(m)(k)
+          }
+        }
+      }
+    }
+    cents
+  }
+
+  /** TRAINED PQ codebook (k-means per subspace — Jégou et al. 2011 §II:
+    * the codebook is supposed to be a k-means solution, not a sample):
+    * init from the deterministic modulo sample, then [[PqRounds]] Lloyd
+    * iterations via [[trainSubspaceKmeans]] — all training arithmetic is
+    * order-independent, so the DuckDB oracle recomputes the SAME
+    * codebook by unrolling the rounds in SQL. Collected once (≤ 16 × dim
+    * doubles — far under the plan-literal limit) and memoized per
+    * (session, dir) — four queries (codes, both reranks, their audits)
+    * would otherwise re-train it. Returns (subspace dim, stitched
+    * full-dim codebook vectors — entry k = concat of each subspace's
+    * centroid k, so downstream slicing per m is unchanged). */
   private val pqCbCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (Int, Array[Seq[Double]])]
   private def pqCodebook(s: SparkSession, d: String): (Int, Array[Seq[Double]]) =
     pqCbCache.computeIfAbsent((s, d), { _ =>
       val dim = embDim(s, d)
-      val cb = vecs(s, d).filter(col("vec_id") % 31 === 7)
+      // a dim not divisible by M would silently drop the tail dims from
+      // codes and reconstruction (integer floor) while the SQL oracle's
+      // rounding picks a DIFFERENT subspace width — fail loudly instead
+      require(dim % PqM == 0,
+        s"PQ requires embedding dim divisible by $PqM, got $dim")
+      val sd = dim / PqM
+      val sample = vecs(s, d).filter(col("vec_id") % 31 === 7)
         .orderBy(col("vec_id")).limit(PqK)
         .select(col("v")).collect().map(_.getSeq[Double](0))
-      (dim / PqM, cb)
+      val init = Array.tabulate(PqM) { m =>
+        sample.map(v => v.slice(m * sd, m * sd + sd).toArray)
+      }
+      val subs = vecs(s, d).select(col("vec_id"),
+        posexplode(array((0 until PqM).map(m =>
+          slice(col("v"), m * sd + 1, sd)): _*)).as(Seq("m", "sv")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val trained =
+        try trainSubspaceKmeans(subs, init, PqRounds)
+        finally subs.unpersist()
+      val k = sample.length
+      val cb: Array[Seq[Double]] = Array.tabulate(k) { ki =>
+        (0 until PqM).flatMap(m => trained(m)(ki)).toList
+      }
+      (sd, cb)
     })
 
   /** Memoized + persisted (vec_id, reconstructed vector, ||r||²) coded
@@ -444,11 +525,31 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  /** IVF cells: deterministic coarse centroids (a fixed modulo sample of
-    * the corpus — a stand-in for trained k-means that needs no stored
-    * model), each vector assigned to its max-dot centroid. */
-  private val IvfCells = 16
-  private val IvfProbes = 4
+  /** IVF cells: deterministic coarse centroids TRAINED by the same
+    * order-independent Lloyd k-means as the PQ codebooks (modulo-sample
+    * init, [[PqRounds]] rounds), each vector assigned to its min-L2
+    * centroid. Memoized per (session, dir): ann_ivf_bucketed,
+    * ann_ivfpq_bucketed and both recall audits share one training run —
+    * and at 100 TB the centroids are a stored model artifact, not a
+    * per-query recompute. */
+  private val IvfCells = 8
+  private val IvfProbes = 8
+
+  private val ivfCbCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Array[Array[Double]]]
+  private def ivfCentroids(s: SparkSession, d: String,
+      cells: Int): Array[Array[Double]] =
+    ivfCbCache.computeIfAbsent((s, d), { _ =>
+      val init = vecs(s, d).filter(col("vec_id") % lit(31) === 7)
+        .orderBy(col("vec_id")).limit(cells)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      // the full vector is ONE subspace (m = 0) of the shared trainer
+      val subs = vecs(s, d).select(col("vec_id"),
+        lit(0).as("m"), col("v").as("sv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try trainSubspaceKmeans(subs, Array(init), PqRounds)(0)
+      finally subs.unpersist()
+    })
 
   /** Corpus-adaptive bucket parameters (round-6 scale fix, validated by
     * [[ScaleProbe]]): FIXED bucket counts make candidate volume
@@ -458,8 +559,11 @@ object Similarity {
     * the driver-literal limit); LSH signature bits grow with log₂ of
     * the per-band bucket target so expected bucket size stays ~125.
     * Both formulas return TODAY'S constants at the sf0.1 corpus
-    * (n=2000 → 16 cells / 4 probes / 4 bits), so every committed
-    * oracle, recall floor, and bench floor is unchanged at test scale. */
+    * (n=2000 → 16 cells / 8 probes / 4 bits), so every committed
+    * oracle, recall floor, and bench floor is set at test scale.
+    * Probes = cells/4 (floor 8) is the recall-0.7 operating point with
+    * 2-round-trained centroids; a cluster deployment trades probes for
+    * recall explicitly — the knob is this one function. */
   private[ops] def ivfCellsFor(n: Long): Int =
     math.max(IvfCells, math.ceil(math.sqrt(n / 8.0)).toInt)
   private[ops] def ivfProbesFor(cells: Int): Int =
@@ -469,25 +573,32 @@ object Similarity {
       math.ceil(math.log(math.max(1.0, n / 125.0)) / math.log(2.0)).toInt)
 
   /** Cell assignment as a pure projection: the centroid set is a plan
-    * LITERAL (16 cells × dim doubles), so per-vector scoring is `IvfCells`
-    * codegen'd dot products + a 16-element `array_sort` — no join against
-    * a centroid table and, critically, no `Window.partitionBy(vec_id)`
+    * LITERAL (cells × dim doubles), so per-vector scoring is `cells`
+    * codegen'd dot products + an array_sort — no join against a
+    * centroid table and, critically, no `Window.partitionBy(vec_id)`
     * shuffle carrying the full embedding arrays. At 100 TB the window
-    * variant re-shuffles the whole corpus; this one is map-side only. */
-  private def ivfCellsOf(centroidRows: Array[(Long, Seq[Double])],
+    * variant re-shuffles the whole corpus; this one is map-side only.
+    * Scoring is squared-L2 via `|c|² − 2·v·c` (the |v|² term is constant
+    * across cells, so the argmin is the true L2 assignment — consistent
+    * with the L2 k-means that trained the centroids); cell id = the
+    * centroid's training index. */
+  private def ivfCellsOf(centroids: Array[Array[Double]],
       keep: Int): Column = {
-    // struct(-dot, cell) sorted ascending == (dot DESC, cell ASC)
-    val scored = array(centroidRows.map { case (cell, cv) =>
-      struct((-dot(col("v"), lit(cv.toArray))).as("nd"),
+    // struct(dist, cell) sorted ascending == (L2 ASC, cell ASC)
+    val scored = array(centroids.zipWithIndex.map { case (cv, cell) =>
+      val cc = cv.map(x => x * x).sum // |c|² folds to one literal
+      struct((dot(col("v"), lit(cv)) * -2 + cc).as("dist"),
         lit(cell).as("cell"))
     }.toIndexedSeq: _*)
     transform(slice(array_sort(scored), 1, keep), x => x.getField("cell"))
   }
 
-  // 8 bands x 4 hyperplane bits per band. P(candidate) for angle θ:
-  // 1-(1-(1-θ/π)^4)^8 — ~0.8 for the genuinely-close pairs, steeply
-  // lower for background pairs, tunable by (bands, rows).
-  private val LshBands = 8
+  // 16 bands x 4 hyperplane bits per band. P(candidate) for angle θ:
+  // 1-(1-(1-θ/π)^4)^16 — raised from 8 bands in round 8 so the top-5
+  // neighbors (θ typically 40-60° on this corpus) collide with ≥ 0.7
+  // probability, matching the pinned recall floor; candidate volume
+  // doubles but stays a (band, sig) equi-join.
+  private val LshBands = 16
   private val LshRows = 4
 
   /** Max embedding dimension the literal hyperplanes cover. `vec_dot`
@@ -586,37 +697,90 @@ object Similarity {
     "ann_ivf_recall" ->
       """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
          FROM embeddings WHERE vec_id % 250 = 0""",
-    // float->double widening is exact in both engines, so the
-    // elementwise doubles (and their floor) agree bit-for-bit; the
-    // checksum is an integer sum, immune to summation order
-    // every PQ code recomputed: same modulo-sampled codebook, same
-    // left-fold subspace distances rounded to 6 decimals, same
-    // first-index argmin, same 4-bit packing
+    // the WHOLE training recomputed: modulo-sample init, two unrolled
+    // Lloyd rounds (assign → integer-quantized order-free averaging →
+    // new centroids, empty cells keep the old centroid via COALESCE),
+    // then the final code assignment — every arithmetic step mirrors
+    // the Scala trainer exactly: float->double widening is exact,
+    // subspace distances are left-fold double sums rounded to 6
+    // decimals with first-index argmin, centroid means are
+    // (CAST(sum AS DOUBLE)/n)/1e6 of bigint sums, so both engines
+    // produce the identical codebook and identical 4-bit-packed codes
     "embed_pq_codes" ->
-      """WITH p AS (SELECT CAST(max(len(embedding)) / 8 AS INT) AS sd
+      """WITH p AS (SELECT CAST(max(len(embedding)) // 8 AS INT) AS sd
                     FROM embeddings),
-          cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k,
-                   embedding AS cv
-                 FROM (SELECT vec_id, embedding FROM embeddings
-                       WHERE vec_id % 31 = 7 ORDER BY vec_id LIMIT 16) t),
-          dist AS (
-            SELECT e.vec_id, m.m, cb.k,
-              round(list_sum(list_transform(
-                range(1, p.sd + 1), i ->
-                  (CAST(e.embedding[m.m * p.sd + i] AS DOUBLE)
-                   - CAST(cb.cv[m.m * p.sd + i] AS DOUBLE))
-                * (CAST(e.embedding[m.m * p.sd + i] AS DOUBLE)
-                   - CAST(cb.cv[m.m * p.sd + i] AS DOUBLE)))),
-                6) AS dd
-            FROM embeddings e
-            CROSS JOIN p
-            CROSS JOIN (SELECT unnest(range(0, 8)) AS m) m
-            CROSS JOIN cb),
+          ms AS (SELECT unnest(range(0, 8)) AS m),
+          di AS (SELECT unnest(range(1, (SELECT sd FROM p) + 1)) AS i),
+          sub AS (
+            SELECT e.vec_id, ms.m,
+              list_transform(range(1, p.sd + 1),
+                i -> CAST(e.embedding[ms.m * p.sd + i] AS DOUBLE)) AS sv
+            FROM embeddings e CROSS JOIN p CROSS JOIN ms),
+          c0 AS (
+            SELECT ms.m,
+              row_number() OVER (PARTITION BY ms.m ORDER BY t.vec_id) - 1 AS k,
+              list_transform(range(1, p.sd + 1),
+                i -> CAST(t.embedding[ms.m * p.sd + i] AS DOUBLE)) AS cv
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id % 31 = 7 ORDER BY vec_id LIMIT 16) t
+            CROSS JOIN p CROSS JOIN ms),
+          a1 AS (
+            SELECT vec_id, m,
+              CAST(list_position(l, list_min(l)) - 1 AS INT) AS c
+            FROM (SELECT s.vec_id, s.m, list(round(list_sum(
+                    list_transform(range(1, p.sd + 1),
+                      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6)
+                    ORDER BY c.k) AS l
+                  FROM sub s CROSS JOIN p JOIN c0 c ON c.m = s.m
+                  GROUP BY s.vec_id, s.m) t),
+          u1 AS (
+            SELECT a.m, a.c AS k, di.i AS dim,
+              sum(CAST(floor(s.sv[di.i] * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+              count(*) AS n
+            FROM a1 a
+            JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+            CROSS JOIN di
+            GROUP BY a.m, a.c, di.i),
+          c1 AS (
+            SELECT c0.m, c0.k, COALESCE(n1.cv, c0.cv) AS cv
+            FROM c0 LEFT JOIN
+              (SELECT m, k,
+                 list((CAST(sx AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
+               FROM u1 GROUP BY m, k) n1
+            ON n1.m = c0.m AND n1.k = c0.k),
+          a2 AS (
+            SELECT vec_id, m,
+              CAST(list_position(l, list_min(l)) - 1 AS INT) AS c
+            FROM (SELECT s.vec_id, s.m, list(round(list_sum(
+                    list_transform(range(1, p.sd + 1),
+                      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6)
+                    ORDER BY c.k) AS l
+                  FROM sub s CROSS JOIN p JOIN c1 c ON c.m = s.m
+                  GROUP BY s.vec_id, s.m) t),
+          u2 AS (
+            SELECT a.m, a.c AS k, di.i AS dim,
+              sum(CAST(floor(s.sv[di.i] * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+              count(*) AS n
+            FROM a2 a
+            JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+            CROSS JOIN di
+            GROUP BY a.m, a.c, di.i),
+          c2 AS (
+            SELECT c1.m, c1.k, COALESCE(n2.cv, c1.cv) AS cv
+            FROM c1 LEFT JOIN
+              (SELECT m, k,
+                 list((CAST(sx AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
+               FROM u2 GROUP BY m, k) n2
+            ON n2.m = c1.m AND n2.k = c1.k),
           codes AS (
             SELECT vec_id, m,
               CAST(list_position(l, list_min(l)) - 1 AS BIGINT) AS c
-            FROM (SELECT vec_id, m, list(dd ORDER BY k) AS l
-                  FROM dist GROUP BY vec_id, m) t)
+            FROM (SELECT s.vec_id, s.m, list(round(list_sum(
+                    list_transform(range(1, p.sd + 1),
+                      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6)
+                    ORDER BY c.k) AS l
+                  FROM sub s CROSS JOIN p JOIN c2 c ON c.m = s.m
+                  GROUP BY s.vec_id, s.m) t)
          SELECT vec_id,
            CAST(sum(c * (CAST(1 AS BIGINT) << CAST(4 * m AS INT)))
              AS BIGINT) AS code

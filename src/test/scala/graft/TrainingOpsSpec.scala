@@ -36,12 +36,11 @@ class TrainingOpsSpec extends AnyFunSuite {
     val lsh = SparkEntry.queries("ann_lsh_bucketed")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(lsh.nonEmpty)
-    // 12-bit buckets over 64-dim random embeddings: a single-probe
-    // bucket-join is a candidate generator, not an exact index; recall
-    // here just pins that the bucketing is not degenerate
+    // 16 bands x 4-bit signatures over 64-dim embeddings: recall >= 0.7
+    // is the round-8 operating point (matches the ann_lsh_recall floor)
     val recall = exact.count(lsh) * 1.0 / exact.size
-    info(s"single-probe LSH recall: $recall")
-    assert(recall >= 0.3)
+    info(s"banded LSH recall: $recall")
+    assert(recall >= 0.7)
   }
 
   test("IVF-bucketed ANN reaches usable recall vs brute force") {
@@ -51,8 +50,8 @@ class TrainingOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(ivf.nonEmpty)
     val recall = exact.count(ivf) * 1.0 / exact.size
-    info(s"IVF (${"%d".format(4)}-probe) recall: $recall")
-    assert(recall >= 0.3)
+    info(s"IVF (k-means-trained centroids) recall: $recall")
+    assert(recall >= 0.7)
   }
 
   test("PQ+ADC+rerank ANN reaches usable recall vs brute force") {
@@ -62,8 +61,8 @@ class TrainingOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(pq.nonEmpty)
     val recall = exact.count(pq) * 1.0 / exact.size
-    info(s"PQ ADC top-50 + exact rerank recall: $recall")
-    assert(recall >= 0.3)
+    info(s"PQ (trained codebooks) ADC + exact rerank recall: $recall")
+    assert(recall >= 0.7)
   }
 
   test("IVF+PQ composed ANN reaches usable recall vs brute force") {
@@ -74,7 +73,7 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(ivfpq.nonEmpty)
     val recall = exact.count(ivfpq) * 1.0 / exact.size
     info(s"IVFADC (cell-pruned, PQ-scored, reranked) recall: $recall")
-    assert(recall >= 0.3)
+    assert(recall >= 0.7)
   }
 
   test("PQ codes pack 8 four-bit subspace codes deterministically") {
