@@ -62,12 +62,28 @@ final class GraphEngine(val store: QuadStore) {
         // reference's any-rdflib-format ingest (sparql_update.py:124-133)
         val path = source.stripPrefix("file://")
         val g = graph.getOrElse(graft.model.Quad.DefaultGraph)
-        val quads =
-          if (path.endsWith(".ttl")) graft.rdf.Turtle.read(store.spark, path, g)
-          else if (path.endsWith(".rdf") || path.endsWith(".xml") ||
-            path.endsWith(".owl")) graft.rdf.RdfXml.read(store.spark, path, g)
-          else graft.rdf.NTriples.read(store.spark, path, g)
-        store.appendDistinct(quads.toDF(), Some(Seq(g)))
+        // quad-scoped formats (N-Quads, TriG) keep each statement's own
+        // graph label unless INTO GRAPH overrides; triple-scoped formats
+        // land wholesale in the target graph
+        if (path.endsWith(".nq") || path.endsWith(".trig")) {
+          val quads0 =
+            if (path.endsWith(".nq"))
+              graft.rdf.NTriples.readQuads(store.spark, path, g)
+            else graft.rdf.Turtle.readTrig(store.spark, path, g)
+          val quads = graph match {
+            case Some(target) => quads0.toDF()
+              .withColumn("graph", org.apache.spark.sql.functions.lit(target))
+            case None => quads0.toDF()
+          }
+          store.appendDistinct(quads, graph.map(Seq(_)))
+        } else {
+          val quads =
+            if (path.endsWith(".ttl")) graft.rdf.Turtle.read(store.spark, path, g)
+            else if (path.endsWith(".rdf") || path.endsWith(".xml") ||
+              path.endsWith(".owl")) graft.rdf.RdfXml.read(store.spark, path, g)
+            else graft.rdf.NTriples.read(store.spark, path, g)
+          store.appendDistinct(quads.toDF(), Some(Seq(g)))
+        }
     }
 
   /** COPY/ADD body: rebind `from`'s quads to `to` and insert; `replace`

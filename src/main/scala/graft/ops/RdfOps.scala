@@ -177,6 +177,34 @@ object RdfOps {
         .orderBy(col("s"), col("p"), col("o_value"))
     }),
 
+    // S4d: N-Quads file source exercised THROUGH the LOAD dispatch —
+    // the .nq fixture carries statements in three graphs (two labeled,
+    // one unlabeled → the default graph); each statement keeps its own
+    // graph label in the store, proving the quad-scoped LOAD path.
+    "rdf_nquads_source" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-nq")
+      java.nio.file.Files.writeString(dir.resolve("data.nq"), nquadsFixture)
+      val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft-nqs-${System.nanoTime()}"
+      val engine = new graft.GraphEngine(new graft.model.GraphStore(s, storeDir))
+      engine.update(s"LOAD <file://${dir.resolve("data.nq")}>")
+      engine.store.readGraphs(
+        Seq("http://g/1", "http://g/2", graft.model.Quad.DefaultGraph))
+        .orderBy(col("graph"), col("s"), col("p"), col("o_value"))
+    }),
+
+    // S4e: TriG file source — Turtle plus graph blocks (labeled,
+    // GRAPH-keyword, anonymous); triples outside any block and in the
+    // anonymous block land in the default graph. The last statement of
+    // a block omits its dot (legal TriG) to pin that grammar corner.
+    "rdf_trig_source" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-trig")
+      java.nio.file.Files.writeString(dir.resolve("data.trig"), trigFixture)
+      graft.rdf.Turtle.readTrig(s, dir.toString).toDF()
+        .select(col("graph"), col("s"), col("p"), col("o_value"),
+          col("o_type"), col("o_lang"), col("o_kind"))
+        .orderBy(col("graph"), col("s"), col("p"), col("o_value"))
+    }),
+
     // S7: SPARQL-update text front end — INSERT DATA, INSERT..WHERE with
     // bnode paths + BIND, CLEAR, executed by GraphEngine from raw text
     "rdf_sparql_update" -> ((s, _) => {
@@ -968,6 +996,35 @@ object RdfOps {
     |_:m ex:memberOf ex:alpha .
     |""".stripMargin
 
+  private val nquadsFixture = """
+    |# three graphs: two labeled, one default
+    |<http://ex/a> <http://ex/name> "Alpha" <http://g/1> .
+    |<http://ex/a> <http://ex/score> "4"^^<http://www.w3.org/2001/XMLSchema#integer> <http://g/1> .
+    |<http://ex/b> <http://ex/name> "Beta"@fr <http://g/2> .
+    |_:x <http://ex/linked> <http://ex/a> <http://g/2> .
+    |<http://ex/c> <http://ex/name> "NoGraph" .
+    |""".stripMargin
+
+  private val trigFixture = """
+    |@prefix ex: <http://ex/> .
+    |
+    |ex:top ex:name "TopLevel" .
+    |
+    |<http://g/a> {
+    |  ex:a ex:name "Alpha" ;
+    |       ex:size 10 .
+    |}
+    |
+    |GRAPH <http://g/b> {
+    |  ex:b ex:name "Beta"@fr .
+    |  ex:b ex:linked ex:a
+    |}
+    |
+    |{
+    |  ex:d ex:name "InDefault" .
+    |}
+    |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // constructed-state oracle: the flattener's expected output on the
     // one-document mamDoc fixture (bnode label normalized on both sides)
@@ -1006,6 +1063,40 @@ object RdfOps {
             'http://www.w3.org/2001/XMLSchema#decimal', NULL, 'literal')
          ) t(s, p, o_value, o_type, o_lang, o_kind)
          ORDER BY s, p, o_value""",
+    "rdf_nquads_source" ->
+      """SELECT * FROM (VALUES
+           (CAST('http://g/1' AS VARCHAR), CAST('http://ex/a' AS VARCHAR),
+            CAST('http://ex/name' AS VARCHAR), CAST('Alpha' AS VARCHAR),
+            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+            CAST('literal' AS VARCHAR)),
+           ('http://g/1', 'http://ex/a', 'http://ex/score', '4',
+            'http://www.w3.org/2001/XMLSchema#integer', NULL, 'literal'),
+           ('http://g/2', 'http://ex/b', 'http://ex/name', 'Beta',
+            NULL, 'fr', 'literal'),
+           ('http://g/2', '_:x', 'http://ex/linked', 'http://ex/a',
+            NULL, NULL, 'iri'),
+           ('urn:graft:default', 'http://ex/c', 'http://ex/name', 'NoGraph',
+            NULL, NULL, 'literal')
+         ) t(graph, s, p, o_value, o_type, o_lang, o_kind)
+         ORDER BY graph, s, p, o_value""",
+    "rdf_trig_source" ->
+      """SELECT * FROM (VALUES
+           (CAST('http://g/a' AS VARCHAR), CAST('http://ex/a' AS VARCHAR),
+            CAST('http://ex/name' AS VARCHAR), CAST('Alpha' AS VARCHAR),
+            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+            CAST('literal' AS VARCHAR)),
+           ('http://g/a', 'http://ex/a', 'http://ex/size', '10',
+            'http://www.w3.org/2001/XMLSchema#integer', NULL, 'literal'),
+           ('http://g/b', 'http://ex/b', 'http://ex/linked', 'http://ex/a',
+            NULL, NULL, 'iri'),
+           ('http://g/b', 'http://ex/b', 'http://ex/name', 'Beta',
+            NULL, 'fr', 'literal'),
+           ('urn:graft:default', 'http://ex/d', 'http://ex/name', 'InDefault',
+            NULL, NULL, 'literal'),
+           ('urn:graft:default', 'http://ex/top', 'http://ex/name', 'TopLevel',
+            NULL, NULL, 'literal')
+         ) t(graph, s, p, o_value, o_type, o_lang, o_kind)
+         ORDER BY graph, s, p, o_value""",
     "rdf_xml_source" ->
       """SELECT * FROM (VALUES
            (CAST('_:1' AS VARCHAR), CAST('http://ex/rank' AS VARCHAR),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.Quad
 
-/** N-Triples serialization (sink S5) and parsing (source S4).
+/** N-Triples / N-Quads serialization (sink S5) and parsing (source S4).
   *
   * The reference serializes with rdflib's `.n3()` per term and joins with
   * `" . \n"` (`/root/reference/airflow_files/dags/sparql_update.py:135-141`)
@@ -53,6 +53,21 @@ object NTriples {
 
   def write(quads: DataFrame, path: String): Unit =
     toLines(quads).write.mode("overwrite").text(path)
+
+  /** One N-Quads line per quad row: the N-Triples line plus the graph
+    * label, omitted for default-graph statements per the N-Quads
+    * grammar (RDF 1.1 N-Quads §2 — the graph label slot is optional). */
+  def toQuadLines(quads: DataFrame): DataFrame =
+    quads.select(concat(
+      subjectTerm(col("s")), lit(" "),
+      concat(lit("<"), col("p"), lit(">")), lit(" "),
+      objectTerm(col("o_value"), col("o_kind"), col("o_type"), col("o_lang")),
+      when(col("graph") === Quad.DefaultGraph, lit(""))
+        .otherwise(concat(lit(" "), subjectTerm(col("graph")))),
+      lit(" .")).as("value"))
+
+  def writeQuads(quads: DataFrame, path: String): Unit =
+    toQuadLines(quads).write.mode("overwrite").text(path)
 
   // ---------------------------------------------------------------- reader
 
@@ -129,6 +144,39 @@ object NTriples {
     }
 
     def expectDot(): Unit = { ws(); require(i < s.length && s(i) == '.', s"missing dot: $s") }
+
+    /** N-Quads: a graph label (IRI or blank node) may sit between the
+      * object and the final dot. */
+    def optionalGraphLabel(): Option[String] = {
+      ws()
+      if (i < s.length && (s(i) == '<' || s(i) == '_')) Some(term()._1)
+      else None
+    }
+  }
+
+  /** Parse one N-Quads line: the N-Triples triple plus an OPTIONAL
+    * graph label (IRI or blank node) before the dot; statements without
+    * a label land in `defaultGraph`. Returns null for blank/comment
+    * lines. N-Quads is line-oriented like N-Triples, so this splits
+    * perfectly across partitions — the preferred bulk interchange
+    * format for a multi-graph store at scale. */
+  def parseQuadLine(line: String, defaultGraph: String): Quad = {
+    val t = line.trim
+    if (t.isEmpty || t.startsWith("#")) return null
+    try {
+      val p = new LineParser(t)
+      val s = p.term()
+      val pred = p.term()
+      val obj = p.term()
+      val g = p.optionalGraphLabel().getOrElse(defaultGraph)
+      p.expectDot()
+      Quad(g, s._1, pred._1, obj._1, obj._3, obj._4, obj._2)
+    } catch {
+      case e: IllegalArgumentException => throw e
+      case e: Exception =>
+        throw new IllegalArgumentException(
+          s"malformed N-Quads line: $t", e)
+    }
   }
 
   /** Read an N-Triples file (or directory of part files) into quads
@@ -137,5 +185,15 @@ object NTriples {
     import spark.implicits._
     spark.read.textFile(path)
       .mapPartitions(_.flatMap(l => Option(parseLine(l, graph))))
+  }
+
+  /** Read an N-Quads file (or directory of part files); each statement
+    * keeps its own graph label, unlabeled statements go to
+    * `defaultGraph`. */
+  def readQuads(spark: SparkSession, path: String,
+      defaultGraph: String = Quad.DefaultGraph): Dataset[Quad] = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .mapPartitions(_.flatMap(l => Option(parseQuadLine(l, defaultGraph))))
   }
 }

@@ -54,6 +54,49 @@ class NTriplesSpec extends AnyFunSuite {
     val back = NTriples.read(spark, dir, "g").collect().toSet
     assert(back == samples.toSet)
   }
+
+  // ------------------------------------------------------------ N-Quads
+
+  private val quadSamples = Seq(
+    Quad.iri("http://g/1", "http://ex/s", "http://ex/p", "http://ex/o"),
+    Quad("http://g/2", "_:b1", "http://ex/p", "_:b2", null, null, Quad.KindBnode),
+    Quad.lit(Quad.DefaultGraph, "http://ex/s", "http://ex/p", "q\"uo\nted"),
+    Quad.typed("http://g/1", "http://ex/s", "http://ex/p", "42", Quad.xsd.integer),
+    Quad("http://g/2", "http://ex/s", "http://ex/p", "hallo", null, "nl",
+      Quad.KindLiteral))
+
+  test("N-Quads: serialize → parse round-trips graphs and term kinds") {
+    import spark.implicits._
+    val lines = NTriples.toQuadLines(quadSamples.toDF()).as[String].collect()
+    assert(lines.length == quadSamples.size)
+    // default-graph statements carry NO graph label
+    assert(lines.count(_.split("\\s+").length == 4) >= 1)
+    val back = lines.map(l => NTriples.parseQuadLine(l, Quad.DefaultGraph))
+    assert(back.toSet == quadSamples.toSet)
+  }
+
+  test("N-Quads: unlabeled statements land in the given default graph") {
+    val q = NTriples.parseQuadLine(
+      """<http://ex/s> <http://ex/p> "v" .""", "http://d/")
+    assert(q.graph == "http://d/")
+    val g = NTriples.parseQuadLine(
+      """<http://ex/s> <http://ex/p> "v" <http://g/9> .""", "http://d/")
+    assert(g.graph == "http://g/9")
+    // a bnode graph label parses too
+    val b = NTriples.parseQuadLine(
+      "<http://ex/s> <http://ex/p> <http://ex/o> _:gb .", "http://d/")
+    assert(b.graph == "_:gb")
+  }
+
+  test("N-Quads: comments, blanks, and file round-trip") {
+    import spark.implicits._
+    assert(NTriples.parseQuadLine("# comment", "d") == null)
+    assert(NTriples.parseQuadLine("   ", "d") == null)
+    val dir = Files.createTempDirectory("nq").toString + "/out"
+    NTriples.writeQuads(quadSamples.toDF(), dir)
+    val back = NTriples.readQuads(spark, dir).collect().toSet
+    assert(back == quadSamples.toSet)
+  }
 }
 
 class GraphStoreSpec extends AnyFunSuite {

@@ -77,6 +77,38 @@ class TurtleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("collections"))
   }
 
+  test("TriG: graph blocks, GRAPH keyword, anonymous block, optional dot") {
+    val trig = """
+      |@prefix ex: <http://ex/> .
+      |ex:top ex:name "Top" .
+      |<http://g/a> {
+      |  ex:a ex:name "Alpha" ;
+      |       ex:size 10 .
+      |}
+      |GRAPH <http://g/b> {
+      |  ex:b ex:linked ex:a
+      |}
+      |{
+      |  ex:d ex:name "InDefault" .
+      |}
+      |""".stripMargin
+    val quads = Turtle.parseTrig(trig, "http://default/")
+    def graphsOf(s: String) = quads.filter(_.s == s).map(_.graph).distinct
+    assert(graphsOf("http://ex/top") == Seq("http://default/"))
+    assert(graphsOf("http://ex/a") == Seq("http://g/a"))
+    assert(graphsOf("http://ex/b") == Seq("http://g/b")) // no trailing dot
+    assert(graphsOf("http://ex/d") == Seq("http://default/"))
+    assert(quads.length == 5)
+    // prefixes declared before blocks resolve inside them
+    assert(quads.forall(q => q.p.startsWith("http://ex/")))
+  }
+
+  test("TriG: plain Turtle parses identically under parseTrig") {
+    val t = Turtle.parse(doc, "g").toSet
+    // bnode labels embed a doc-content hash — identical input, identical labels
+    assert(Turtle.parseTrig(doc, "g").toSet == t)
+  }
+
   test("read(): file → Dataset[Quad], distributed per file") {
     val dir = Files.createTempDirectory("ttl")
     Files.writeString(dir.resolve("a.ttl"), doc)
