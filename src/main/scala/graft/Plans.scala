@@ -99,6 +99,18 @@ object Plans {
         "scoped graph's term structs unioned under the closure — no " +
         "extra join rounds; inside GRAPH ?g the identity pairs carry " +
         "the graph column so per-graph semantics survive (round-6 fix)."),
+    "rdf_sparql_path_seeded" ->
+      ("var-var closure with a sibling-bound endpoint (round 8): ?s is " +
+        "bound by the <tag> pattern compiled first, so the closure runs " +
+        "the MULTI-SOURCE seeded BFS from that DISTINCT binding set — " +
+        "each round joins a shrinking (origin, frontier) relation " +
+        "against the edge set, the origin column rides the hops, and " +
+        "the full transitive pair set never materializes. Pair doubling " +
+        "(the Θ(pairs) shape above) now remains ONLY for closures with " +
+        "no bound end, where the pair set IS the answer. Cost drops to " +
+        "O(Σ reach(seed)) — on a 100 TB graph with a selective sibling " +
+        "pattern this is the difference between touching the seeds' " +
+        "neighborhoods and materializing the graph's closure."),
     "text_decontaminate_bloom" ->
       ("the Bloom filter arrives as a scalar subquery (Subquery over the " +
         "eval-shingle bloom_filter_agg); might_contain filters corpus " +

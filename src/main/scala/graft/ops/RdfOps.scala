@@ -643,6 +643,43 @@ object RdfOps {
         ORDER BY ?x""")
     }),
 
+    // Var-var closure SEEDED by a sibling pattern (round 8): ?s is
+    // bound by the <tag> pattern before the `+` closure compiles, so
+    // the compiler runs the multi-source seeded BFS from that binding
+    // set (origins carried through the hops) instead of materializing
+    // the full transitive-pair set — O(Σ reach(seed)) instead of
+    // O(all pairs). Results must equal the unseeded semantics exactly.
+    "rdf_sparql_path_seeded" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-seed-${System.nanoTime()}"
+      val g = "http://ex/chain"
+      val store = new graft.model.GraphStore(s, dir)
+      val nat = Tables.nation(s, d).filter(col("n_nationkey") < 24)
+      store.append(nat.select(
+        lit(g).as("graph"),
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+        lit("next").as("p"),
+        concat(lit("nation:"), (col("n_nationkey") + 1).cast("string")).as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("iri").as("o_kind"))
+        .unionAll(Tables.nation(s, d)
+          .filter(col("n_nationkey").isin(0, 20))
+          .select(
+            lit(g).as("graph"),
+            concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+            lit("tag").as("p"),
+            lit("seed").as("o_value"),
+            lit(null).cast("string").as("o_type"),
+            lit(null).cast("string").as("o_lang"),
+            lit("literal").as("o_kind"))))
+      val engine = new graft.GraphEngine(store)
+      engine.select(s"""
+        SELECT ?s ?x
+        FROM <$g>
+        WHERE { ?s <tag> "seed" . ?s <next>+ ?x }
+        ORDER BY ?s ?x""")
+    }),
+
     // Zero-length path modifiers: `*` from a constant subject (chain
     // reachability INCLUDING the start) and `?` between variables (the
     // domain-restricted zero-length identity over every graph term,
@@ -1404,6 +1441,14 @@ ORDER BY s, p, o_value""",
       """SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS x
          FROM nation WHERE n_nationkey > 0
          ORDER BY x""",
+    // chain reachability from each tagged seed: everything strictly
+    // after it on the 0→24 chain
+    "rdf_sparql_path_seeded" ->
+      """SELECT 'nation:' || CAST(s.sk AS VARCHAR) AS s,
+           'nation:' || CAST(n.n_nationkey AS VARCHAR) AS x
+         FROM (VALUES (0), (20)) s(sk)
+         JOIN nation n ON n.n_nationkey > s.sk
+         ORDER BY s, x""",
     // `*` reaches every chain node including nation:0 itself (25 x);
     // `?` adds per-x the zero-length identity and, below the chain end,
     // the one-hop successor

@@ -431,21 +431,84 @@ object Compiler {
               else reach.select(gKey ++ Seq(col("_dst").as("_src"),
                 seedT.as("_dst")): _*)
           case None =>
-            var n = closure.count()
-            var changed = n > 0
-            var rounds = 0
-            while (changed && rounds < 20) {
-              val doubled = closure.join(
-                closure.select(gKey ++ Seq(col("_src").as("_dst"),
-                  col("_dst").as("_hop")): _*),
-                gJoin :+ "_dst")
-                .select(gKey ++ Seq(col("_src"), col("_hop").as("_dst")): _*)
-              val next = closure.unionAll(doubled).dropDuplicates().localCheckpoint()
-              val m = next.count()
-              changed = m != n
-              n = m
-              closure = next
-              rounds += 1
+            // Var-var closure. SEMI-JOIN SEEDING (round 8): when a
+            // SIBLING element compiled before this one already binds the
+            // subject or object var (and not nullably, i.e. not out of
+            // an OPTIONAL), only pairs whose bound end is one of those
+            // values can survive the upcoming join — so run the seeded
+            // BFS from that DISTINCT binding set, carrying the origin
+            // through the hops. Cost drops from O(all reachable pairs)
+            // to O(Σ reach(seed)); the join with `acc` afterwards is
+            // unchanged, so results are identical. Full pair doubling
+            // remains only for a closure with NO bound end — where the
+            // spec's result IS the full pair set.
+            val seedBinding: Option[(DataFrame, String, Boolean)] =
+              acc.flatMap { a =>
+                def ok(node: Node): Option[String] = node match {
+                  case V(nm) if a.columns.contains(nm) &&
+                    !nullable.contains(nm) => Some(nm)
+                  case _ => None
+                }
+                // per-graph seeding needs ?g bound alongside the endpoint
+                if (!graphVar.forall(a.columns.contains)) None
+                else ok(sN).map((a, _, true)).orElse(ok(oN).map((a, _, false)))
+              }
+            seedBinding match {
+              case Some((a, nm, fwd)) =>
+                val step =
+                  if (fwd) edgePairs
+                  else edgePairs.select(gKey ++ Seq(col("_dst").as("_src"),
+                    col("_src").as("_dst")): _*)
+                val seeds = a.select(graphVar.map(g => col(g).as("_g")).toSeq
+                  :+ col(nm).as("_src"): _*)
+                  .dropDuplicates().localCheckpoint()
+                var reach = seeds.join(step, gJoin :+ "_src")
+                  .select(gKey ++ Seq(col("_src").as("_origin"),
+                    col("_dst")): _*)
+                  .dropDuplicates().localCheckpoint()
+                var frontier = reach
+                val stepB = step.select(gKey ++ Seq(col("_src").as("_dst"),
+                  col("_dst").as("_hop")): _*)
+                def hop(df: DataFrame): DataFrame =
+                  df.join(stepB, gJoin :+ "_dst")
+                    .select(gKey ++ Seq(col("_origin"),
+                      col("_hop").as("_dst")): _*)
+                var rounds = 0
+                var growing = frontier.count() > 0
+                while (growing && rounds < 64) {
+                  val hops = Iterator.iterate(frontier)(hop).slice(1, 5).toSeq
+                  val fresh = hops.reduce(_ unionAll _).dropDuplicates()
+                    .join(reach, (gJoin :+ "_origin") :+ "_dst", "left_anti")
+                    .localCheckpoint()
+                  growing = fresh.count() > 0
+                  if (growing) {
+                    reach = reach.unionAll(fresh).localCheckpoint()
+                    frontier = fresh
+                  }
+                  rounds += 1
+                }
+                closure =
+                  if (fwd) reach.select(gKey ++ Seq(
+                    col("_origin").as("_src"), col("_dst")): _*)
+                  else reach.select(gKey ++ Seq(col("_dst").as("_src"),
+                    col("_origin").as("_dst")): _*)
+              case None =>
+                var n = closure.count()
+                var changed = n > 0
+                var rounds = 0
+                while (changed && rounds < 20) {
+                  val doubled = closure.join(
+                    closure.select(gKey ++ Seq(col("_src").as("_dst"),
+                      col("_dst").as("_hop")): _*),
+                    gJoin :+ "_dst")
+                    .select(gKey ++ Seq(col("_src"), col("_hop").as("_dst")): _*)
+                  val next = closure.unionAll(doubled).dropDuplicates().localCheckpoint()
+                  val m = next.count()
+                  changed = m != n
+                  n = m
+                  closure = next
+                  rounds += 1
+                }
             }
         }
         if (minHops == 0) {
