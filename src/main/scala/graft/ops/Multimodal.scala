@@ -9,10 +9,15 @@ import graft.util.Tables
   * opaque `binary` column + typed metadata, with decode / feature-extract
   * / frame-sample stages as `mapPartitions` over the binary payloads.
   *
-  * The image/audio codec libraries are not in this container, so the
-  * DECODE step is a clearly-marked deterministic fake (byte histogram /
-  * fixed-stride chunking); everything Spark-side — schema, batch shape,
-  * partitioning, the binary column path — is real and tested.
+  * The IMAGE path is a REAL decode: synthetic PNGs (a deterministic
+  * function of doc_id) are encoded and decoded through the JDK's
+  * `javax.imageio` inside `mapPartitions`, and the emitted
+  * width/height/channel statistics are oracle-checked against the
+  * generator's closed-form parameters. Audio/video codecs are not in
+  * the JDK, so those kinds keep a clearly-marked deterministic fake
+  * (byte histogram / fixed-stride chunking); the Spark-side plumbing —
+  * schema, batch shape, partitioning, the binary column path — is the
+  * same either way.
   */
 object Multimodal {
 
@@ -22,6 +27,62 @@ object Multimodal {
   case class MediaRow(doc_id: Long, kind: String, media: Array[Byte])
   case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Int,
       feature_dim: Int, features: Array[Float], n_frames: Int)
+  case class ImageStats(doc_id: Long, width: Int, height: Int,
+      channels: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Deterministic synthetic PNG for `docId`: width = id%13+4,
+    * height = id%7+3, red = id%256 (constant), green = (id+y)%256
+    * (row gradient), blue = (id*31)%256 (constant). Every decoded
+    * statistic below is a closed-form function of these, so the DuckDB
+    * oracle recomputes them without any image library. */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val w = (docId % 13 + 4).toInt
+    val h = (docId % 7 + 3).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val r = (docId % 256).toInt
+    val b = ((docId * 31) % 256).toInt
+    var y = 0
+    while (y < h) {
+      val g = ((docId + y) % 256).toInt
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (r << 16) | (g << 8) | b); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode over the binary column: `javax.imageio` parses
+    * the PNG bytes back into a raster and the per-band sums come from
+    * the decoded pixels — if the codec, the byte plumbing, or the
+    * raster indexing were wrong, the sums would not match the oracle's
+    * closed-form recomputation. Distributed via mapPartitions, one
+    * decode per row, nothing driver-side. */
+  def decodeImages(media: DataFrame): Dataset[ImageStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        val sums = new Array[Long](bands)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < bands) { sums(c) += raster.getSample(x, y, c); c += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        ImageStats(id, w, h, bands, sums(0), sums(1), sums(2))
+      })
+  }
 
   /** documents → media table: text bytes stand in for the media payload;
     * kind assigned round-robin (stub for real MIME detection). */
@@ -79,6 +140,22 @@ object Multimodal {
         .select(col("doc_id"), col("kind"), col("n_bytes"),
           col("feature_dim"), col("n_frames"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- REAL image decode (round 8): the image-kind rows carry
+    // actual PNG bytes (deterministic synthetic images), decoded back
+    // through javax.imageio in mapPartitions; width/height/channels and
+    // the per-band pixel sums are emitted from the DECODED raster and
+    // the oracle recomputes each from the generator's closed form — a
+    // hash-exact check on decoded features, not byte statistics.
+    "multimodal_image_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 0) // the image-kind rows of asMedia
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, syntheticPng(id))))
+        .toDF("doc_id", "media")
+      decodeImages(media).toDF().orderBy(col("doc_id"))
     }),
 
     // ---- resize planning for the image rows: the driver-side stage a
@@ -148,6 +225,22 @@ object Multimodal {
            16 AS feature_dim,
            CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames
          FROM documents ORDER BY doc_id""",
+    // every decoded statistic recomputed from the PNG generator's
+    // closed form: dims from the modulus, red/blue constant per image,
+    // green a row gradient summed over height
+    "multimodal_image_decode" ->
+      """SELECT doc_id,
+           CAST(doc_id % 13 + 4 AS INT) AS width,
+           CAST(doc_id % 7 + 3 AS INT) AS height,
+           3 AS channels,
+           CAST((doc_id % 13 + 4) * (doc_id % 7 + 3) * (doc_id % 256)
+             AS BIGINT) AS sum_r,
+           CAST((doc_id % 13 + 4) * list_sum(list_transform(
+             range(0, doc_id % 7 + 3), y -> (doc_id + y) % 256))
+             AS BIGINT) AS sum_g,
+           CAST((doc_id % 13 + 4) * (doc_id % 7 + 3) * ((doc_id * 31) % 256)
+             AS BIGINT) AS sum_b
+         FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""",
     "multimodal_resize_plan" ->
       """SELECT doc_id, src_w, src_h,
            CAST(greatest(floor(src_w * 224.0 / greatest(src_w, src_h)), 1)

@@ -95,6 +95,29 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(a.distinct.length > a.length / 2) // not collapsed
   }
 
+  test("multimodal real image decode: PNG round-trip matches closed form") {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val ids = Seq(0L, 3L, 123L, 999L, 300003L)
+    val media = ids.toDF("doc_id")
+      .as[Long].mapPartitions(_.map(id => (id, Multimodal.syntheticPng(id))))
+      .toDF("doc_id", "media")
+    val stats = Multimodal.decodeImages(media).collect()
+      .map(s => s.doc_id -> s).toMap
+    for (id <- ids) {
+      val s = stats(id)
+      val (w, h) = ((id % 13 + 4).toInt, (id % 7 + 3).toInt)
+      assert(s.width == w && s.height == h && s.channels == 3)
+      assert(s.sum_r == w.toLong * h * (id % 256))
+      assert(s.sum_g == w.toLong * (0 until h).map(y => (id + y) % 256).sum)
+      assert(s.sum_b == w.toLong * h * ((id * 31) % 256))
+    }
+    // the payload really is a PNG (magic bytes), not a fake
+    val png = Multimodal.syntheticPng(42L)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' &&
+      png(3) == 'G')
+  }
+
   test("multimodal decode stub: feature shape, normalization, frames") {
     import graft.ops.Multimodal
     val feats = Multimodal.featurize(
