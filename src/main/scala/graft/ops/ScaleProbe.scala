@@ -150,3 +150,133 @@ object ScaleProbe {
     spark.stop()
   }
 }
+
+/** Streaming-state scale probe (round 8 — the streaming analog of
+  * [[ScaleProbe]]'s candidate-volume proof): measures state-store rows
+  * and bytes for the three stateful streaming shapes (session windows,
+  * stream-stream join, exact dedup) at 1×/3×/10× event volume.
+  *
+  * Scaling model: copies are shifted in TIME (same per-window event
+  * rate, k× longer stream — how a production stream actually grows),
+  * so WATERMARK EVICTION should hold session/join state ~FLAT while
+  * input grows k×; the unbounded-without-watermark baseline is the
+  * input row count itself. Dedup state (no watermark by design) is
+  * bounded by KEY cardinality — constant here since copies share the
+  * user×type key space. The scaled stream is written as 8 time-ordered
+  * parquet slices consumed one per micro-batch (`maxFilesPerTrigger=1`)
+  * — with one mega-batch the watermark would never advance and
+  * eviction would never run, and the probe would measure nothing.
+  *
+  * Prints one JSON line per factor; BENCH_NOTES.md records the table.
+  */
+object StreamStateProbe {
+
+  import org.apache.spark.sql.streaming.Trigger
+
+  private def stateOf(df: DataFrame, mode: String): (Long, Long, Long) = {
+    val q = df.writeStream.outputMode(mode).format("noop")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
+    val perBatch = progs.map(_.stateOperators.map(_.numRowsTotal).sum)
+    val finalRows = perBatch.lastOption.getOrElse(0L)
+    val maxRows = perBatch.foldLeft(0L)(math.max)
+    val bytes = progs.lastOption
+      .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+    (finalRows, maxRows, bytes)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+      else Seq(1, 3, 10)
+    val spark = SparkSession.builder()
+      .appName("graft-stream-state-probe")
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ev0 = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val Array(loTs, hiTs) = ev0
+      .agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
+      .collect().head.toSeq.map(_.toString.toLong).toArray
+    val span = hiTs - loTs + 3600
+
+    factors.foreach { f =>
+      val scaled = (0 until f).map { r =>
+        ev0.withColumn("ts",
+          (col("ts").cast("long") + lit(r.toLong * span)).cast("timestamp"))
+          .withColumn("event_id", col("event_id") + lit(r.toLong * 1000000000L))
+      }.reduce(_ unionAll _)
+      val nInput = scaled.count()
+
+      // time-ordered slices, one file per micro-batch. The slice COUNT
+      // scales with the factor so each micro-batch covers a CONSTANT
+      // time horizon (a real stream's trigger interval doesn't stretch
+      // because the stream got longer) — with a fixed slice count the
+      // per-batch state would grow with f and mask the eviction story.
+      val nSlices = 8 * f
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-ssp-$f").toString
+      val streamDir = s"$dir/stream"
+      new java.io.File(streamDir).mkdirs()
+      val sliceSpan = math.max(1L, span * f / nSlices)
+      (0 until nSlices).foreach { i =>
+        val stage = s"$dir/stage$i"
+        scaled.filter(
+          ((col("ts").cast("long") - loTs) / sliceSpan).cast("int")
+            === math.min(i, nSlices - 1))
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(streamDir, f"s$i%03d.parquet"))
+      }
+      def stream = spark.readStream
+        .schema(spark.read.parquet(streamDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+
+      // session windows: watermark closes sessions 30 min behind the
+      // max event time — state = open sessions, flat in stream length
+      val (sessF, sessM, sessB) = stateOf(
+        stream.withWatermark("ts", "30 minutes")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events")), "append")
+
+      // stream-stream join: watermarks bound BOTH buffers to the
+      // 30-minute match horizon
+      val views = stream.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "30 minutes")
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "30 minutes")
+      val (joinF, joinM, joinB) = stateOf(
+        views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES")),
+        "append")
+
+      // exact dedup: state = distinct keys (no watermark by design) —
+      // bounded by key cardinality, not stream length
+      val (dedF, dedM, dedB) = stateOf(
+        stream.select(col("user_id"), col("event_type"))
+          .dropDuplicates("user_id", "event_type"), "append")
+
+      println(s"""{"factor":$f,"input_rows":$nInput,""" +
+        s""""session_state_final":$sessF,"session_state_max":$sessM,""" +
+        s""""session_state_bytes":$sessB,""" +
+        s""""join_state_final":$joinF,"join_state_max":$joinM,""" +
+        s""""join_state_bytes":$joinB,""" +
+        s""""dedup_state_final":$dedF,"dedup_state_max":$dedM,""" +
+        s""""dedup_state_bytes":$dedB}""")
+    }
+    spark.stop()
+  }
+}
