@@ -46,10 +46,13 @@ object SemanticOps {
         .orderBy(col("vec_id"))
     }),
 
-    // ---- deterministic Lloyd k-means over the embeddings: fixed seed
-    // sample as init, 3 rounds. Output is (vec_id, cluster) — rows-only
-    // (iterative float averaging is not an ANSI-SQL oracle); the
-    // invariants ride in embed_kmeans_audit below.
+    // ---- deterministic Lloyd k-means over the embeddings: fixed
+    // modulo-sample init, 3 rounds. Since round 8 the averaging is
+    // ORDER-INDEPENDENT (coordinates quantized to 1e-6 integers, summed
+    // as longs — the same contract as the PQ codebook trainer), so the
+    // whole training is a pure function of the data and the oracle
+    // recomputes init, all three rounds, and the final assignment
+    // bit-for-bit in SQL — upgraded from rows-only to hash-checked.
     "embed_kmeans" -> ((s, d) => {
       val (assigned, _) = kmeans(s, d)
       assigned.select(col("vec_id"), col("cluster")).orderBy(col("vec_id"))
@@ -72,24 +75,22 @@ object SemanticOps {
   private val K = 8
   private val Rounds = 3
 
-  /** Assignment column: argmin squared-L2 over the literal centroid set,
-    * ties to the lowest cluster id — struct(dist, id) array_sort, the
-    * same shape as Similarity.ivfCellsOf. Returns the winning struct so
-    * callers can read both `id` and the relative `dist` (|v|^2 omitted —
-    * constant across assignments). */
-  private def bestCentroid(centroids: Array[Array[Double]]): Column = {
-    val scored = array(centroids.zipWithIndex.map { case (c, id) =>
-      val cc = c.map(x => x * x).sum // |c|^2 folds to one literal
-      struct((dot(col("v"), lit(c)) * -2 + cc).as("dist"),
-        lit(id).as("id"))
-    }.toIndexedSeq: _*)
-    element_at(array_sort(scored), 1)
-  }
-
-  /** 3 Lloyd rounds: assign against literal centroids, recompute by a
-    * (cluster, dim) partial agg, collect k×dim back as the next round's
-    * literals. Returns the final assignment and per-round inertia
-    * (relative: |v|^2 omitted — constant across assignments). */
+  /** 3 Lloyd rounds, fully DETERMINISTIC (round 8 — the same two
+    * contracts as `Similarity.trainSubspaceKmeans`, restated here
+    * because this loop also tracks inertia):
+    *
+    *  1. assignment = argmin over per-centroid squared-L2 distances
+    *     ROUNDED to 6 decimals, first-index tie-break — `list_position
+    *     (l, list_min(l))` in the oracle;
+    *  2. centroid update = `(sum(floor(x·1e6 + .5)).toDouble / n) / 1e6`
+    *     — integer sums are order-free, so the new centroids are
+    *     identical on every partitioning and in DuckDB.
+    *
+    * Each round: assignment is map-side literal-distance codegen, the
+    * update is ONE (cluster, dim) partial-agg shuffle collecting k×dim
+    * rows; empty clusters keep their centroid (oracle: COALESCE).
+    * Returns the final assignment (against the round-3 centroids) and
+    * per-round inertia (sum of rounded min-distances). */
   private def kmeans(s: SparkSession, d: String): (DataFrame, Seq[Double]) = {
     val base = Tables.fanOut(vecsN(s, d)).persist()
     // deterministic init: a fixed modulo sample, ordered, first K
@@ -98,27 +99,32 @@ object SemanticOps {
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
     val inertias = scala.collection.mutable.ArrayBuffer[Double]()
-    def inertiaOf(assigned: DataFrame): Double =
-      assigned.agg(sum(col("dist"))).head.getDouble(0)
     var assigned: DataFrame = null
     for (_ <- 1 to Rounds) {
-      assigned = base.withColumn("best", bestCentroid(centroids))
-        .withColumn("cluster", col("best").getField("id"))
-        .withColumn("dist", col("best").getField("dist"))
-      inertias += inertiaOf(assigned)
-      // recompute: one shuffle keyed (cluster, dim) — k*dim result rows
-      val next = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      val dists = array(centroids.toIndexedSeq.map(c =>
+        round(Similarity.sqDist(col("v"), lit(c)), 6)): _*)
+      assigned = base.withColumn("dists", dists)
+        .withColumn("cluster",
+          (array_position(col("dists"), array_min(col("dists"))) - 1)
+            .cast("int"))
+        .withColumn("dist", array_min(col("dists")))
+        .drop("dists")
+      inertias += assigned.agg(sum(col("dist"))).head.getDouble(0)
+      // deterministic update: order-free integer sums per (cluster, dim)
+      val sums = assigned
+        .select(col("cluster"), posexplode(transform(col("v"),
+          x => floor(x * lit(1000000.0) + lit(0.5)).cast("long")))
+          .as(Seq("dim", "xi")))
         .groupBy(col("cluster"), col("dim"))
-        .agg(avg(col("x")).as("m"))
+        .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
         .collect()
-      val byCluster = next.groupBy(_.getInt(0))
+      val byCluster = sums.groupBy(_.getInt(0))
       centroids = centroids.zipWithIndex.map { case (old, id) =>
         byCluster.get(id) match {
           case Some(rows) =>
-            val dim = old.length
-            val c = new Array[Double](dim)
-            rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+            val c = old.clone()
+            rows.foreach(r =>
+              c(r.getInt(1)) = (r.getLong(2).toDouble / r.getLong(3)) / 1e6)
             c
           case None => old // empty cluster keeps its centroid
         }
@@ -137,6 +143,72 @@ object SemanticOps {
                AND list_cosine_similarity(p.embedding, e.embedding) >= 0.45)
              AS INT) AS kept
          FROM embeddings e ORDER BY e.vec_id""",
+    // the WHOLE k-means recomputed (same technique as embed_pq_codes):
+    // modulo init, three unrolled Lloyd rounds with integer-quantized
+    // order-free averaging, final assignment against the round-3
+    // centroids — bit-for-bit on both engines
+    "embed_kmeans" ->
+      """WITH p AS (SELECT CAST(max(len(embedding)) AS INT) AS dm
+                    FROM embeddings),
+          di AS (SELECT unnest(range(1, (SELECT dm FROM p) + 1)) AS i),
+          v AS (
+            SELECT e.vec_id,
+              list_transform(range(1, p.dm + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE)) AS v
+            FROM embeddings e CROSS JOIN p),
+          c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, v AS cv
+            FROM (SELECT vec_id, v FROM v
+                  WHERE vec_id % 61 = 3 ORDER BY vec_id LIMIT 8) t),
+          a1 AS (
+            SELECT vec_id, CAST(list_position(l, list_min(l)) - 1 AS INT) AS c
+            FROM (SELECT x.vec_id, list(round(list_sum(
+                    list_transform(range(1, p.dm + 1),
+                      i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i]))), 6)
+                    ORDER BY c.k) AS l
+                  FROM v x CROSS JOIN p CROSS JOIN c0 c
+                  GROUP BY x.vec_id) t),
+          u1 AS (
+            SELECT a.c AS k, di.i AS dim,
+              sum(CAST(floor(x.v[di.i] * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+              count(*) AS n
+            FROM a1 a JOIN v x ON x.vec_id = a.vec_id
+            CROSS JOIN di GROUP BY a.c, di.i),
+          c1 AS (
+            SELECT c0.k, COALESCE(n1.cv, c0.cv) AS cv
+            FROM c0 LEFT JOIN
+              (SELECT k,
+                 list((CAST(sx AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
+               FROM u1 GROUP BY k) n1 ON n1.k = c0.k),
+          a2 AS (
+            SELECT vec_id, CAST(list_position(l, list_min(l)) - 1 AS INT) AS c
+            FROM (SELECT x.vec_id, list(round(list_sum(
+                    list_transform(range(1, p.dm + 1),
+                      i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i]))), 6)
+                    ORDER BY c.k) AS l
+                  FROM v x CROSS JOIN p CROSS JOIN c1 c
+                  GROUP BY x.vec_id) t),
+          u2 AS (
+            SELECT a.c AS k, di.i AS dim,
+              sum(CAST(floor(x.v[di.i] * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+              count(*) AS n
+            FROM a2 a JOIN v x ON x.vec_id = a.vec_id
+            CROSS JOIN di GROUP BY a.c, di.i),
+          c2 AS (
+            SELECT c1.k, COALESCE(n2.cv, c1.cv) AS cv
+            FROM c1 LEFT JOIN
+              (SELECT k,
+                 list((CAST(sx AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
+               FROM u2 GROUP BY k) n2 ON n2.k = c1.k),
+          a3 AS (
+            SELECT vec_id, CAST(list_position(l, list_min(l)) - 1 AS INT) AS c
+            FROM (SELECT x.vec_id, list(round(list_sum(
+                    list_transform(range(1, p.dm + 1),
+                      i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i]))), 6)
+                    ORDER BY c.k) AS l
+                  FROM v x CROSS JOIN p CROSS JOIN c2 c
+                  GROUP BY x.vec_id) t)
+         SELECT vec_id, c AS cluster FROM a3 ORDER BY vec_id""",
     "embed_kmeans_audit" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_points, 1 AS k_ok,
            1 AS inertia_monotone

@@ -471,8 +471,9 @@ object Similarity {
 
   /** Squared distance as a left-fold over the zipped difference — the
     * identical summation order DuckDB's list_sum uses, so the rounded
-    * result matches the oracle bit-for-bit. */
-  private def sqDist(a: Column, b: Column): Column =
+    * result matches the oracle bit-for-bit. (Shared with SemanticOps'
+    * k-means, which relies on the same contract.) */
+  private[ops] def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
