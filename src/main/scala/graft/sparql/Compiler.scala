@@ -390,6 +390,38 @@ object Compiler {
         val fwdSeed = seedTerm(sN)
         val bwdSeed = if (fwdSeed.isEmpty) seedTerm(oN) else None
         val gJoin = graphVar.map(_ => "_g").toSeq
+        // Shared frontier expansion for both seeded shapes: `start`
+        // holds (carry..., _dst) rows, `step` the (graph..., _src,
+        // _dst) edges; expands until no new (carry, _dst) appears.
+        // 4 hops per round in ONE job (the per-round fixed cost —
+        // checkpoint + emptiness count — dominates on long chains, so
+        // batching hops cuts jobs 4× at unchanged semantics); 64
+        // rounds cover 256-hop paths.
+        def bfsExpand(start: DataFrame, step: DataFrame,
+            carry: Seq[String]): DataFrame = {
+          val carryCols = carry.map(col)
+          val stepB = step.select(gKey ++ Seq(col("_src").as("_dst"),
+            col("_dst").as("_hop")): _*)
+          def hop(df: DataFrame): DataFrame = df.join(stepB, gJoin :+ "_dst")
+            .select(carryCols :+ col("_hop").as("_dst"): _*)
+          var reach = start
+          var frontier = start
+          var rounds = 0
+          var growing = frontier.count() > 0
+          while (growing && rounds < 64) {
+            val hops = Iterator.iterate(frontier)(hop).slice(1, 5).toSeq
+            val fresh = hops.reduce(_ unionAll _).dropDuplicates()
+              .join(reach, carry :+ "_dst", "left_anti")
+              .localCheckpoint()
+            growing = fresh.count() > 0
+            if (growing) {
+              reach = reach.unionAll(fresh).localCheckpoint()
+              frontier = fresh
+            }
+            rounds += 1
+          }
+          reach
+        }
         var closure = edgePairs
         if (maxHops > 1) (fwdSeed orElse bwdSeed) match {
           case Some(seedT) =>
@@ -400,32 +432,11 @@ object Compiler {
               if (fwd) edgePairs
               else edgePairs.select(gKey ++ Seq(col("_dst").as("_src"),
                 col("_src").as("_dst")): _*)
-            var reach = step.where(col("_src") <=> seedT)
-              .select(gKey :+ col("_dst"): _*).dropDuplicates().localCheckpoint()
-            var frontier = reach
-            // 4 hops per round in ONE job (the per-round fixed cost —
-            // checkpoint + emptiness count — dominates on long chains,
-            // so batching hops cuts jobs 4× at unchanged semantics);
-            // 64 rounds cover 256-hop paths
-            val stepB = step.select(gKey ++ Seq(col("_src").as("_dst"),
-              col("_dst").as("_hop")): _*)
-            def hop(df: DataFrame): DataFrame = df.join(stepB, gJoin :+ "_dst")
-              .select(gKey :+ col("_hop").as("_dst"): _*)
-            var rounds = 0
-            var growing = frontier.count() > 0
-            while (growing && rounds < 64) {
-              val hops = Iterator.iterate(frontier)(hop).slice(1, 5).toSeq
-              val fresh = hops.reduce(_ unionAll _)
-                .dropDuplicates()
-                .join(reach, gJoin :+ "_dst", "left_anti")
-                .localCheckpoint()
-              growing = fresh.count() > 0
-              if (growing) {
-                reach = reach.unionAll(fresh).localCheckpoint()
-                frontier = fresh
-              }
-              rounds += 1
-            }
+            val reach = bfsExpand(
+              step.where(col("_src") <=> seedT)
+                .select(gKey :+ col("_dst"): _*).dropDuplicates()
+                .localCheckpoint(),
+              step, gJoin)
             closure =
               if (fwd) reach.select(gKey ++ Seq(seedT.as("_src"), col("_dst")): _*)
               else reach.select(gKey ++ Seq(col("_dst").as("_src"),
@@ -462,31 +473,12 @@ object Compiler {
                 val seeds = a.select(graphVar.map(g => col(g).as("_g")).toSeq
                   :+ col(nm).as("_src"): _*)
                   .dropDuplicates().localCheckpoint()
-                var reach = seeds.join(step, gJoin :+ "_src")
-                  .select(gKey ++ Seq(col("_src").as("_origin"),
-                    col("_dst")): _*)
-                  .dropDuplicates().localCheckpoint()
-                var frontier = reach
-                val stepB = step.select(gKey ++ Seq(col("_src").as("_dst"),
-                  col("_dst").as("_hop")): _*)
-                def hop(df: DataFrame): DataFrame =
-                  df.join(stepB, gJoin :+ "_dst")
-                    .select(gKey ++ Seq(col("_origin"),
-                      col("_hop").as("_dst")): _*)
-                var rounds = 0
-                var growing = frontier.count() > 0
-                while (growing && rounds < 64) {
-                  val hops = Iterator.iterate(frontier)(hop).slice(1, 5).toSeq
-                  val fresh = hops.reduce(_ unionAll _).dropDuplicates()
-                    .join(reach, (gJoin :+ "_origin") :+ "_dst", "left_anti")
-                    .localCheckpoint()
-                  growing = fresh.count() > 0
-                  if (growing) {
-                    reach = reach.unionAll(fresh).localCheckpoint()
-                    frontier = fresh
-                  }
-                  rounds += 1
-                }
+                val reach = bfsExpand(
+                  seeds.join(step, gJoin :+ "_src")
+                    .select(gKey ++ Seq(col("_src").as("_origin"),
+                      col("_dst")): _*)
+                    .dropDuplicates().localCheckpoint(),
+                  step, gJoin :+ "_origin")
                 closure =
                   if (fwd) reach.select(gKey ++ Seq(
                     col("_origin").as("_src"), col("_dst")): _*)
