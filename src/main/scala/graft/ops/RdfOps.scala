@@ -1031,6 +1031,7 @@ object RdfOps {
     |
     |<rel> ex:name "Relative" .
     |_:m ex:memberOf ex:alpha .
+    |ex:alpha ex:tags ("x" "y") .
     |""".stripMargin
 
   private val nquadsFixture = """
@@ -1083,6 +1084,15 @@ object RdfOps {
             CAST('a@example.org' AS VARCHAR), CAST(NULL AS VARCHAR),
             CAST(NULL AS VARCHAR), CAST('literal' AS VARCHAR)),
            ('_:1', 'http://ex/phone', '123', NULL, NULL, 'literal'),
+           ('_:2', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first',
+            'x', NULL, NULL, 'literal'),
+           ('_:2', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest',
+            '_:3', NULL, NULL, 'bnode'),
+           ('_:3', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first',
+            'y', NULL, NULL, 'literal'),
+           ('_:3', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest',
+            'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil',
+            NULL, NULL, 'iri'),
            ('_:m', 'http://ex/memberOf', 'http://ex/alpha', NULL, NULL, 'iri'),
            ('http://base/rel', 'http://ex/name', 'Relative', NULL, NULL, 'literal'),
            ('http://ex/alpha',
@@ -1097,7 +1107,8 @@ object RdfOps {
             'http://www.w3.org/2001/XMLSchema#date', NULL, 'literal'),
            ('http://ex/alpha', 'http://ex/name', 'Alpha Corp', NULL, 'en', 'literal'),
            ('http://ex/alpha', 'http://ex/score', '4.5',
-            'http://www.w3.org/2001/XMLSchema#decimal', NULL, 'literal')
+            'http://www.w3.org/2001/XMLSchema#decimal', NULL, 'literal'),
+           ('http://ex/alpha', 'http://ex/tags', '_:2', NULL, NULL, 'bnode')
          ) t(s, p, o_value, o_type, o_lang, o_kind)
          ORDER BY s, p, o_value""",
     "rdf_nquads_source" ->

@@ -70,11 +70,31 @@ class TurtleSpec extends AnyFunSuite {
     assert(q.head.o_value == "line1\nline2 \"inner\"")
   }
 
-  test("collections fail with a clear error") {
-    val e = intercept[IllegalArgumentException] {
-      Turtle.parse("@prefix ex: <http://ex/> . ex:a ex:l (1 2) .", "g")
-    }
-    assert(e.getMessage.contains("collections"))
+  test("collections become rdf:first/rest/nil chains") {
+    val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val q = Turtle.parse("@prefix ex: <http://ex/> . ex:a ex:l (1 2) .", "g")
+    val byP = q.groupBy(_.p)
+    val head = byP("http://ex/l").head.o_value
+    assert(byP("http://ex/l").head.o_kind == Quad.KindBnode)
+    val firsts = byP(rdf + "first").map(x => x.s -> x.o_value).toMap
+    val rests = byP(rdf + "rest").map(x => x.s -> (x.o_value, x.o_kind)).toMap
+    assert(firsts(head) == "1")
+    val (second, k2) = rests(head)
+    assert(k2 == Quad.KindBnode && firsts(second) == "2")
+    assert(rests(second) == (rdf + "nil", Quad.KindIri))
+    assert(q.length == 5) // ex:l + 2×(first, rest)
+
+    // empty collection IS rdf:nil; nested collections chain recursively
+    val e = Turtle.parse("@prefix ex: <http://ex/> . ex:a ex:l () .", "g")
+    assert(e.head.o_value == rdf + "nil" && e.head.o_kind == Quad.KindIri)
+    val n = Turtle.parse("@prefix ex: <http://ex/> . ex:a ex:l (1 (2)) .", "g")
+    assert(n.count(_.p == rdf + "first") == 3) // outer 2 + inner 1
+
+    // subject-position collection
+    val s = Turtle.parse("@prefix ex: <http://ex/> . (1) ex:tag ex:t .", "g")
+    val subjHead = s.find(_.p == "http://ex/tag").get.s
+    assert(s.exists(x => x.s == subjHead && x.p == rdf + "first" &&
+      x.o_value == "1"))
   }
 
   test("TriG: graph blocks, GRAPH keyword, anonymous block, optional dot") {
