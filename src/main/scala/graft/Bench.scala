@@ -119,6 +119,7 @@ object Bench {
       if (prevFamily != null && family(name) != prevFamily) {
         graft.ops.Dedup.clearCaches()
         graft.ops.Similarity.clearCaches()
+        graft.ops.SemanticOps.clearCaches()
         spark.catalog.clearCache()
       }
       prevFamily = family(name)
