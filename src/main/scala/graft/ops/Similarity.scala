@@ -314,6 +314,23 @@ object Similarity {
 
     "ann_ivfpq_recall" -> ((s, d) => annRecall(s, d, "ann_ivfpq_bucketed", 0.7)),
 
+    // ---- the IVF index LAYOUT itself: vec_id → coarse cell. At 100 TB
+    // this mapping IS the index — the cell column is the partition key
+    // every probe prunes on — so it deserves a direct oracle, not just
+    // the recall audit. Checkable because the coarse centroids are
+    // k-means-trained deterministically: the SQL recomputes the full
+    // training (corpus-adaptive cell count included) and the same
+    // min-L2 assignment, bit-for-bit.
+    "embed_ivf_cells" -> ((s, d) => {
+      val base = vecs(s, d)
+      val cells = ivfCellsFor(base.count())
+      val centroids = ivfCentroids(s, d, cells)
+      base.withColumn("cell",
+        element_at(ivfCellsOf(centroids, keep = 1), 1).cast("int"))
+        .select(col("vec_id"), col("cell"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- int8 symmetric quantization of the embedding column (the
     // 4x storage/bandwidth shrink an ANN index at 100 TB runs on):
     // per-vector scale = max|x| / 127, elementwise floor(x/scale + 0.5).
@@ -792,6 +809,78 @@ object Similarity {
     "ann_ivfpq_recall" ->
       """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
          FROM embeddings WHERE vec_id % 250 = 0""",
+    // the IVF training recomputed end-to-end: corpus-adaptive cell
+    // count (max(8, ceil(sqrt(n/8)))), modulo init, two unrolled Lloyd
+    // rounds (round(dist,6) argmin, integer-quantized order-free
+    // averaging, COALESCE for empty cells), then the engine's actual
+    // assignment metric — UNROUNDED -2·v·c + |c|² (the |v|² term is
+    // constant across cells) with first-index tie-break
+    "embed_ivf_cells" ->
+      """WITH p AS (SELECT CAST(max(len(embedding)) AS INT) AS dm
+                    FROM embeddings),
+          di AS (SELECT unnest(range(1, (SELECT dm FROM p) + 1)) AS i),
+          v AS (
+            SELECT e.vec_id,
+              list_transform(range(1, p.dm + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE)) AS v
+            FROM embeddings e CROSS JOIN p),
+          kk AS (SELECT greatest(8,
+                   CAST(ceil(sqrt(count(*) / 8.0)) AS INT)) AS k
+                 FROM embeddings),
+          c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, v AS cv
+            FROM (SELECT vec_id, v FROM v
+                  WHERE vec_id % 31 = 7 ORDER BY vec_id
+                  LIMIT (SELECT k FROM kk)) t),
+          a1 AS (
+            SELECT vec_id, CAST(list_position(l, list_min(l)) - 1 AS INT) AS c
+            FROM (SELECT x.vec_id, list(round(list_sum(
+                    list_transform(range(1, p.dm + 1),
+                      i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i]))), 6)
+                    ORDER BY c.k) AS l
+                  FROM v x CROSS JOIN p CROSS JOIN c0 c
+                  GROUP BY x.vec_id) t),
+          u1 AS (
+            SELECT a.c AS k, di.i AS dim,
+              sum(CAST(floor(x.v[di.i] * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+              count(*) AS n
+            FROM a1 a JOIN v x ON x.vec_id = a.vec_id
+            CROSS JOIN di GROUP BY a.c, di.i),
+          c1 AS (
+            SELECT c0.k, COALESCE(n1.cv, c0.cv) AS cv
+            FROM c0 LEFT JOIN
+              (SELECT k,
+                 list((CAST(sx AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
+               FROM u1 GROUP BY k) n1 ON n1.k = c0.k),
+          a2 AS (
+            SELECT vec_id, CAST(list_position(l, list_min(l)) - 1 AS INT) AS c
+            FROM (SELECT x.vec_id, list(round(list_sum(
+                    list_transform(range(1, p.dm + 1),
+                      i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i]))), 6)
+                    ORDER BY c.k) AS l
+                  FROM v x CROSS JOIN p CROSS JOIN c1 c
+                  GROUP BY x.vec_id) t),
+          u2 AS (
+            SELECT a.c AS k, di.i AS dim,
+              sum(CAST(floor(x.v[di.i] * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+              count(*) AS n
+            FROM a2 a JOIN v x ON x.vec_id = a.vec_id
+            CROSS JOIN di GROUP BY a.c, di.i),
+          c2 AS (
+            SELECT c1.k, COALESCE(n2.cv, c1.cv) AS cv
+            FROM c1 LEFT JOIN
+              (SELECT k,
+                 list((CAST(sx AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
+               FROM u2 GROUP BY k) n2 ON n2.k = c1.k)
+         SELECT vec_id, CAST(list_position(l, list_min(l)) - 1 AS INT) AS cell
+         FROM (SELECT x.vec_id, list(
+                 list_sum(list_transform(range(1, p.dm + 1),
+                   i -> x.v[i] * c.cv[i])) * -2
+                 + list_sum(list_transform(c.cv, y -> y * y))
+                 ORDER BY c.k) AS l
+               FROM v x CROSS JOIN p CROSS JOIN c2 c
+               GROUP BY x.vec_id) t
+         ORDER BY vec_id""",
     "embed_quantize" ->
       """SELECT vec_id, round(mx / 127, 6) AS scale,
            CAST(list_sum(list_transform(embedding,
