@@ -683,6 +683,68 @@ object Similarity {
     }: _*)
   }
 
+  /** The deterministic IVF coarse-centroid training unrolled in SQL —
+    * shared by the embed_ivf_cells and ann_ivf_bucketed oracles. `c2`
+    * holds the trained (k, cv) centroids, `kk.k` the adaptive cell
+    * count, `v` the double-widened vectors. */
+  private val ivfTrainCtes: String =
+    """p AS (SELECT CAST(max(len(embedding)) AS INT) AS dm
+                    FROM embeddings),
+          di AS (SELECT unnest(range(1, (SELECT dm FROM p) + 1)) AS i),
+          v AS (
+            SELECT e.vec_id,
+              list_transform(range(1, p.dm + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE)) AS v
+            FROM embeddings e CROSS JOIN p),
+          kk AS (SELECT greatest(8,
+                   CAST(ceil(sqrt(count(*) / 8.0)) AS INT)) AS k
+                 FROM embeddings),
+          c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, v AS cv
+            FROM (SELECT vec_id, v FROM v
+                  WHERE vec_id % 31 = 7 ORDER BY vec_id
+                  LIMIT (SELECT k FROM kk)) t),
+          a1 AS (
+            SELECT vec_id, CAST(list_position(l, list_min(l)) - 1 AS INT) AS c
+            FROM (SELECT x.vec_id, list(round(list_sum(
+                    list_transform(range(1, p.dm + 1),
+                      i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i]))), 6)
+                    ORDER BY c.k) AS l
+                  FROM v x CROSS JOIN p CROSS JOIN c0 c
+                  GROUP BY x.vec_id) t),
+          u1 AS (
+            SELECT a.c AS k, di.i AS dim,
+              sum(CAST(floor(x.v[di.i] * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+              count(*) AS n
+            FROM a1 a JOIN v x ON x.vec_id = a.vec_id
+            CROSS JOIN di GROUP BY a.c, di.i),
+          c1 AS (
+            SELECT c0.k, COALESCE(n1.cv, c0.cv) AS cv
+            FROM c0 LEFT JOIN
+              (SELECT k,
+                 list((CAST(sx AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
+               FROM u1 GROUP BY k) n1 ON n1.k = c0.k),
+          a2 AS (
+            SELECT vec_id, CAST(list_position(l, list_min(l)) - 1 AS INT) AS c
+            FROM (SELECT x.vec_id, list(round(list_sum(
+                    list_transform(range(1, p.dm + 1),
+                      i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i]))), 6)
+                    ORDER BY c.k) AS l
+                  FROM v x CROSS JOIN p CROSS JOIN c1 c
+                  GROUP BY x.vec_id) t),
+          u2 AS (
+            SELECT a.c AS k, di.i AS dim,
+              sum(CAST(floor(x.v[di.i] * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+              count(*) AS n
+            FROM a2 a JOIN v x ON x.vec_id = a.vec_id
+            CROSS JOIN di GROUP BY a.c, di.i),
+          c2 AS (
+            SELECT c1.k, COALESCE(n2.cv, c1.cv) AS cv
+            FROM c1 LEFT JOIN
+              (SELECT k,
+                 list((CAST(sx AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
+               FROM u2 GROUP BY k) n2 ON n2.k = c1.k)"""
+
   def oracleSql: Map[String, String] = Map(
     "embed_neardup" ->
       """SELECT a.vec_id AS i, b.vec_id AS j,
@@ -816,62 +878,7 @@ object Similarity {
     // assignment metric — UNROUNDED -2·v·c + |c|² (the |v|² term is
     // constant across cells) with first-index tie-break
     "embed_ivf_cells" ->
-      """WITH p AS (SELECT CAST(max(len(embedding)) AS INT) AS dm
-                    FROM embeddings),
-          di AS (SELECT unnest(range(1, (SELECT dm FROM p) + 1)) AS i),
-          v AS (
-            SELECT e.vec_id,
-              list_transform(range(1, p.dm + 1),
-                i -> CAST(e.embedding[i] AS DOUBLE)) AS v
-            FROM embeddings e CROSS JOIN p),
-          kk AS (SELECT greatest(8,
-                   CAST(ceil(sqrt(count(*) / 8.0)) AS INT)) AS k
-                 FROM embeddings),
-          c0 AS (
-            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, v AS cv
-            FROM (SELECT vec_id, v FROM v
-                  WHERE vec_id % 31 = 7 ORDER BY vec_id
-                  LIMIT (SELECT k FROM kk)) t),
-          a1 AS (
-            SELECT vec_id, CAST(list_position(l, list_min(l)) - 1 AS INT) AS c
-            FROM (SELECT x.vec_id, list(round(list_sum(
-                    list_transform(range(1, p.dm + 1),
-                      i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i]))), 6)
-                    ORDER BY c.k) AS l
-                  FROM v x CROSS JOIN p CROSS JOIN c0 c
-                  GROUP BY x.vec_id) t),
-          u1 AS (
-            SELECT a.c AS k, di.i AS dim,
-              sum(CAST(floor(x.v[di.i] * 1000000.0 + 0.5) AS BIGINT)) AS sx,
-              count(*) AS n
-            FROM a1 a JOIN v x ON x.vec_id = a.vec_id
-            CROSS JOIN di GROUP BY a.c, di.i),
-          c1 AS (
-            SELECT c0.k, COALESCE(n1.cv, c0.cv) AS cv
-            FROM c0 LEFT JOIN
-              (SELECT k,
-                 list((CAST(sx AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
-               FROM u1 GROUP BY k) n1 ON n1.k = c0.k),
-          a2 AS (
-            SELECT vec_id, CAST(list_position(l, list_min(l)) - 1 AS INT) AS c
-            FROM (SELECT x.vec_id, list(round(list_sum(
-                    list_transform(range(1, p.dm + 1),
-                      i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i]))), 6)
-                    ORDER BY c.k) AS l
-                  FROM v x CROSS JOIN p CROSS JOIN c1 c
-                  GROUP BY x.vec_id) t),
-          u2 AS (
-            SELECT a.c AS k, di.i AS dim,
-              sum(CAST(floor(x.v[di.i] * 1000000.0 + 0.5) AS BIGINT)) AS sx,
-              count(*) AS n
-            FROM a2 a JOIN v x ON x.vec_id = a.vec_id
-            CROSS JOIN di GROUP BY a.c, di.i),
-          c2 AS (
-            SELECT c1.k, COALESCE(n2.cv, c1.cv) AS cv
-            FROM c1 LEFT JOIN
-              (SELECT k,
-                 list((CAST(sx AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
-               FROM u2 GROUP BY k) n2 ON n2.k = c1.k)
+      s"""WITH $ivfTrainCtes
          SELECT vec_id, CAST(list_position(l, list_min(l)) - 1 AS INT) AS cell
          FROM (SELECT x.vec_id, list(
                  list_sum(list_transform(range(1, p.dm + 1),
@@ -881,6 +888,44 @@ object Similarity {
                FROM v x CROSS JOIN p CROSS JOIN c2 c
                GROUP BY x.vec_id) t
          ORDER BY vec_id""",
+    // the full IVF SEARCH recomputed: trained cells (shared CTE block),
+    // the engine's probe policy (greatest(8, cells/4) nearest cells by
+    // the same unrounded ADC metric), candidates from cell equality,
+    // exact cosine re-rank top-5 — so the approximate search's exact
+    // output is hash-checked, not just its recall floor
+    "ann_ivf_bucketed" ->
+      s"""WITH $ivfTrainCtes,
+          scored AS (
+            SELECT x.vec_id, c.k AS cell,
+              list_sum(list_transform(range(1, p.dm + 1),
+                i -> x.v[i] * c.cv[i])) * -2
+              + list_sum(list_transform(c.cv, y -> y * y)) AS ad
+            FROM v x CROSS JOIN p CROSS JOIN c2 c),
+          ranked AS (
+            SELECT vec_id, cell, ad,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY ad, cell) AS rnk
+            FROM scored),
+          cells AS (SELECT vec_id, cell FROM ranked WHERE rnk = 1),
+          qprobes AS (
+            SELECT vec_id AS query_id, cell FROM ranked
+            WHERE vec_id % 250 = 0
+              AND rnk <= (SELECT greatest(8, k // 4) FROM kk)),
+          cand AS (
+            SELECT q.query_id, b.vec_id AS neighbor,
+              round(CAST(list_cosine_similarity(qe.embedding, be.embedding)
+                AS DOUBLE), 4) AS cos
+            FROM qprobes q
+            JOIN cells b ON b.cell = q.cell
+            JOIN embeddings qe ON qe.vec_id = q.query_id
+            JOIN embeddings be ON be.vec_id = b.vec_id
+            WHERE b.vec_id <> q.query_id)
+         SELECT query_id, CAST(rn AS INT) AS rn, neighbor, cos FROM (
+           SELECT query_id, neighbor, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor) AS rn
+           FROM cand) t
+         WHERE rn <= 5 ORDER BY query_id, rn""",
     "embed_quantize" ->
       """SELECT vec_id, round(mx / 127, 6) AS scale,
            CAST(list_sum(list_transform(embedding,
