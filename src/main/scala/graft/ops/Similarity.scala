@@ -683,111 +683,12 @@ object Similarity {
     }: _*)
   }
 
-  /** The deterministic IVF coarse-centroid training unrolled in SQL —
-    * shared by the embed_ivf_cells and ann_ivf_bucketed oracles. `c2`
-    * holds the trained (k, cv) centroids, `kk.k` the adaptive cell
-    * count, `v` the double-widened vectors. */
-  private val ivfTrainCtes: String =
-    """p AS (SELECT CAST(max(len(embedding)) AS INT) AS dm
-                    FROM embeddings),
-          di AS (SELECT unnest(range(1, (SELECT dm FROM p) + 1)) AS i),
-          v AS (
-            SELECT e.vec_id,
-              list_transform(range(1, p.dm + 1),
-                i -> CAST(e.embedding[i] AS DOUBLE)) AS v
-            FROM embeddings e CROSS JOIN p),
-          kk AS (SELECT greatest(8,
-                   CAST(ceil(sqrt(count(*) / 8.0)) AS INT)) AS k
-                 FROM embeddings),
-          c0 AS (
-            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, v AS cv
-            FROM (SELECT vec_id, v FROM v
-                  WHERE vec_id % 31 = 7 ORDER BY vec_id
-                  LIMIT (SELECT k FROM kk)) t),
-          a1 AS (
-            SELECT vec_id, CAST(list_position(l, list_min(l)) - 1 AS INT) AS c
-            FROM (SELECT x.vec_id, list(round(list_sum(
-                    list_transform(range(1, p.dm + 1),
-                      i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i]))), 6)
-                    ORDER BY c.k) AS l
-                  FROM v x CROSS JOIN p CROSS JOIN c0 c
-                  GROUP BY x.vec_id) t),
-          u1 AS (
-            SELECT a.c AS k, di.i AS dim,
-              sum(CAST(floor(x.v[di.i] * 1000000.0 + 0.5) AS BIGINT)) AS sx,
-              count(*) AS n
-            FROM a1 a JOIN v x ON x.vec_id = a.vec_id
-            CROSS JOIN di GROUP BY a.c, di.i),
-          c1 AS (
-            SELECT c0.k, COALESCE(n1.cv, c0.cv) AS cv
-            FROM c0 LEFT JOIN
-              (SELECT k,
-                 list((CAST(sx AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
-               FROM u1 GROUP BY k) n1 ON n1.k = c0.k),
-          a2 AS (
-            SELECT vec_id, CAST(list_position(l, list_min(l)) - 1 AS INT) AS c
-            FROM (SELECT x.vec_id, list(round(list_sum(
-                    list_transform(range(1, p.dm + 1),
-                      i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i]))), 6)
-                    ORDER BY c.k) AS l
-                  FROM v x CROSS JOIN p CROSS JOIN c1 c
-                  GROUP BY x.vec_id) t),
-          u2 AS (
-            SELECT a.c AS k, di.i AS dim,
-              sum(CAST(floor(x.v[di.i] * 1000000.0 + 0.5) AS BIGINT)) AS sx,
-              count(*) AS n
-            FROM a2 a JOIN v x ON x.vec_id = a.vec_id
-            CROSS JOIN di GROUP BY a.c, di.i),
-          c2 AS (
-            SELECT c1.k, COALESCE(n2.cv, c1.cv) AS cv
-            FROM c1 LEFT JOIN
-              (SELECT k,
-                 list((CAST(sx AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
-               FROM u2 GROUP BY k) n2 ON n2.k = c1.k)"""
-
-  def oracleSql: Map[String, String] = Map(
-    "embed_neardup" ->
-      """SELECT a.vec_id AS i, b.vec_id AS j,
-           round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
-         ORDER BY i, j""",
-    "embed_neardup_bruteforce" ->
-      """SELECT a.vec_id AS i, b.vec_id AS j,
-           round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
-         ORDER BY i, j""",
-    "ann_bruteforce_topk" ->
-      """SELECT query_id, CAST(rn AS INT) AS rn, neighbor, cos FROM (
-           SELECT q.vec_id AS query_id, b.vec_id AS neighbor,
-             round(CAST(list_cosine_similarity(q.embedding, b.embedding) AS DOUBLE), 4) AS cos,
-             row_number() OVER (PARTITION BY q.vec_id
-               ORDER BY round(CAST(list_cosine_similarity(q.embedding, b.embedding) AS DOUBLE), 4) DESC,
-                        b.vec_id) AS rn
-           FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
-           WHERE q.vec_id % 250 = 0) t
-         WHERE rn <= 5 ORDER BY query_id, rn""",
-    // query-point count is SQL (vec_id % 250 = 0), top-k depth is 5,
-    // and the recall floor is a deterministic property of the fixed
-    // planes/centroids on this dataset — so the audit row IS checkable
-    "ann_lsh_recall" ->
-      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
-         FROM embeddings WHERE vec_id % 250 = 0""",
-    "ann_ivf_recall" ->
-      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
-         FROM embeddings WHERE vec_id % 250 = 0""",
-    // the WHOLE training recomputed: modulo-sample init, two unrolled
-    // Lloyd rounds (assign → integer-quantized order-free averaging →
-    // new centroids, empty cells keep the old centroid via COALESCE),
-    // then the final code assignment — every arithmetic step mirrors
-    // the Scala trainer exactly: float->double widening is exact,
-    // subspace distances are left-fold double sums rounded to 6
-    // decimals with first-index argmin, centroid means are
-    // (CAST(sum AS DOUBLE)/n)/1e6 of bigint sums, so both engines
-    // produce the identical codebook and identical 4-bit-packed codes
-    "embed_pq_codes" ->
-      """WITH p AS (SELECT CAST(max(len(embedding)) // 8 AS INT) AS sd
+  /** The deterministic PQ codebook training + code assignment unrolled
+    * in SQL — shared by the embed_pq_codes and ann_pq_rerank oracles.
+    * `c2` holds the trained per-(m, k) subspace centroids; `codes` the
+    * per-(vec, m) 4-bit code. */
+  private val pqTrainCtes: String =
+    """p AS (SELECT CAST(max(len(embedding)) // 8 AS INT) AS sd
                     FROM embeddings),
           ms AS (SELECT unnest(range(0, 8)) AS m),
           di AS (SELECT unnest(range(1, (SELECT sd FROM p) + 1)) AS i),
@@ -860,17 +761,227 @@ object Similarity {
                       i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6)
                     ORDER BY c.k) AS l
                   FROM sub s CROSS JOIN p JOIN c2 c ON c.m = s.m
-                  GROUP BY s.vec_id, s.m) t)
+                  GROUP BY s.vec_id, s.m) t)"""
+
+  /** The deterministic IVF coarse-centroid training unrolled in SQL —
+    * shared by the embed_ivf_cells and ann_ivf_bucketed oracles. `c2`
+    * holds the trained (k, cv) centroids, `kk.k` the adaptive cell
+    * count, `v` the double-widened vectors. */
+  private val ivfTrainCtes: String =
+    """vp AS (SELECT CAST(max(len(embedding)) AS INT) AS dm
+                    FROM embeddings),
+          vdi AS (SELECT unnest(range(1, (SELECT dm FROM vp) + 1)) AS i),
+          vv AS (
+            SELECT e.vec_id,
+              list_transform(range(1, vp.dm + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE)) AS v
+            FROM embeddings e CROSS JOIN vp),
+          kk AS (SELECT greatest(8,
+                   CAST(ceil(sqrt(count(*) / 8.0)) AS INT)) AS k
+                 FROM embeddings),
+          vc0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, v AS cv
+            FROM (SELECT vec_id, v FROM vv
+                  WHERE vec_id % 31 = 7 ORDER BY vec_id
+                  LIMIT (SELECT k FROM kk)) t),
+          va1 AS (
+            SELECT vec_id, CAST(list_position(l, list_min(l)) - 1 AS INT) AS c
+            FROM (SELECT x.vec_id, list(round(list_sum(
+                    list_transform(range(1, vp.dm + 1),
+                      i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i]))), 6)
+                    ORDER BY c.k) AS l
+                  FROM vv x CROSS JOIN vp CROSS JOIN vc0 c
+                  GROUP BY x.vec_id) t),
+          vu1 AS (
+            SELECT a.c AS k, vdi.i AS dim,
+              sum(CAST(floor(x.v[vdi.i] * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+              count(*) AS n
+            FROM va1 a JOIN vv x ON x.vec_id = a.vec_id
+            CROSS JOIN vdi GROUP BY a.c, vdi.i),
+          vc1 AS (
+            SELECT vc0.k, COALESCE(n1.cv, vc0.cv) AS cv
+            FROM vc0 LEFT JOIN
+              (SELECT k,
+                 list((CAST(sx AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
+               FROM vu1 GROUP BY k) n1 ON n1.k = vc0.k),
+          va2 AS (
+            SELECT vec_id, CAST(list_position(l, list_min(l)) - 1 AS INT) AS c
+            FROM (SELECT x.vec_id, list(round(list_sum(
+                    list_transform(range(1, vp.dm + 1),
+                      i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i]))), 6)
+                    ORDER BY c.k) AS l
+                  FROM vv x CROSS JOIN vp CROSS JOIN vc1 c
+                  GROUP BY x.vec_id) t),
+          vu2 AS (
+            SELECT a.c AS k, vdi.i AS dim,
+              sum(CAST(floor(x.v[vdi.i] * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+              count(*) AS n
+            FROM va2 a JOIN vv x ON x.vec_id = a.vec_id
+            CROSS JOIN vdi GROUP BY a.c, vdi.i),
+          vc2 AS (
+            SELECT vc1.k, COALESCE(n2.cv, vc1.cv) AS cv
+            FROM vc1 LEFT JOIN
+              (SELECT k,
+                 list((CAST(sx AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
+               FROM vu2 GROUP BY k) n2 ON n2.k = vc1.k)"""
+
+  def oracleSql: Map[String, String] = Map(
+    "embed_neardup" ->
+      """SELECT a.vec_id AS i, b.vec_id AS j,
+           round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+         ORDER BY i, j""",
+    "embed_neardup_bruteforce" ->
+      """SELECT a.vec_id AS i, b.vec_id AS j,
+           round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+         ORDER BY i, j""",
+    "ann_bruteforce_topk" ->
+      """SELECT query_id, CAST(rn AS INT) AS rn, neighbor, cos FROM (
+           SELECT q.vec_id AS query_id, b.vec_id AS neighbor,
+             round(CAST(list_cosine_similarity(q.embedding, b.embedding) AS DOUBLE), 4) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(CAST(list_cosine_similarity(q.embedding, b.embedding) AS DOUBLE), 4) DESC,
+                        b.vec_id) AS rn
+           FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
+           WHERE q.vec_id % 250 = 0) t
+         WHERE rn <= 5 ORDER BY query_id, rn""",
+    // query-point count is SQL (vec_id % 250 = 0), top-k depth is 5,
+    // and the recall floor is a deterministic property of the fixed
+    // planes/centroids on this dataset — so the audit row IS checkable
+    "ann_lsh_recall" ->
+      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
+         FROM embeddings WHERE vec_id % 250 = 0""",
+    "ann_ivf_recall" ->
+      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
+         FROM embeddings WHERE vec_id % 250 = 0""",
+    // the WHOLE training recomputed: modulo-sample init, two unrolled
+    // Lloyd rounds (assign → integer-quantized order-free averaging →
+    // new centroids, empty cells keep the old centroid via COALESCE),
+    // then the final code assignment — every arithmetic step mirrors
+    // the Scala trainer exactly: float->double widening is exact,
+    // subspace distances are left-fold double sums rounded to 6
+    // decimals with first-index argmin, centroid means are
+    // (CAST(sum AS DOUBLE)/n)/1e6 of bigint sums, so both engines
+    // produce the identical codebook and identical 4-bit-packed codes
+    "embed_pq_codes" ->
+      s"""WITH $pqTrainCtes
          SELECT vec_id,
            CAST(sum(c * (CAST(1 AS BIGINT) << CAST(4 * m AS INT)))
              AS BIGINT) AS code
          FROM codes GROUP BY vec_id ORDER BY vec_id""",
+    // the full PQ+ADC SEARCH recomputed: trained per-subspace codebooks
+    // and codes (shared CTE block), reconstruction as the flattened
+    // m-ordered centroid concat (so the rr / r·q folds run in the same
+    // element order as the engine's 64-dim left folds), ADC top-250 by
+    // rounded approximate distance, exact-cosine re-rank top-5
+    "ann_pq_rerank" ->
+      s"""WITH $pqTrainCtes,
+          dmt AS (SELECT CAST(max(len(embedding)) AS INT) AS dm
+                  FROM embeddings),
+          fv AS (
+            SELECT e.vec_id,
+              list_transform(range(1, d.dm + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE)) AS v
+            FROM embeddings e CROSS JOIN dmt d),
+          recon AS (
+            SELECT co.vec_id, flatten(list(c.cv ORDER BY co.m)) AS r
+            FROM codes co JOIN c2 c ON c.m = co.m AND c.k = co.c
+            GROUP BY co.vec_id),
+          adc AS (
+            SELECT q.vec_id AS query_id, b.vec_id,
+              round(list_sum(list_transform(b.r, x -> x * x))
+                - 2.0 * list_sum(list_transform(range(1, d.dm + 1),
+                    i -> b.r[i] * q.v[i])), 6) AS adist
+            FROM recon b CROSS JOIN dmt d
+            JOIN fv q ON q.vec_id % 250 = 0 AND b.vec_id <> q.vec_id),
+          top AS (
+            SELECT query_id, vec_id FROM (
+              SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY adist, vec_id) AS arn
+              FROM adc) t
+            WHERE arn <= 250),
+          rer AS (
+            SELECT t.query_id, t.vec_id AS neighbor,
+              round(CAST(list_cosine_similarity(qe.embedding, be.embedding)
+                AS DOUBLE), 4) AS cos
+            FROM top t
+            JOIN embeddings qe ON qe.vec_id = t.query_id
+            JOIN embeddings be ON be.vec_id = t.vec_id)
+         SELECT query_id, CAST(rn AS INT) AS rn, neighbor, cos FROM (
+           SELECT query_id, neighbor, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor) AS rn
+           FROM rer) t
+         WHERE rn <= 5 ORDER BY query_id, rn""",
     "ann_pq_recall" ->
       """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
          FROM embeddings WHERE vec_id % 250 = 0""",
     "ann_ivfpq_recall" ->
       """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
          FROM embeddings WHERE vec_id % 250 = 0""",
+    // the flagship IVFADC composition recomputed end-to-end: BOTH
+    // trainings (PQ codebooks + IVF coarse centroids — the two shared
+    // CTE blocks), the probe policy, candidates restricted to probed
+    // cells, ADC over the reconstructed codebook vectors, exact-cosine
+    // re-rank top-5 — the full approximate index search, hash-checked
+    "ann_ivfpq_bucketed" ->
+      s"""WITH $pqTrainCtes,
+          $ivfTrainCtes,
+          scored AS (
+            SELECT x.vec_id, c.k AS cell,
+              list_sum(list_transform(range(1, vp.dm + 1),
+                i -> x.v[i] * c.cv[i])) * -2
+              + list_sum(list_transform(c.cv, y -> y * y)) AS ad
+            FROM vv x CROSS JOIN vp CROSS JOIN vc2 c),
+          ranked AS (
+            SELECT vec_id, cell, ad,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY ad, cell) AS rnk
+            FROM scored),
+          cells AS (SELECT vec_id, cell FROM ranked WHERE rnk = 1),
+          qprobes AS (
+            SELECT vec_id AS query_id, cell FROM ranked
+            WHERE vec_id % 250 = 0
+              AND rnk <= (SELECT greatest(8, k // 4) FROM kk)),
+          recon AS (
+            SELECT co.vec_id, flatten(list(c.cv ORDER BY co.m)) AS r
+            FROM codes co JOIN c2 c ON c.m = co.m AND c.k = co.c
+            GROUP BY co.vec_id),
+          adc AS (
+            SELECT q2.query_id, b.vec_id,
+              round(list_sum(list_transform(r.r, x -> x * x))
+                - 2.0 * list_sum(list_transform(range(1, vp.dm + 1),
+                    i -> r.r[i] * q.v[i])), 6) AS adist
+            FROM qprobes q2
+            JOIN cells b ON b.cell = q2.cell
+            JOIN recon r ON r.vec_id = b.vec_id
+            JOIN vv q ON q.vec_id = q2.query_id
+            CROSS JOIN vp
+            WHERE b.vec_id <> q2.query_id),
+          top AS (
+            SELECT query_id, vec_id FROM (
+              SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY adist, vec_id) AS arn
+              FROM adc) t
+            WHERE arn <= 250),
+          rer AS (
+            SELECT t.query_id, t.vec_id AS neighbor,
+              round(CAST(list_cosine_similarity(qe.embedding, be.embedding)
+                AS DOUBLE), 4) AS cos
+            FROM top t
+            JOIN embeddings qe ON qe.vec_id = t.query_id
+            JOIN embeddings be ON be.vec_id = t.vec_id)
+         SELECT query_id, CAST(rn AS INT) AS rn, neighbor, cos FROM (
+           SELECT query_id, neighbor, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor) AS rn
+           FROM rer) t
+         WHERE rn <= 5 ORDER BY query_id, rn""",
     // the IVF training recomputed end-to-end: corpus-adaptive cell
     // count (max(8, ceil(sqrt(n/8)))), modulo init, two unrolled Lloyd
     // rounds (round(dist,6) argmin, integer-quantized order-free
@@ -881,11 +992,11 @@ object Similarity {
       s"""WITH $ivfTrainCtes
          SELECT vec_id, CAST(list_position(l, list_min(l)) - 1 AS INT) AS cell
          FROM (SELECT x.vec_id, list(
-                 list_sum(list_transform(range(1, p.dm + 1),
+                 list_sum(list_transform(range(1, vp.dm + 1),
                    i -> x.v[i] * c.cv[i])) * -2
                  + list_sum(list_transform(c.cv, y -> y * y))
                  ORDER BY c.k) AS l
-               FROM v x CROSS JOIN p CROSS JOIN c2 c
+               FROM vv x CROSS JOIN vp CROSS JOIN vc2 c
                GROUP BY x.vec_id) t
          ORDER BY vec_id""",
     // the full IVF SEARCH recomputed: trained cells (shared CTE block),
@@ -897,10 +1008,10 @@ object Similarity {
       s"""WITH $ivfTrainCtes,
           scored AS (
             SELECT x.vec_id, c.k AS cell,
-              list_sum(list_transform(range(1, p.dm + 1),
+              list_sum(list_transform(range(1, vp.dm + 1),
                 i -> x.v[i] * c.cv[i])) * -2
               + list_sum(list_transform(c.cv, y -> y * y)) AS ad
-            FROM v x CROSS JOIN p CROSS JOIN c2 c),
+            FROM vv x CROSS JOIN vp CROSS JOIN vc2 c),
           ranked AS (
             SELECT vec_id, cell, ad,
               row_number() OVER (PARTITION BY vec_id
