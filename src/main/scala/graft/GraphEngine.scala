@@ -62,14 +62,17 @@ final class GraphEngine(val store: QuadStore) {
         // reference's any-rdflib-format ingest (sparql_update.py:124-133)
         val path = source.stripPrefix("file://")
         val g = graph.getOrElse(graft.model.Quad.DefaultGraph)
-        // quad-scoped formats (N-Quads, TriG) keep each statement's own
-        // graph label unless INTO GRAPH overrides; triple-scoped formats
-        // land wholesale in the target graph
-        if (path.endsWith(".nq") || path.endsWith(".trig")) {
+        // quad-scoped formats (N-Quads, TriG, JSON-LD) keep each
+        // statement's own graph label unless INTO GRAPH overrides;
+        // triple-scoped formats land wholesale in the target graph
+        if (path.endsWith(".nq") || path.endsWith(".trig") ||
+          path.endsWith(".jsonld") || path.endsWith(".json-ld")) {
           val quads0 =
             if (path.endsWith(".nq"))
               graft.rdf.NTriples.readQuads(store.spark, path, g)
-            else graft.rdf.Turtle.readTrig(store.spark, path, g)
+            else if (path.endsWith(".trig"))
+              graft.rdf.Turtle.readTrig(store.spark, path, g)
+            else graft.rdf.JsonLd.read(store.spark, path, g)
           val quads = graph match {
             case Some(target) => quads0.toDF()
               .withColumn("graph", org.apache.spark.sql.functions.lit(target))

@@ -205,6 +205,61 @@ object RdfOps {
         .orderBy(col("graph"), col("s"), col("p"), col("o_value"))
     }),
 
+    // S4f: JSON-LD file source exercised THROUGH the LOAD dispatch —
+    // context term/prefix mapping, datatype + @id coercion, @language,
+    // JSON natives, a nested (bnode) node object, rdf:type via @type,
+    // and a NAMED graph node (@id + @graph) proving the quad-scoped
+    // path. Fresh-bnode labels embed a document content hash, so they
+    // are normalized before the oracle hash-compare.
+    "rdf_jsonld_source" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-jsonld")
+      java.nio.file.Files.writeString(dir.resolve("data.jsonld"), jsonldFixture)
+      val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft-jld-${System.nanoTime()}"
+      val engine = new graft.GraphEngine(new graft.model.GraphStore(s, storeDir))
+      engine.update(s"LOAD <file://${dir.resolve("data.jsonld")}>")
+      engine.store.readGraphs(
+        Seq("http://ex/gdata", graft.model.Quad.DefaultGraph))
+        .select(col("graph"),
+          regexp_replace(col("s"), "_:j[0-9a-f]+_", "_:").as("s"),
+          col("p"),
+          regexp_replace(col("o_value"), "_:j[0-9a-f]+_", "_:").as("o_value"),
+          col("o_type"), col("o_lang"), col("o_kind"))
+        .orderBy(col("graph"), col("s"), col("p"), col("o_value"))
+    }),
+
+    // S5b: JSON-LD sink → source roundtrip through REAL part files:
+    // write flattened expanded-form node objects (pure Catalyst
+    // serialization, per-partition array framing), read them back with
+    // the document parser, and compare the full quad set — escaping,
+    // typed/lang literals, bnodes and the named-graph wrapper all
+    // survive. Reader-minted bnode tags are normalized for the oracle.
+    "rdf_jsonld_roundtrip" -> ((s, _) => {
+      import s.implicits._
+      val x = "http://www.w3.org/2001/XMLSchema#"
+      val src = Seq(
+        graft.model.Quad("urn:graft:default", "http://ex/a", "http://ex/name",
+          "Alpha \"quoted\"", null, "en", "literal"),
+        graft.model.Quad("urn:graft:default", "http://ex/a", "http://ex/size",
+          "42", x + "integer", null, "literal"),
+        graft.model.Quad("urn:graft:default", "http://ex/a", "http://ex/contact",
+          "_:c1", null, null, "bnode"),
+        graft.model.Quad("urn:graft:default", "_:c1", "http://ex/email",
+          "a@example.org", null, null, "literal"),
+        graft.model.Quad("http://g/x", "http://ex/b", "http://ex/linked",
+          "http://ex/a", null, null, "iri"),
+        graft.model.Quad("http://g/x", "http://ex/b", "http://ex/note",
+          "line1\nline2", null, null, "literal"))
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-jldrt-${System.nanoTime()}"
+      graft.rdf.JsonLd.write(src.toDS().toDF(), dir)
+      graft.rdf.JsonLd.read(s, dir).toDF()
+        .select(col("graph"),
+          regexp_replace(col("s"), "_:j[0-9a-f]+_", "_:").as("s"),
+          col("p"),
+          regexp_replace(col("o_value"), "_:j[0-9a-f]+_", "_:").as("o_value"),
+          col("o_type"), col("o_lang"), col("o_kind"))
+        .orderBy(col("graph"), col("s"), col("p"), col("o_value"))
+    }),
+
     // S7: SPARQL-update text front end — INSERT DATA, INSERT..WHERE with
     // bnode paths + BIND, CLEAR, executed by GraphEngine from raw text
     "rdf_sparql_update" -> ((s, _) => {
@@ -1063,6 +1118,36 @@ object RdfOps {
     |}
     |""".stripMargin
 
+  private val jsonldFixture = """
+    |{
+    |  "@context": {
+    |    "ex": "http://ex/",
+    |    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    |    "name": "ex:name",
+    |    "founded": {"@id": "ex:founded", "@type": "xsd:date"},
+    |    "boss": {"@id": "ex:boss", "@type": "@id"}
+    |  },
+    |  "@graph": [
+    |    {
+    |      "@id": "ex:alpha",
+    |      "@type": "ex:Org",
+    |      "name": {"@value": "Alpha Corp", "@language": "en"},
+    |      "ex:employees": 42,
+    |      "ex:active": true,
+    |      "founded": "2001-05-04",
+    |      "boss": "ex:beta",
+    |      "ex:contact": {"ex:email": "a@example.org"}
+    |    },
+    |    {
+    |      "@id": "ex:gdata",
+    |      "@graph": [
+    |        {"@id": "ex:b", "name": "Beta"}
+    |      ]
+    |    }
+    |  ]
+    |}
+    |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // constructed-state oracle: the flattener's expected output on the
     // one-document mamDoc fixture (bnode label normalized on both sides)
@@ -1125,6 +1210,49 @@ object RdfOps {
             NULL, NULL, 'iri'),
            ('urn:graft:default', 'http://ex/c', 'http://ex/name', 'NoGraph',
             NULL, NULL, 'literal')
+         ) t(graph, s, p, o_value, o_type, o_lang, o_kind)
+         ORDER BY graph, s, p, o_value""",
+    "rdf_jsonld_roundtrip" ->
+      """SELECT * FROM (VALUES
+           (CAST('http://g/x' AS VARCHAR), CAST('http://ex/b' AS VARCHAR),
+            CAST('http://ex/linked' AS VARCHAR), CAST('http://ex/a' AS VARCHAR),
+            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+            CAST('iri' AS VARCHAR)),
+           ('http://g/x', 'http://ex/b', 'http://ex/note',
+            'line1' || chr(10) || 'line2', NULL, NULL, 'literal'),
+           ('urn:graft:default', '_:c1', 'http://ex/email', 'a@example.org',
+            NULL, NULL, 'literal'),
+           ('urn:graft:default', 'http://ex/a', 'http://ex/contact', '_:c1',
+            NULL, NULL, 'bnode'),
+           ('urn:graft:default', 'http://ex/a', 'http://ex/name',
+            'Alpha "quoted"', NULL, 'en', 'literal'),
+           ('urn:graft:default', 'http://ex/a', 'http://ex/size', '42',
+            'http://www.w3.org/2001/XMLSchema#integer', NULL, 'literal')
+         ) t(graph, s, p, o_value, o_type, o_lang, o_kind)
+         ORDER BY graph, s, p, o_value""",
+    "rdf_jsonld_source" ->
+      """SELECT * FROM (VALUES
+           (CAST('http://ex/gdata' AS VARCHAR), CAST('http://ex/b' AS VARCHAR),
+            CAST('http://ex/name' AS VARCHAR), CAST('Beta' AS VARCHAR),
+            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+            CAST('literal' AS VARCHAR)),
+           ('urn:graft:default', '_:2', 'http://ex/email', 'a@example.org',
+            NULL, NULL, 'literal'),
+           ('urn:graft:default', 'http://ex/alpha', 'http://ex/active', 'true',
+            'http://www.w3.org/2001/XMLSchema#boolean', NULL, 'literal'),
+           ('urn:graft:default', 'http://ex/alpha', 'http://ex/boss',
+            'http://ex/beta', NULL, NULL, 'iri'),
+           ('urn:graft:default', 'http://ex/alpha', 'http://ex/contact', '_:2',
+            NULL, NULL, 'bnode'),
+           ('urn:graft:default', 'http://ex/alpha', 'http://ex/employees', '42',
+            'http://www.w3.org/2001/XMLSchema#integer', NULL, 'literal'),
+           ('urn:graft:default', 'http://ex/alpha', 'http://ex/founded',
+            '2001-05-04', 'http://www.w3.org/2001/XMLSchema#date', NULL, 'literal'),
+           ('urn:graft:default', 'http://ex/alpha', 'http://ex/name',
+            'Alpha Corp', NULL, 'en', 'literal'),
+           ('urn:graft:default', 'http://ex/alpha',
+            'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+            'http://ex/Org', NULL, NULL, 'iri')
          ) t(graph, s, p, o_value, o_type, o_lang, o_kind)
          ORDER BY graph, s, p, o_value""",
     "rdf_trig_source" ->
