@@ -58,6 +58,32 @@ object Tables {
     * core and all of them. */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val parts = estimatedScanPartitions(df)
+      // non-file inputs (tests, in-memory frames): fall back to the RDD
+      // lineage count — rare, and still correct
+      .getOrElse(df.rdd.getNumPartitions.toLong)
+    if (parts >= target) df else df.repartition(target)
+  }
+
+  /** Estimate the scan's input-split count from the ANALYZED plan's file
+    * relations (bytes / maxPartitionBytes per file listing) — no
+    * optimization, physical planning, or RDD materialization on the
+    * driver, which `df.rdd.getNumPartitions` would trigger on every
+    * call. The estimate only feeds the fan-out guard: at cluster scale
+    * any real dataset is ≥ parallelism splits either way. */
+  private def estimatedScanPartitions(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val maxBytes = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val perLeaf = leaves.map {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          Some(math.max(1L, (fs.location.sizeInBytes + maxBytes - 1) / maxBytes))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (perLeaf.nonEmpty && perLeaf.forall(_.isDefined)) Some(perLeaf.flatten.sum)
+    else None
   }
 }

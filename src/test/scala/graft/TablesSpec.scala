@@ -63,4 +63,21 @@ class TablesSpec extends AnyFunSuite {
       assert(df.limit(1).count() == 1, s"sf=$sf")
     }
   }
+
+  test("fanOut widens a small file scan to full parallelism without driver RDD work") {
+    // a one-row-group parquet file estimates to 1 split -> repartition
+    val df = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fanned = Tables.fanOut(df)
+    assert(fanned.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // projections still hit the file-relation estimate path (no change
+    // in behavior vs the old per-call df.rdd probe)
+    val proj = Tables.fanOut(df.select(org.apache.spark.sql.functions.col("doc_id")))
+    assert(proj.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    // in-memory frames fall back and stay untouched when already wide
+    import spark.implicits._
+    val mem = spark.range(1000).toDF("n").repartition(spark.sparkContext.defaultParallelism)
+    assert(Tables.fanOut(mem).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+  }
 }
