@@ -81,7 +81,12 @@ final class GraphEngine(val store: QuadStore) {
           store.appendDistinct(quads, graph.map(Seq(_)))
         } else {
           val quads =
-            if (path.endsWith(".ttl")) graft.rdf.Turtle.read(store.spark, path, g)
+            // .n3 routes to the Turtle parser: Notation3 is a Turtle
+            // superset and real-world .n3 data files are almost always
+            // plain Turtle (rdflib's own n3 parser reads Turtle); N3
+            // formula/rule syntax is out of scope and fails loudly
+            if (path.endsWith(".ttl") || path.endsWith(".n3"))
+              graft.rdf.Turtle.read(store.spark, path, g)
             else if (path.endsWith(".rdf") || path.endsWith(".xml") ||
               path.endsWith(".owl")) graft.rdf.RdfXml.read(store.spark, path, g)
             else graft.rdf.NTriples.read(store.spark, path, g)

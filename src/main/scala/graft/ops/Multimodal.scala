@@ -64,7 +64,12 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
+      .mapPartitions { it =>
+        // ImageIO defaults to a DISK-backed stream cache — a temp file
+        // per decode call. In-memory streams don't need it, and at one
+        // decode per row the file churn dominates the codec cost.
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
         val raster = img.getRaster
@@ -81,7 +86,8 @@ object Multimodal {
           y += 1
         }
         ImageStats(id, w, h, bands, sums(0), sums(1), sums(2))
-      })
+        }
+      }
   }
 
   /** documents → media table: text bytes stand in for the media payload;
@@ -153,7 +159,10 @@ object Multimodal {
       val media = Tables.documents(s, d)
         .filter(col("doc_id") % 3 === 0) // the image-kind rows of asMedia
         .select(col("doc_id")).as[Long]
-        .mapPartitions(_.map(id => (id, syntheticPng(id))))
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false) // see decodeImages
+          it.map(id => (id, syntheticPng(id)))
+        }
         .toDF("doc_id", "media")
       decodeImages(media).toDF().orderBy(col("doc_id"))
     }),

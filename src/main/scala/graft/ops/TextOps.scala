@@ -27,6 +27,10 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "to", "and")
 
+  /** chunking window / stride (tokens): 25% overlap between windows */
+  private val ChunkW = 64
+  private val ChunkS = 48
+
   /** per-language marker words (vocabulary-derived heuristic stand-in for
     * an n-gram language model; deterministic and cheap at any scale). */
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -49,6 +53,30 @@ object TextOps {
           round4(length(regexp_replace(trim(col("text")), "\\s+", ""))
             / size(tokens(col("text")))).as("avg_token_len"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- overlapping token-window chunking (the context-window prep
+    // step of a training/RAG pipeline): windows of CHUNK_W tokens at
+    // stride CHUNK_S, last window short. Map-side only — explode of a
+    // per-row start sequence, no shuffle before the presentation sort;
+    // at 100 TB this is embarrassingly parallel and output-bounded by
+    // the ~W/S duplication factor (64/48 ≈ 1.33×). Chunk text is
+    // pinned by md5 so verification output stays narrow.
+    "text_chunk_overlap" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), greatest(size(col("t")) - 1, lit(0)),
+            lit(ChunkS))).as("chunk_start"))
+        .select(col("doc_id"),
+          (col("chunk_start") / ChunkS).cast("int").as("chunk_id"),
+          col("chunk_start"),
+          least(lit(ChunkW), size(col("t")) - col("chunk_start"))
+            .as("n_chunk_tokens"),
+          md5(array_join(slice(col("t"), col("chunk_start") + 1, lit(ChunkW)),
+            " ")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
     // ---- quality scoring: stopword ratio, short-token ratio, composite
@@ -321,6 +349,24 @@ object TextOps {
              * 1.0 / len(string_split_regex(trim(text), '\s+'))
              * 10000 + 0.5) / 10000 AS avg_token_len
          FROM documents ORDER BY doc_id""",
+    "text_chunk_overlap" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM documents
+         ), starts AS (
+           SELECT doc_id, t,
+                  CAST(unnest(range(0, greatest(len(t), 1), 48)) AS INT)
+                    AS chunk_start
+           FROM toks
+         )
+         SELECT doc_id,
+                CAST(chunk_start // 48 AS INT) AS chunk_id,
+                chunk_start,
+                CAST(least(64, len(t) - chunk_start) AS INT)
+                  AS n_chunk_tokens,
+                md5(array_to_string(t[chunk_start + 1 : chunk_start + 64],
+                  ' ')) AS chunk_hash
+         FROM starts ORDER BY doc_id, chunk_id""",
     "text_quality" ->
       """SELECT doc_id,
            floor(stop_n * 1.0 / n * 10000 + 0.5) / 10000 AS stopword_ratio,

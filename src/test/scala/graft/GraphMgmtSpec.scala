@@ -33,6 +33,19 @@ class GraphMgmtSpec extends AnyFunSuite {
       "COPY DEFAULT TO <F> reads the default graph")
   }
 
+  test(".n3 files LOAD through the Turtle parser (rdflib parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-n3")
+    java.nio.file.Files.writeString(dir.resolve("d.n3"),
+      "@prefix ex: <http://ex/> . ex:a ex:name \"N3\" .")
+    val storeDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft-n3s-${System.nanoTime()}"
+    val engine = new GraphEngine(new graft.model.GraphStore(spark, storeDir))
+    engine.update(s"LOAD <file://${dir.resolve("d.n3")}> INTO GRAPH <http://g/n3>")
+    val got = engine.store.readGraphs(Seq("http://g/n3")).collect()
+    assert(got.length == 1)
+    assert(got.head.getString(got.head.fieldIndex("o_value")) == "N3")
+  }
+
   test("COPY/MOVE/ADD of a graph onto itself are no-ops (§3.2.3-5)") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-self-${System.nanoTime()}"
     val store = new graft.model.GraphStore(spark, dir)
