@@ -59,6 +59,13 @@ object Plans {
         "(PartitionFilters on graph=), the BGP self-join keys on the " +
         "subject, and ORDER BY ?etype ?uid LIMIT 100 collapses to " +
         "TakeOrderedAndProject."),
+    "rdf_sparql_service" ->
+      ("SERVICE federation, Spark-first: the registered endpoint " +
+        "dataset meets the event-store scan in a BroadcastHashJoin — " +
+        "AQE builds whichever side is smaller at runtime — so the " +
+        "federated pattern is data-local distributed work, not " +
+        "per-binding HTTP through the driver; two big datasets would " +
+        "flip to a shuffle join unchanged."),
     "rdf_store_mor" ->
       ("merge-on-read reconstruction is ONE hash aggregation on the " +
         "quad identity (max_by over batch_id) — partial aggregation " +

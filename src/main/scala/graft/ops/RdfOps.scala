@@ -305,6 +305,42 @@ object RdfOps {
         LIMIT 100""")
     }),
 
+    // SPARQL 1.1 SERVICE (federated query), Spark-first: the endpoint
+    // IRI resolves to a REGISTERED quad dataset (here: a small
+    // event-type → funnel-stage reference built in memory) and the
+    // federated pattern compiles to one distributed join against the
+    // event store scan — Catalyst broadcasts the 10-row endpoint side.
+    // A literal HTTP federation client would route per-binding lookups
+    // through the driver; the registry turns SERVICE into data-local
+    // work, which is the only shape that survives 100 TB.
+    "rdf_sparql_service" -> ((s, d) => {
+      import s.implicits._
+      val g = eventStoreGraph
+      val engine = new graft.GraphEngine(eventStore(s, d))
+      val svc = "http://svc/"
+      val ref = Seq(
+        ("view", "browse"), ("click", "browse"), ("signup", "acquire"),
+        ("purchase", "convert"), ("error", "ops")).flatMap { case (t, st) =>
+        Seq(
+          graft.model.Quad(graft.model.Quad.DefaultGraph, s"urn:map:$t",
+            svc + "etype", t, null, null, "literal"),
+          graft.model.Quad(graft.model.Quad.DefaultGraph, s"urn:map:$t",
+            svc + "stage", st, null, null, "literal"))
+      }
+      graft.sparql.Services.register("urn:graft:svc:ref", ref.toDS().toDF())
+      engine.select(s"""
+        PREFIX src: <$ns>
+        PREFIX svc: <$svc>
+        SELECT ?stage (COUNT(?e) AS ?n_events)
+        FROM <$g>
+        WHERE {
+          ?e src:event_type ?t .
+          SERVICE <urn:graft:svc:ref> { ?m svc:etype ?t ; svc:stage ?stage }
+        }
+        GROUP BY ?stage
+        ORDER BY ?stage""")
+    }),
+
     // SPARQL UNION: per-branch BIND marker + branch-aligned bindings
     // (union-all of the two filtered BGP compiles, one scan each with
     // the predicate pushed down — no distinct until the SELECT asks).
@@ -1492,6 +1528,15 @@ ORDER BY s, p, o_value""",
            SELECT DISTINCT CAST(user_id AS VARCHAR), 'p'
            FROM events WHERE event_type = 'purchase') t
          ORDER BY uid, kind""",
+    "rdf_sparql_service" ->
+      """SELECT CASE event_type
+               WHEN 'view' THEN 'browse' WHEN 'click' THEN 'browse'
+               WHEN 'signup' THEN 'acquire' WHEN 'purchase' THEN 'convert'
+               WHEN 'error' THEN 'ops' END AS stage,
+           count(*) AS n_events
+         FROM events
+         GROUP BY stage
+         ORDER BY stage""",
     "rdf_sparql_groupby" ->
       """SELECT c_mktsegment AS seg, count(*) AS n,
            floor(avg(c_acctbal) * 10000 + 0.5) / 10000 AS avg_bal

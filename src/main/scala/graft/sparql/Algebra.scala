@@ -65,6 +65,17 @@ object Algebra {
     * (vars + aggregate aliases) joins into the enclosing group on the
     * shared variables. Aggregate outputs surface as typed literals. */
   final case class SubSelectE(query: SelectQuery) extends Element
+  /** `SERVICE [SILENT] <iri> { ... }` (SPARQL 1.1 Federated Query),
+    * re-homed for a Spark engine: the endpoint IRI resolves through
+    * [[graft.sparql.Services]] to a REGISTERED quad dataset and the
+    * inner group compiles against it, so the federated join is an
+    * ordinary distributed join Catalyst can broadcast or shuffle —
+    * instead of the driver-bottlenecked per-binding HTTP round-trips
+    * a literal federation client would make (and this environment's
+    * zero-egress policy forbids). SILENT + unregistered endpoint
+    * degrades to the unit table, per spec. */
+  final case class ServiceE(iri: String, group: Group, silent: Boolean)
+    extends Element
 
   final case class Group(elems: Seq[Element]) {
     def vars: Set[String] = elems.flatMap {
@@ -81,6 +92,7 @@ object Algebra {
         (Seq(g).collect { case V(n) => n }) ++ inner.vars
       case SubSelectE(q) =>
         q.vars ++ q.aggs.map(_.as)
+      case ServiceE(_, inner, _) => inner.vars
     }.toSet
   }
 

@@ -328,6 +328,25 @@ object Compiler {
         val sub = compileSubSelect(q, quads)
         acc = Some(joinStep(acc, nullable, sub, Set.empty))
         nullable --= sub.columns
+      case ServiceE(iri, inner, silent) =>
+        flush()
+        // the endpoint's registered dataset replaces `quads` wholesale:
+        // the inner group sees only the service's data (its own default
+        // graph), never the local store, GRAPH var, or FROM scoping —
+        // matching how a remote endpoint evaluates the pattern. The
+        // result joins back on shared vars like any sub-group, as one
+        // distributed (broadcastable) join.
+        Services.lookup(iri) match {
+          case Some(svcQuads) =>
+            val (innerDf, innerNullable) =
+              compileGroupTracked(svcQuads, inner, None, None, None)
+            acc = Some(joinStep(acc, nullable, innerDf, innerNullable))
+            nullable ++= innerNullable
+          case None if silent => () // §4: SILENT failure = unit table
+          case None => throw new IllegalArgumentException(
+            s"unregistered SERVICE endpoint: <$iri> " +
+              "(register it via graft.sparql.Services.register)")
+        }
       case GraphE(gNode, inner) =>
         flush()
         // GRAPH patterns range over the named-graph dataset, which is

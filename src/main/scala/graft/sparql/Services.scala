@@ -1,0 +1,39 @@
+package graft.sparql
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+
+/** SERVICE endpoint registry (SPARQL 1.1 Federated Query, §2–§4).
+  *
+  * The reference talks to exactly one remote store over HTTP; a Spark
+  * engine federates differently: any dataset a `SERVICE <iri>` should
+  * reach is REGISTERED here as a quad DataFrame (another
+  * [[graft.model.QuadStore]]'s read, a parquet path, a JDBC scan —
+  * anything that yields the quad schema). The compiler then plans the
+  * federated pattern as an ordinary distributed join: Catalyst
+  * broadcasts a small endpoint dataset or shuffles on the join keys,
+  * and AQE re-plans at runtime — where a literal HTTP federation
+  * client would serialize per-binding requests through the driver.
+  *
+  * Thunks, not frames: registration captures `=> DataFrame` so an
+  * endpoint backed by a mutable store re-reads its CURRENT state at
+  * query time, matching remote-endpoint semantics.
+  */
+object Services {
+  private val reg = new ConcurrentHashMap[String, () => DataFrame]()
+
+  /** Register (or replace) an endpoint. `quads` must have the engine's
+    * quad schema (graph, s, p, o_value, o_type, o_lang, o_kind). */
+  def register(iri: String, quads: => DataFrame): Unit = {
+    reg.put(iri, () => quads)
+    ()
+  }
+
+  def unregister(iri: String): Unit = { reg.remove(iri); () }
+
+  def lookup(iri: String): Option[DataFrame] =
+    Option(reg.get(iri)).map(_.apply())
+
+  def clear(): Unit = reg.clear()
+}

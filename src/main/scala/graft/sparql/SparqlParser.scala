@@ -461,6 +461,15 @@ object SparqlParser {
             if (peek == '?' || peek == '$') V(varName()) else I(iriRef())
           elems += GraphE(gn, group())
           tryEat('.')
+        } else if (keyword("SERVICE")) {
+          val silent = keyword("SILENT")
+          ws()
+          if (peek == '?' || peek == '$')
+            throw new IllegalArgumentException(
+              "variable SERVICE endpoints are unsupported (register a " +
+                "dataset per IRI via graft.sparql.Services)")
+          elems += ServiceE(iriRef(), group(), silent)
+          tryEat('.')
         } else if (keyword("VALUES")) {
           elems += valuesBlock()
           tryEat('.')

@@ -29,6 +29,43 @@ class CompilerEdgeSpec extends AnyFunSuite {
     Quad.iri("g", ex + "b", ex + "self", ex + "a"),
     Quad.lit("g", ex + "tag", ex + "label", "T")))
 
+  test("SERVICE joins a registered endpoint; SILENT degrades; unregistered throws") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-svc-${System.nanoTime()}"
+    val store = new graft.model.GraphStore(spark, dir)
+    store.append(quadsDf(Seq(
+      Quad.lit("http://g/main", ex + "x", ex + "type", "view"),
+      Quad.lit("http://g/main", ex + "y", ex + "type", "error"))))
+    graft.sparql.Services.register("urn:svc:t", quadsDf(Seq(
+      Quad.lit(Quad.DefaultGraph, "urn:m1", ex + "etype", "view"),
+      Quad.lit(Quad.DefaultGraph, "urn:m1", ex + "stage", "browse"))))
+    val engine = new GraphEngine(store)
+    val got = engine.select(s"""
+      SELECT ?s ?stage FROM <http://g/main>
+      WHERE { ?s <${ex}type> ?t .
+              SERVICE <urn:svc:t> { ?m <${ex}etype> ?t ;
+                                       <${ex}stage> ?stage } }""").collect()
+    assert(got.length == 1)
+    assert(got.head.getString(0) == ex + "x" && got.head.getString(1) == "browse")
+    // SILENT + unregistered endpoint = unit table: outer rows survive
+    val silent = engine.select(s"""
+      SELECT ?s FROM <http://g/main>
+      WHERE { ?s <${ex}type> ?t .
+              SERVICE SILENT <urn:svc:missing> { ?m <${ex}etype> ?t } }""")
+      .collect()
+    assert(silent.length == 2)
+    // non-SILENT unregistered endpoint fails loudly
+    val e = intercept[IllegalArgumentException] {
+      engine.select(
+        s"SELECT ?s WHERE { SERVICE <urn:svc:missing> { ?s <${ex}p> ?o } }")
+        .collect()
+    }
+    assert(e.getMessage.contains("unregistered SERVICE"))
+    // variable endpoints are rejected at parse time, loudly
+    intercept[IllegalArgumentException] {
+      engine.select("SELECT ?s WHERE { SERVICE ?ep { ?s ?p ?o } }")
+    }
+  }
+
   test("FILTER STRSTARTS keeps only matching bindings") {
     val q = MappingQuery("f", "out", Seq("g"),
       Group(Seq(
