@@ -314,6 +314,43 @@ object Similarity {
 
     "ann_ivfpq_recall" -> ((s, d) => annRecall(s, d, "ann_ivfpq_bucketed", 0.7)),
 
+    // ---- the IVFADC index as a PERSISTED ARTIFACT (the production
+    // lifecycle: build once, write, serve many): the coded frame —
+    // vec_id + 8 PQ code columns keyed by coarse cell — is written to
+    // parquet `partitionBy(cell)`, so the DIRECTORY LAYOUT is the
+    // index: a probe reads `probes` of `cells` directories (partition
+    // pruning on disk), each holding 8-byte codes instead of dim×8-byte
+    // vectors. The search then runs entirely from the reloaded files
+    // (codebook/centroids stay plan literals — at scale, a tiny stored
+    // model artifact) and must reproduce the inline pipeline's ranked
+    // neighbors byte-for-byte: it shares ann_ivfpq_bucketed's full
+    // training-included SQL oracle verbatim.
+    "ann_ivfpq_persisted" -> ((s, d) => {
+      val base = vecsN(s, d)
+      val cells = ivfCellsFor(base.count())
+      val probes = ivfProbesFor(cells)
+      val centroids = ivfCentroids(s, d, cells)
+      val (sd, cb) = pqCodebook(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
+      base
+        .withColumn("cell",
+          element_at(ivfCellsOf(centroids, keep = 1), 1).cast("int"))
+        .select(col("vec_id") +: col("cell") +: pqCodeCols(cb, sd): _*)
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      val coded = s.read.parquet(dir)
+        .withColumn("r", pqReconOf(cb, sd))
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          col("r"), dot(col("r"), col("r")).as("rr"))
+      val qvecs = base.filter(col("vec_id") % 250 === 0)
+        .withColumn("cell", explode(ivfCellsOf(centroids, keep = probes)))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell").cast("int").as("cell"))
+      val adc = coded.join(broadcast(qvecs), Seq("cell"))
+        .where(col("vec_id") =!= col("query_id"))
+      adcTop5(s, d, adc, depth = 250)
+    }),
+
     // ---- the IVF index LAYOUT itself: vec_id → coarse cell. At 100 TB
     // this mapping IS the index — the cell column is the partition key
     // every probe prunes on — so it deserves a direct oracle, not just
@@ -825,7 +862,7 @@ object Similarity {
                  list((CAST(sx AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
                FROM vu2 GROUP BY k) n2 ON n2.k = vc1.k)"""
 
-  def oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
     "embed_neardup" ->
       """SELECT a.vec_id AS i, b.vec_id AS j,
            round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos
@@ -1048,4 +1085,12 @@ object Similarity {
                    x -> abs(CAST(x AS DOUBLE)))) AS mx
                FROM embeddings) t
          WHERE mx > 0 ORDER BY vec_id""")
+
+  /** The persisted-index search must return BYTE-IDENTICAL rows to the
+    * inline IVFADC pipeline — the on-disk roundtrip is not allowed to
+    * change a single ranked neighbor — so it shares that oracle
+    * verbatim. */
+  def oracleSql: Map[String, String] =
+    baseOracleSql +
+      ("ann_ivfpq_persisted" -> baseOracleSql("ann_ivfpq_bucketed"))
 }
