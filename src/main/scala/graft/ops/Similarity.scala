@@ -351,6 +351,47 @@ object Similarity {
       adcTop5(s, d, adc, depth = 250)
     }),
 
+    // ---- INCREMENTAL index growth (the other half of the production
+    // lifecycle): train the coarse centroids and PQ codebooks on the
+    // BASE corpus only (vec_id % 5 != 0), build and persist the base
+    // index, then encode the later arrivals (vec_id % 5 == 0) with the
+    // FROZEN model and parquet-append them into the same
+    // cell-partitioned layout — no retraining, no rewrite of existing
+    // partitions, which is the only affordable way an index absorbs a
+    // daily delta at 100 TB. The search runs over the merged files and
+    // its ranked neighbors are recomputed end-to-end by the
+    // training-population-parameterized SQL oracle.
+    "ann_ivfpq_append" -> ((s, d) => {
+      val all = vecsN(s, d)
+      val basePred = col("vec_id") % 5 =!= 0
+      val trainPop = vecs(s, d).filter(basePred)
+      val cells = ivfCellsFor(trainPop.count())
+      val probes = ivfProbesFor(cells)
+      val centroids = ivfCentroidsOn(s, d, trainPop, cells, tag = "base")
+      val (sd, cb) = pqCodebookOn(s, d, trainPop, tag = "base")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfapp-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
+      def coded(pop: DataFrame) = pop
+        .withColumn("cell",
+          element_at(ivfCellsOf(centroids, keep = 1), 1).cast("int"))
+        .select(col("vec_id") +: col("cell") +: pqCodeCols(cb, sd): _*)
+      coded(all.filter(basePred))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      coded(all.filter(!basePred))
+        .write.mode("append").partitionBy("cell").parquet(dir)
+      val codedAll = s.read.parquet(dir)
+        .withColumn("r", pqReconOf(cb, sd))
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          col("r"), dot(col("r"), col("r")).as("rr"))
+      val qvecs = all.filter(col("vec_id") % 250 === 0)
+        .withColumn("cell", explode(ivfCellsOf(centroids, keep = probes)))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell").cast("int").as("cell"))
+      val adc = codedAll.join(broadcast(qvecs), Seq("cell"))
+        .where(col("vec_id") =!= col("query_id"))
+      adcTop5(s, d, adc, depth = 250)
+    }),
+
     // ---- the IVF index LAYOUT itself: vec_id → coarse cell. At 100 TB
     // this mapping IS the index — the cell column is the partition key
     // every probe prunes on — so it deserves a direct oracle, not just
@@ -478,9 +519,14 @@ object Similarity {
     * full-dim codebook vectors — entry k = concat of each subspace's
     * centroid k, so downstream slicing per m is unchanged). */
   private val pqCbCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (Int, Array[Seq[Double]])]
+    (SparkSession, String, String), (Int, Array[Seq[Double]])]
   private def pqCodebook(s: SparkSession, d: String): (Int, Array[Seq[Double]]) =
-    pqCbCache.computeIfAbsent((s, d), { _ =>
+    pqCodebookOn(s, d, vecs(s, d), tag = "all")
+
+  /** Same training over an arbitrary population — see [[ivfCentroidsOn]]. */
+  private def pqCodebookOn(s: SparkSession, d: String, base: DataFrame,
+      tag: String): (Int, Array[Seq[Double]]) =
+    pqCbCache.computeIfAbsent((s, d, tag), { _ =>
       val dim = embDim(s, d)
       // a dim not divisible by M would silently drop the tail dims from
       // codes and reconstruction (integer floor) while the SQL oracle's
@@ -488,13 +534,13 @@ object Similarity {
       require(dim % PqM == 0,
         s"PQ requires embedding dim divisible by $PqM, got $dim")
       val sd = dim / PqM
-      val sample = vecs(s, d).filter(col("vec_id") % 31 === 7)
+      val sample = base.filter(col("vec_id") % 31 === 7)
         .orderBy(col("vec_id")).limit(PqK)
         .select(col("v")).collect().map(_.getSeq[Double](0))
       val init = Array.tabulate(PqM) { m =>
         sample.map(v => v.slice(m * sd, m * sd + sd).toArray)
       }
-      val subs = vecs(s, d).select(col("vec_id"),
+      val subs = base.select(col("vec_id"),
         posexplode(array((0 until PqM).map(m =>
           slice(col("v"), m * sd + 1, sd)): _*)).as(Seq("m", "sv")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -591,15 +637,22 @@ object Similarity {
   private val IvfProbes = 8
 
   private val ivfCbCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Array[Array[Double]]]
+    (SparkSession, String, String), Array[Array[Double]]]
   private def ivfCentroids(s: SparkSession, d: String,
       cells: Int): Array[Array[Double]] =
-    ivfCbCache.computeIfAbsent((s, d), { _ =>
-      val init = vecs(s, d).filter(col("vec_id") % lit(31) === 7)
+    ivfCentroidsOn(s, d, vecs(s, d), cells, tag = "all")
+
+  /** Same training over an arbitrary population — the append lifecycle
+    * trains on the base corpus only, then FREEZES the model for later
+    * arrivals. Memoized per (session, dir, tag). */
+  private def ivfCentroidsOn(s: SparkSession, d: String, base: DataFrame,
+      cells: Int, tag: String): Array[Array[Double]] =
+    ivfCbCache.computeIfAbsent((s, d, tag), { _ =>
+      val init = base.filter(col("vec_id") % lit(31) === 7)
         .orderBy(col("vec_id")).limit(cells)
         .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
       // the full vector is ONE subspace (m = 0) of the shared trainer
-      val subs = vecs(s, d).select(col("vec_id"),
+      val subs = base.select(col("vec_id"),
         lit(0).as("m"), col("v").as("sv"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try trainSubspaceKmeans(subs, Array(init), PqRounds)(0)
@@ -724,8 +777,8 @@ object Similarity {
     * in SQL — shared by the embed_pq_codes and ann_pq_rerank oracles.
     * `c2` holds the trained per-(m, k) subspace centroids; `codes` the
     * per-(vec, m) 4-bit code. */
-  private val pqTrainCtes: String =
-    """p AS (SELECT CAST(max(len(embedding)) // 8 AS INT) AS sd
+  private def pqTrainCtes(trainPred: String = "TRUE"): String =
+    s"""p AS (SELECT CAST(max(len(embedding)) // 8 AS INT) AS sd
                     FROM embeddings),
           ms AS (SELECT unnest(range(0, 8)) AS m),
           di AS (SELECT unnest(range(1, (SELECT sd FROM p) + 1)) AS i),
@@ -734,13 +787,15 @@ object Similarity {
               list_transform(range(1, p.sd + 1),
                 i -> CAST(e.embedding[ms.m * p.sd + i] AS DOUBLE)) AS sv
             FROM embeddings e CROSS JOIN p CROSS JOIN ms),
+          subtr AS (SELECT * FROM sub WHERE $trainPred),
           c0 AS (
             SELECT ms.m,
               row_number() OVER (PARTITION BY ms.m ORDER BY t.vec_id) - 1 AS k,
               list_transform(range(1, p.sd + 1),
                 i -> CAST(t.embedding[ms.m * p.sd + i] AS DOUBLE)) AS cv
             FROM (SELECT vec_id, embedding FROM embeddings
-                  WHERE vec_id % 31 = 7 ORDER BY vec_id LIMIT 16) t
+                  WHERE vec_id % 31 = 7 AND ($trainPred)
+                  ORDER BY vec_id LIMIT 16) t
             CROSS JOIN p CROSS JOIN ms),
           a1 AS (
             SELECT vec_id, m,
@@ -749,14 +804,14 @@ object Similarity {
                     list_transform(range(1, p.sd + 1),
                       i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6)
                     ORDER BY c.k) AS l
-                  FROM sub s CROSS JOIN p JOIN c0 c ON c.m = s.m
+                  FROM subtr s CROSS JOIN p JOIN c0 c ON c.m = s.m
                   GROUP BY s.vec_id, s.m) t),
           u1 AS (
             SELECT a.m, a.c AS k, di.i AS dim,
               sum(CAST(floor(s.sv[di.i] * 1000000.0 + 0.5) AS BIGINT)) AS sx,
               count(*) AS n
             FROM a1 a
-            JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+            JOIN subtr s ON s.vec_id = a.vec_id AND s.m = a.m
             CROSS JOIN di
             GROUP BY a.m, a.c, di.i),
           c1 AS (
@@ -773,14 +828,14 @@ object Similarity {
                     list_transform(range(1, p.sd + 1),
                       i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6)
                     ORDER BY c.k) AS l
-                  FROM sub s CROSS JOIN p JOIN c1 c ON c.m = s.m
+                  FROM subtr s CROSS JOIN p JOIN c1 c ON c.m = s.m
                   GROUP BY s.vec_id, s.m) t),
           u2 AS (
             SELECT a.m, a.c AS k, di.i AS dim,
               sum(CAST(floor(s.sv[di.i] * 1000000.0 + 0.5) AS BIGINT)) AS sx,
               count(*) AS n
             FROM a2 a
-            JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+            JOIN subtr s ON s.vec_id = a.vec_id AND s.m = a.m
             CROSS JOIN di
             GROUP BY a.m, a.c, di.i),
           c2 AS (
@@ -804,8 +859,8 @@ object Similarity {
     * shared by the embed_ivf_cells and ann_ivf_bucketed oracles. `c2`
     * holds the trained (k, cv) centroids, `kk.k` the adaptive cell
     * count, `v` the double-widened vectors. */
-  private val ivfTrainCtes: String =
-    """vp AS (SELECT CAST(max(len(embedding)) AS INT) AS dm
+  private def ivfTrainCtes(trainPred: String = "TRUE"): String =
+    s"""vp AS (SELECT CAST(max(len(embedding)) AS INT) AS dm
                     FROM embeddings),
           vdi AS (SELECT unnest(range(1, (SELECT dm FROM vp) + 1)) AS i),
           vv AS (
@@ -813,13 +868,14 @@ object Similarity {
               list_transform(range(1, vp.dm + 1),
                 i -> CAST(e.embedding[i] AS DOUBLE)) AS v
             FROM embeddings e CROSS JOIN vp),
+          vvtr AS (SELECT * FROM vv WHERE $trainPred),
           kk AS (SELECT greatest(8,
                    CAST(ceil(sqrt(count(*) / 8.0)) AS INT)) AS k
-                 FROM embeddings),
+                 FROM embeddings WHERE $trainPred),
           vc0 AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, v AS cv
             FROM (SELECT vec_id, v FROM vv
-                  WHERE vec_id % 31 = 7 ORDER BY vec_id
+                  WHERE vec_id % 31 = 7 AND ($trainPred) ORDER BY vec_id
                   LIMIT (SELECT k FROM kk)) t),
           va1 AS (
             SELECT vec_id, CAST(list_position(l, list_min(l)) - 1 AS INT) AS c
@@ -827,13 +883,13 @@ object Similarity {
                     list_transform(range(1, vp.dm + 1),
                       i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i]))), 6)
                     ORDER BY c.k) AS l
-                  FROM vv x CROSS JOIN vp CROSS JOIN vc0 c
+                  FROM vvtr x CROSS JOIN vp CROSS JOIN vc0 c
                   GROUP BY x.vec_id) t),
           vu1 AS (
             SELECT a.c AS k, vdi.i AS dim,
               sum(CAST(floor(x.v[vdi.i] * 1000000.0 + 0.5) AS BIGINT)) AS sx,
               count(*) AS n
-            FROM va1 a JOIN vv x ON x.vec_id = a.vec_id
+            FROM va1 a JOIN vvtr x ON x.vec_id = a.vec_id
             CROSS JOIN vdi GROUP BY a.c, vdi.i),
           vc1 AS (
             SELECT vc0.k, COALESCE(n1.cv, vc0.cv) AS cv
@@ -847,13 +903,13 @@ object Similarity {
                     list_transform(range(1, vp.dm + 1),
                       i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i]))), 6)
                     ORDER BY c.k) AS l
-                  FROM vv x CROSS JOIN vp CROSS JOIN vc1 c
+                  FROM vvtr x CROSS JOIN vp CROSS JOIN vc1 c
                   GROUP BY x.vec_id) t),
           vu2 AS (
             SELECT a.c AS k, vdi.i AS dim,
               sum(CAST(floor(x.v[vdi.i] * 1000000.0 + 0.5) AS BIGINT)) AS sx,
               count(*) AS n
-            FROM va2 a JOIN vv x ON x.vec_id = a.vec_id
+            FROM va2 a JOIN vvtr x ON x.vec_id = a.vec_id
             CROSS JOIN vdi GROUP BY a.c, vdi.i),
           vc2 AS (
             SELECT vc1.k, COALESCE(n2.cv, vc1.cv) AS cv
@@ -862,112 +918,13 @@ object Similarity {
                  list((CAST(sx AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
                FROM vu2 GROUP BY k) n2 ON n2.k = vc1.k)"""
 
-  private val baseOracleSql: Map[String, String] = Map(
-    "embed_neardup" ->
-      """SELECT a.vec_id AS i, b.vec_id AS j,
-           round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
-         ORDER BY i, j""",
-    "embed_neardup_bruteforce" ->
-      """SELECT a.vec_id AS i, b.vec_id AS j,
-           round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
-         ORDER BY i, j""",
-    "ann_bruteforce_topk" ->
-      """SELECT query_id, CAST(rn AS INT) AS rn, neighbor, cos FROM (
-           SELECT q.vec_id AS query_id, b.vec_id AS neighbor,
-             round(CAST(list_cosine_similarity(q.embedding, b.embedding) AS DOUBLE), 4) AS cos,
-             row_number() OVER (PARTITION BY q.vec_id
-               ORDER BY round(CAST(list_cosine_similarity(q.embedding, b.embedding) AS DOUBLE), 4) DESC,
-                        b.vec_id) AS rn
-           FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
-           WHERE q.vec_id % 250 = 0) t
-         WHERE rn <= 5 ORDER BY query_id, rn""",
-    // query-point count is SQL (vec_id % 250 = 0), top-k depth is 5,
-    // and the recall floor is a deterministic property of the fixed
-    // planes/centroids on this dataset — so the audit row IS checkable
-    "ann_lsh_recall" ->
-      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
-         FROM embeddings WHERE vec_id % 250 = 0""",
-    "ann_ivf_recall" ->
-      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
-         FROM embeddings WHERE vec_id % 250 = 0""",
-    // the WHOLE training recomputed: modulo-sample init, two unrolled
-    // Lloyd rounds (assign → integer-quantized order-free averaging →
-    // new centroids, empty cells keep the old centroid via COALESCE),
-    // then the final code assignment — every arithmetic step mirrors
-    // the Scala trainer exactly: float->double widening is exact,
-    // subspace distances are left-fold double sums rounded to 6
-    // decimals with first-index argmin, centroid means are
-    // (CAST(sum AS DOUBLE)/n)/1e6 of bigint sums, so both engines
-    // produce the identical codebook and identical 4-bit-packed codes
-    "embed_pq_codes" ->
-      s"""WITH $pqTrainCtes
-         SELECT vec_id,
-           CAST(sum(c * (CAST(1 AS BIGINT) << CAST(4 * m AS INT)))
-             AS BIGINT) AS code
-         FROM codes GROUP BY vec_id ORDER BY vec_id""",
-    // the full PQ+ADC SEARCH recomputed: trained per-subspace codebooks
-    // and codes (shared CTE block), reconstruction as the flattened
-    // m-ordered centroid concat (so the rr / r·q folds run in the same
-    // element order as the engine's 64-dim left folds), ADC top-250 by
-    // rounded approximate distance, exact-cosine re-rank top-5
-    "ann_pq_rerank" ->
-      s"""WITH $pqTrainCtes,
-          dmt AS (SELECT CAST(max(len(embedding)) AS INT) AS dm
-                  FROM embeddings),
-          fv AS (
-            SELECT e.vec_id,
-              list_transform(range(1, d.dm + 1),
-                i -> CAST(e.embedding[i] AS DOUBLE)) AS v
-            FROM embeddings e CROSS JOIN dmt d),
-          recon AS (
-            SELECT co.vec_id, flatten(list(c.cv ORDER BY co.m)) AS r
-            FROM codes co JOIN c2 c ON c.m = co.m AND c.k = co.c
-            GROUP BY co.vec_id),
-          adc AS (
-            SELECT q.vec_id AS query_id, b.vec_id,
-              round(list_sum(list_transform(b.r, x -> x * x))
-                - 2.0 * list_sum(list_transform(range(1, d.dm + 1),
-                    i -> b.r[i] * q.v[i])), 6) AS adist
-            FROM recon b CROSS JOIN dmt d
-            JOIN fv q ON q.vec_id % 250 = 0 AND b.vec_id <> q.vec_id),
-          top AS (
-            SELECT query_id, vec_id FROM (
-              SELECT query_id, vec_id,
-                row_number() OVER (PARTITION BY query_id
-                  ORDER BY adist, vec_id) AS arn
-              FROM adc) t
-            WHERE arn <= 250),
-          rer AS (
-            SELECT t.query_id, t.vec_id AS neighbor,
-              round(CAST(list_cosine_similarity(qe.embedding, be.embedding)
-                AS DOUBLE), 4) AS cos
-            FROM top t
-            JOIN embeddings qe ON qe.vec_id = t.query_id
-            JOIN embeddings be ON be.vec_id = t.vec_id)
-         SELECT query_id, CAST(rn AS INT) AS rn, neighbor, cos FROM (
-           SELECT query_id, neighbor, cos,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY cos DESC, neighbor) AS rn
-           FROM rer) t
-         WHERE rn <= 5 ORDER BY query_id, rn""",
-    "ann_pq_recall" ->
-      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
-         FROM embeddings WHERE vec_id % 250 = 0""",
-    "ann_ivfpq_recall" ->
-      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
-         FROM embeddings WHERE vec_id % 250 = 0""",
-    // the flagship IVFADC composition recomputed end-to-end: BOTH
-    // trainings (PQ codebooks + IVF coarse centroids — the two shared
-    // CTE blocks), the probe policy, candidates restricted to probed
-    // cells, ADC over the reconstructed codebook vectors, exact-cosine
-    // re-rank top-5 — the full approximate index search, hash-checked
-    "ann_ivfpq_bucketed" ->
-      s"""WITH $pqTrainCtes,
-          $ivfTrainCtes,
+  /** The full IVFADC search recomputed in SQL, parameterized by the
+    * TRAINING population (the append lifecycle trains on the base
+    * corpus only and freezes the model): both training CTE blocks take
+    * `trainPred`; the encode/search population stays the whole corpus. */
+  private def ivfadcOracle(trainPred: String): String =
+      s"""WITH ${pqTrainCtes(trainPred)},
+          ${ivfTrainCtes(trainPred)},
           scored AS (
             SELECT x.vec_id, c.k AS cell,
               list_sum(list_transform(range(1, vp.dm + 1),
@@ -1018,7 +975,112 @@ object Similarity {
              row_number() OVER (PARTITION BY query_id
                ORDER BY cos DESC, neighbor) AS rn
            FROM rer) t
+         WHERE rn <= 5 ORDER BY query_id, rn"""
+
+  private val baseOracleSql: Map[String, String] = Map(
+    "embed_neardup" ->
+      """SELECT a.vec_id AS i, b.vec_id AS j,
+           round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+         ORDER BY i, j""",
+    "embed_neardup_bruteforce" ->
+      """SELECT a.vec_id AS i, b.vec_id AS j,
+           round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+         ORDER BY i, j""",
+    "ann_bruteforce_topk" ->
+      """SELECT query_id, CAST(rn AS INT) AS rn, neighbor, cos FROM (
+           SELECT q.vec_id AS query_id, b.vec_id AS neighbor,
+             round(CAST(list_cosine_similarity(q.embedding, b.embedding) AS DOUBLE), 4) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(CAST(list_cosine_similarity(q.embedding, b.embedding) AS DOUBLE), 4) DESC,
+                        b.vec_id) AS rn
+           FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
+           WHERE q.vec_id % 250 = 0) t
          WHERE rn <= 5 ORDER BY query_id, rn""",
+    // query-point count is SQL (vec_id % 250 = 0), top-k depth is 5,
+    // and the recall floor is a deterministic property of the fixed
+    // planes/centroids on this dataset — so the audit row IS checkable
+    "ann_lsh_recall" ->
+      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
+         FROM embeddings WHERE vec_id % 250 = 0""",
+    "ann_ivf_recall" ->
+      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
+         FROM embeddings WHERE vec_id % 250 = 0""",
+    // the WHOLE training recomputed: modulo-sample init, two unrolled
+    // Lloyd rounds (assign → integer-quantized order-free averaging →
+    // new centroids, empty cells keep the old centroid via COALESCE),
+    // then the final code assignment — every arithmetic step mirrors
+    // the Scala trainer exactly: float->double widening is exact,
+    // subspace distances are left-fold double sums rounded to 6
+    // decimals with first-index argmin, centroid means are
+    // (CAST(sum AS DOUBLE)/n)/1e6 of bigint sums, so both engines
+    // produce the identical codebook and identical 4-bit-packed codes
+    "embed_pq_codes" ->
+      s"""WITH ${pqTrainCtes()}
+         SELECT vec_id,
+           CAST(sum(c * (CAST(1 AS BIGINT) << CAST(4 * m AS INT)))
+             AS BIGINT) AS code
+         FROM codes GROUP BY vec_id ORDER BY vec_id""",
+    // the full PQ+ADC SEARCH recomputed: trained per-subspace codebooks
+    // and codes (shared CTE block), reconstruction as the flattened
+    // m-ordered centroid concat (so the rr / r·q folds run in the same
+    // element order as the engine's 64-dim left folds), ADC top-250 by
+    // rounded approximate distance, exact-cosine re-rank top-5
+    "ann_pq_rerank" ->
+      s"""WITH ${pqTrainCtes()},
+          dmt AS (SELECT CAST(max(len(embedding)) AS INT) AS dm
+                  FROM embeddings),
+          fv AS (
+            SELECT e.vec_id,
+              list_transform(range(1, d.dm + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE)) AS v
+            FROM embeddings e CROSS JOIN dmt d),
+          recon AS (
+            SELECT co.vec_id, flatten(list(c.cv ORDER BY co.m)) AS r
+            FROM codes co JOIN c2 c ON c.m = co.m AND c.k = co.c
+            GROUP BY co.vec_id),
+          adc AS (
+            SELECT q.vec_id AS query_id, b.vec_id,
+              round(list_sum(list_transform(b.r, x -> x * x))
+                - 2.0 * list_sum(list_transform(range(1, d.dm + 1),
+                    i -> b.r[i] * q.v[i])), 6) AS adist
+            FROM recon b CROSS JOIN dmt d
+            JOIN fv q ON q.vec_id % 250 = 0 AND b.vec_id <> q.vec_id),
+          top AS (
+            SELECT query_id, vec_id FROM (
+              SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY adist, vec_id) AS arn
+              FROM adc) t
+            WHERE arn <= 250),
+          rer AS (
+            SELECT t.query_id, t.vec_id AS neighbor,
+              round(CAST(list_cosine_similarity(qe.embedding, be.embedding)
+                AS DOUBLE), 4) AS cos
+            FROM top t
+            JOIN embeddings qe ON qe.vec_id = t.query_id
+            JOIN embeddings be ON be.vec_id = t.vec_id)
+         SELECT query_id, CAST(rn AS INT) AS rn, neighbor, cos FROM (
+           SELECT query_id, neighbor, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor) AS rn
+           FROM rer) t
+         WHERE rn <= 5 ORDER BY query_id, rn""",
+    "ann_pq_recall" ->
+      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
+         FROM embeddings WHERE vec_id % 250 = 0""",
+    "ann_ivfpq_recall" ->
+      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
+         FROM embeddings WHERE vec_id % 250 = 0""",
+    // the flagship IVFADC composition recomputed end-to-end: BOTH
+    // trainings (PQ codebooks + IVF coarse centroids — the two shared
+    // CTE blocks), the probe policy, candidates restricted to probed
+    // cells, ADC over the reconstructed codebook vectors, exact-cosine
+    // re-rank top-5 — the full approximate index search, hash-checked
+    "ann_ivfpq_bucketed" -> ivfadcOracle("TRUE"),
     // the IVF training recomputed end-to-end: corpus-adaptive cell
     // count (max(8, ceil(sqrt(n/8)))), modulo init, two unrolled Lloyd
     // rounds (round(dist,6) argmin, integer-quantized order-free
@@ -1026,7 +1088,7 @@ object Similarity {
     // assignment metric — UNROUNDED -2·v·c + |c|² (the |v|² term is
     // constant across cells) with first-index tie-break
     "embed_ivf_cells" ->
-      s"""WITH $ivfTrainCtes
+      s"""WITH ${ivfTrainCtes()}
          SELECT vec_id, CAST(list_position(l, list_min(l)) - 1 AS INT) AS cell
          FROM (SELECT x.vec_id, list(
                  list_sum(list_transform(range(1, vp.dm + 1),
@@ -1042,7 +1104,7 @@ object Similarity {
     // exact cosine re-rank top-5 — so the approximate search's exact
     // output is hash-checked, not just its recall floor
     "ann_ivf_bucketed" ->
-      s"""WITH $ivfTrainCtes,
+      s"""WITH ${ivfTrainCtes()},
           scored AS (
             SELECT x.vec_id, c.k AS cell,
               list_sum(list_transform(range(1, vp.dm + 1),
@@ -1092,5 +1154,6 @@ object Similarity {
     * verbatim. */
   def oracleSql: Map[String, String] =
     baseOracleSql +
-      ("ann_ivfpq_persisted" -> baseOracleSql("ann_ivfpq_bucketed"))
+      ("ann_ivfpq_persisted" -> baseOracleSql("ann_ivfpq_bucketed")) +
+      ("ann_ivfpq_append" -> ivfadcOracle("vec_id % 5 <> 0"))
 }
