@@ -9,15 +9,16 @@ import graft.util.Tables
   * opaque `binary` column + typed metadata, with decode / feature-extract
   * / frame-sample stages as `mapPartitions` over the binary payloads.
   *
-  * The IMAGE path is a REAL decode: synthetic PNGs (a deterministic
-  * function of doc_id) are encoded and decoded through the JDK's
-  * `javax.imageio` inside `mapPartitions`, and the emitted
-  * width/height/channel statistics are oracle-checked against the
-  * generator's closed-form parameters. Audio/video codecs are not in
-  * the JDK, so those kinds keep a clearly-marked deterministic fake
-  * (byte histogram / fixed-stride chunking); the Spark-side plumbing —
-  * schema, batch shape, partitioning, the binary column path — is the
-  * same either way.
+  * The IMAGE and AUDIO paths are REAL decodes: synthetic PNGs and
+  * RIFF/WAV files (deterministic functions of doc_id) are encoded and
+  * decoded through the JDK's `javax.imageio` / `javax.sound.sampled`
+  * inside `mapPartitions`, and the emitted statistics (dimensions,
+  * band sums, frame counts, sample sums) are oracle-checked against
+  * the generators' closed-form parameters. Video codecs are not in the
+  * JDK, so that kind keeps a clearly-marked deterministic fake
+  * (fixed-stride chunking); the Spark-side plumbing — schema, batch
+  * shape, partitioning, the binary column path — is the same either
+  * way.
   */
 object Multimodal {
 
@@ -29,6 +30,69 @@ object Multimodal {
       feature_dim: Int, features: Array[Float], n_frames: Int)
   case class ImageStats(doc_id: Long, width: Int, height: Int,
       channels: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+  case class AudioStats(doc_id: Long, n_samples: Int, sample_rate: Int,
+      channels: Int, sum_samples: Long)
+
+  /** Deterministic synthetic WAV for `docId`: PCM signed 16-bit LE,
+    * mono, 8 kHz, n = id%50+20 samples, sample i =
+    * (id*7 + i*13) % 65536 − 32768. The RIFF container is written
+    * byte-for-byte (44-byte canonical header) so the DECODER — the
+    * JDK's `javax.sound.sampled` — is the only audio library in the
+    * loop, and every decoded statistic is a closed-form function of
+    * docId the oracle recomputes without one. */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val n = (docId % 50 + 20).toInt
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(8000).putInt(8000 * 2) // sample rate, byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((docId * 7 + i * 13) % 65536) - 32768).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** REAL audio decode over the binary column: `javax.sound.sampled`
+    * parses the RIFF/WAV container back into an AudioInputStream —
+    * format fields come from the decoder, not the generator — and the
+    * sample sum is computed from the decoded PCM frames. Distributed
+    * via mapPartitions, one decode per row, nothing driver-side. */
+  def decodeAudio(media: DataFrame): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        val frames = in.getFrameLength.toInt
+        val buf = new Array[Byte](frames * fmt.getFrameSize)
+        var off = 0
+        while (off < buf.length) {
+          val r = in.read(buf, off, buf.length - off)
+          require(r > 0, s"short WAV read for doc $id")
+          off += r
+        }
+        var sum = 0L
+        var i = 0
+        while (i < frames) {
+          // PCM signed 16-bit little-endian mono
+          sum += ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        AudioStats(id, frames, fmt.getSampleRate.toInt, fmt.getChannels, sum)
+      })
+  }
 
   /** Deterministic synthetic PNG for `docId`: width = id%13+4,
     * height = id%7+3, red = id%256 (constant), green = (id+y)%256
@@ -167,6 +231,21 @@ object Multimodal {
       decodeImages(media).toDF().orderBy(col("doc_id"))
     }),
 
+    // ---- REAL audio decode: the audio-kind rows carry actual RIFF/WAV
+    // bytes (deterministic synthetic PCM), parsed back through
+    // javax.sound.sampled in mapPartitions; frame count, rate, channel
+    // count and the decoded-sample sum all come from the DECODER and
+    // the oracle recomputes each from the generator's closed form.
+    "multimodal_audio_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 1) // the audio-kind rows of asMedia
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, syntheticWav(id))))
+        .toDF("doc_id", "media")
+      decodeAudio(media).toDF().orderBy(col("doc_id"))
+    }),
+
     // ---- resize planning for the image rows: the driver-side stage a
     // real pipeline runs BEFORE decode at scale — compute each image's
     // target geometry (fit into 224x224, aspect preserved) so the
@@ -250,6 +329,15 @@ object Multimodal {
            CAST((doc_id % 13 + 4) * (doc_id % 7 + 3) * ((doc_id * 31) % 256)
              AS BIGINT) AS sum_b
          FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""",
+    "multimodal_audio_decode" ->
+      """SELECT doc_id,
+           CAST(doc_id % 50 + 20 AS INT) AS n_samples,
+           8000 AS sample_rate,
+           1 AS channels,
+           CAST(list_sum(list_transform(range(0, doc_id % 50 + 20),
+             i -> (doc_id * 7 + i * 13) % 65536 - 32768))
+             AS BIGINT) AS sum_samples
+         FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""",
     "multimodal_resize_plan" ->
       """SELECT doc_id, src_w, src_h,
            CAST(greatest(floor(src_w * 224.0 / greatest(src_w, src_h)), 1)
