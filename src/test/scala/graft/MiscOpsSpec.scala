@@ -21,6 +21,31 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(r2 == 32.0)
   }
 
+  test("GraftSparkExtensions injects the functions at session build time") {
+    import org.apache.spark.sql.SparkSession
+    val prior = spark // force TestSpark init so the context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // same SparkContext, NEW session. `spark.sql.extensions` is a
+      // STATIC conf — it only applies when the SparkContext itself is
+      // created (spark-submit), so the test drives the SAME class
+      // through the builder's programmatic extensions hook instead.
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.sparql.GraftSparkExtensions()(_))
+        .getOrCreate()
+      assert(s2 ne prior)
+      val r = s2.sql("""SELECT encode_for_uri('a b') AS e,
+                        vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""")
+        .head()
+      assert(r.getString(0) == "a%20b")
+      assert(r.getDouble(1) == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+
   test("encode_for_uri matches SPARQL 1.1 spec examples") {
     import graft.sparql.SparqlRuntime.encodeForUri
     assert(encodeForUri("Los Angeles") == "Los%20Angeles")
