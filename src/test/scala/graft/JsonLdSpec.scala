@@ -137,6 +137,18 @@ class JsonLdSpec extends AnyFunSuite {
     assert(scell1.exists(q => q.p == RdfNs + "first" && q.o_value == "s1"))
   }
 
+  test("@container: @set keeps array semantics (multi-valued, no list chain)") {
+    val doc = s"""{
+      "@context": {"tags": {"@id": "${ex}tag", "@container": "@set"}},
+      "@id": "${ex}a",
+      "tags": ["x", "y"]
+    }"""
+    val got = rows(doc)
+    assert(got == Set(
+      ("g", s"${ex}a", s"${ex}tag", "x", "", "", "literal"),
+      ("g", s"${ex}a", s"${ex}tag", "y", "", "", "literal")))
+  }
+
   test("top-level @graph, named graphs, nested @context and @reverse") {
     val doc = s"""{
       "@context": {"ex": "$ex"},

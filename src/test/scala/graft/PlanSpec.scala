@@ -96,6 +96,21 @@ class PlanSpec extends AnyFunSuite {
       "whole vocabulary ordered — top-k must stay bounded")
   }
 
+  test("text_chunk_overlap: chunking is map-side (no key shuffle)") {
+    val p = plan("text_chunk_overlap")
+    // the explode-of-starts + slice/hash must not introduce a key
+    // shuffle; only the presentation orderBy (range) is allowed
+    assert(!p.contains("hashpartitioning"), s"unexpected key shuffle in:\n${p.take(800)}")
+    assert(p.contains("Generate explode"), "per-row start sequence should explode")
+  }
+
+  test("rdf_sparql_service: the federated join is a broadcast hash join") {
+    val p = plan("rdf_sparql_service")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "SERVICE must compile to an equi-join on the shared vars")
+  }
+
   test("embed_quantize: map-side only (no shuffle exchange)") {
     val p = plan("embed_quantize")
     // allowed: the presentation orderBy (range) and the narrow-input
