@@ -59,6 +59,18 @@ object Plans {
         "(PartitionFilters on graph=), the BGP self-join keys on the " +
         "subject, and ORDER BY ?etype ?uid LIMIT 100 collapses to " +
         "TakeOrderedAndProject."),
+    "text_chunk_overlap" ->
+      ("context-window chunking is map-side: scan → Generate explode of " +
+        "the per-row start sequence → slice/hash projection — no " +
+        "hashpartitioning before the presentation sort, so at 100 TB " +
+        "the stage is embarrassingly parallel and output-bounded by " +
+        "the W/S duplication factor."),
+    "ann_ivfpq_persisted" ->
+      ("the persisted index search scans the RELOADED cell-partitioned " +
+        "parquet: `cell` is a partition column, so a probe's cell " +
+        "equi-join prunes directories on disk before any vector math, " +
+        "and the scanned rows are 8-byte PQ codes, not dim x 8-byte " +
+        "vectors — the two bandwidth wins a 100 TB index exists for."),
     "rdf_sparql_service" ->
       ("SERVICE federation, Spark-first: the registered endpoint " +
         "dataset meets the event-store scan in a BroadcastHashJoin — " +
