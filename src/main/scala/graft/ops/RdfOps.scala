@@ -227,6 +227,73 @@ object RdfOps {
         .orderBy(col("graph"), col("s"), col("p"), col("o_value"))
     }),
 
+    // S5d: RDF/XML sink → source roundtrip through REAL part files:
+    // one <rdf:Description> per subject (per-element default xmlns for
+    // the predicate namespace, rdf:resource/nodeID objects,
+    // rdf:datatype / xml:lang literals, newline as &#10; so XML
+    // line-end normalization can't corrupt values), per-file <rdf:RDF>
+    // framing, read back through the StAX parser. Parser-minted bnode
+    // tags normalized for the oracle.
+    "rdf_xml_roundtrip" -> ((s, _) => {
+      import s.implicits._
+      val x = "http://www.w3.org/2001/XMLSchema#"
+      val src = Seq(
+        graft.model.Quad("g", "http://ex/a", "http://ex/name",
+          "Alpha <\"quoted\"> & more", null, "en", "literal"),
+        graft.model.Quad("g", "http://ex/a", "http://ex/size",
+          "42", x + "integer", null, "literal"),
+        graft.model.Quad("g", "http://ex/a", "http://ex/contact",
+          "_:c1", null, null, "bnode"),
+        graft.model.Quad("g", "_:c1", "http://ex/email",
+          "a@example.org", null, null, "literal"),
+        graft.model.Quad("g", "http://ex/b", "http://ex/linked",
+          "http://ex/a", null, null, "iri"),
+        graft.model.Quad("g", "http://ex/b", "http://ex/note",
+          "line1\nline2", null, null, "literal"))
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-xmlrt-${System.nanoTime()}"
+      graft.rdf.RdfXml.write(src.toDS().toDF(), dir)
+      graft.rdf.RdfXml.read(s, dir, "g").toDF()
+        .select(
+          regexp_replace(col("s"), "_:x[0-9a-f]+_", "_:").as("s"),
+          col("p"),
+          regexp_replace(col("o_value"), "_:x[0-9a-f]+_", "_:").as("o_value"),
+          col("o_type"), col("o_lang"), col("o_kind"))
+        .orderBy(col("s"), col("p"), col("o_value"))
+    }),
+
+    // S5c: Turtle sink → source roundtrip through REAL part files:
+    // full-IRI statement lines (subject-grouped `;`/`,` notation, no
+    // prefix table — every line is a standalone valid Turtle document,
+    // so part files need no header/framing), read back through the
+    // document parser; escaping, typed/lang literals and bnodes all
+    // survive. Parser-minted bnode tags normalized for the oracle.
+    "rdf_turtle_roundtrip" -> ((s, _) => {
+      import s.implicits._
+      val x = "http://www.w3.org/2001/XMLSchema#"
+      val src = Seq(
+        graft.model.Quad("g", "http://ex/a", "http://ex/name",
+          "Alpha \"quoted\"", null, "en", "literal"),
+        graft.model.Quad("g", "http://ex/a", "http://ex/size",
+          "42", x + "integer", null, "literal"),
+        graft.model.Quad("g", "http://ex/a", "http://ex/contact",
+          "_:c1", null, null, "bnode"),
+        graft.model.Quad("g", "_:c1", "http://ex/email",
+          "a@example.org", null, null, "literal"),
+        graft.model.Quad("g", "http://ex/b", "http://ex/linked",
+          "http://ex/a", null, null, "iri"),
+        graft.model.Quad("g", "http://ex/b", "http://ex/note",
+          "line1\nline2", null, null, "literal"))
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ttlrt-${System.nanoTime()}"
+      graft.rdf.Turtle.write(src.toDS().toDF(), dir)
+      graft.rdf.Turtle.read(s, dir, "g").toDF()
+        .select(
+          regexp_replace(col("s"), "_:t[0-9a-f]+_", "_:").as("s"),
+          col("p"),
+          regexp_replace(col("o_value"), "_:t[0-9a-f]+_", "_:").as("o_value"),
+          col("o_type"), col("o_lang"), col("o_kind"))
+        .orderBy(col("s"), col("p"), col("o_value"))
+    }),
+
     // S5b: JSON-LD sink → source roundtrip through REAL part files:
     // write flattened expanded-form node objects (pure Catalyst
     // serialization, per-partition array framing), read them back with
@@ -1248,6 +1315,38 @@ object RdfOps {
             NULL, NULL, 'literal')
          ) t(graph, s, p, o_value, o_type, o_lang, o_kind)
          ORDER BY graph, s, p, o_value""",
+    "rdf_xml_roundtrip" ->
+      """SELECT * FROM (VALUES
+           (CAST('_:c1' AS VARCHAR), CAST('http://ex/email' AS VARCHAR),
+            CAST('a@example.org' AS VARCHAR), CAST(NULL AS VARCHAR),
+            CAST(NULL AS VARCHAR), CAST('literal' AS VARCHAR)),
+           ('http://ex/a', 'http://ex/contact', '_:c1', NULL, NULL, 'bnode'),
+           ('http://ex/a', 'http://ex/name', 'Alpha <"quoted"> & more',
+            NULL, 'en', 'literal'),
+           ('http://ex/a', 'http://ex/size', '42',
+            'http://www.w3.org/2001/XMLSchema#integer', NULL, 'literal'),
+           ('http://ex/b', 'http://ex/linked', 'http://ex/a',
+            NULL, NULL, 'iri'),
+           ('http://ex/b', 'http://ex/note', 'line1' || chr(10) || 'line2',
+            NULL, NULL, 'literal')
+         ) t(s, p, o_value, o_type, o_lang, o_kind)
+         ORDER BY s, p, o_value""",
+    "rdf_turtle_roundtrip" ->
+      """SELECT * FROM (VALUES
+           (CAST('_:c1' AS VARCHAR), CAST('http://ex/email' AS VARCHAR),
+            CAST('a@example.org' AS VARCHAR), CAST(NULL AS VARCHAR),
+            CAST(NULL AS VARCHAR), CAST('literal' AS VARCHAR)),
+           ('http://ex/a', 'http://ex/contact', '_:c1', NULL, NULL, 'bnode'),
+           ('http://ex/a', 'http://ex/name', 'Alpha "quoted"',
+            NULL, 'en', 'literal'),
+           ('http://ex/a', 'http://ex/size', '42',
+            'http://www.w3.org/2001/XMLSchema#integer', NULL, 'literal'),
+           ('http://ex/b', 'http://ex/linked', 'http://ex/a',
+            NULL, NULL, 'iri'),
+           ('http://ex/b', 'http://ex/note', 'line1' || chr(10) || 'line2',
+            NULL, NULL, 'literal')
+         ) t(s, p, o_value, o_type, o_lang, o_kind)
+         ORDER BY s, p, o_value""",
     "rdf_jsonld_roundtrip" ->
       """SELECT * FROM (VALUES
            (CAST('http://g/x' AS VARCHAR), CAST('http://ex/b' AS VARCHAR),

@@ -22,7 +22,7 @@ import graft.model.Quad
 object NTriples {
 
   /** N-Triples string escaping per W3C spec: \ " \n \r \t. */
-  private def escapeCol(c: Column): Column = {
+  private[rdf] def escapeCol(c: Column): Column = {
     val backslash = regexp_replace(c, "\\\\", "\\\\\\\\")
     val quote = regexp_replace(backslash, "\"", "\\\\\"")
     val nl = regexp_replace(quote, "\n", "\\\\n")
@@ -30,10 +30,10 @@ object NTriples {
     regexp_replace(cr, "\t", "\\\\t")
   }
 
-  private def subjectTerm(s: Column): Column =
+  private[rdf] def subjectTerm(s: Column): Column =
     when(s.startsWith(Quad.BnodePrefix), s).otherwise(concat(lit("<"), s, lit(">")))
 
-  private def objectTerm(v: Column, kind: Column, dt: Column, lg: Column): Column =
+  private[rdf] def objectTerm(v: Column, kind: Column, dt: Column, lg: Column): Column =
     when(kind === Quad.KindIri, concat(lit("<"), v, lit(">")))
       .when(kind === Quad.KindBnode, v)
       .otherwise( // literal

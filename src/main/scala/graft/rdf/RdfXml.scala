@@ -39,6 +39,90 @@ object RdfXml {
   def parse(doc: String, graph: String): Seq[Quad] =
     new XmlParser(doc, graph).parseAll()
 
+  // ------------------------------------------------------------- sink
+
+  /** RDF/XML sink: one `<rdf:Description>` element per subject (one
+    * LINE per element — newlines/CRs in literal text go out as
+    * character references, since XML line-end normalization would
+    * otherwise rewrite a raw CR on read-back), framed per part file
+    * with an `<rdf:RDF>` root. Pure Catalyst column expressions for
+    * the elements; the root framing is per-partition glue like the
+    * JSON-LD sink's array brackets.
+    *
+    * RDF/XML structurally cannot serialize every IRI: a predicate must
+    * split into (namespace, XML-NCName local part) at its last `/` or
+    * `#`. The writer validates this up front (one cheap aggregate) and
+    * fails loudly, rather than emitting XML that won't parse — the
+    * same limitation every RDF/XML serializer documents. */
+  def toElementLines(quads: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    def escText(c: Column): Column = {
+      val amp = regexp_replace(c, "&", "&amp;")
+      val lt = regexp_replace(amp, "<", "&lt;")
+      val gt = regexp_replace(lt, ">", "&gt;")
+      val cr = regexp_replace(gt, "\r", "&#13;")
+      regexp_replace(cr, "\n", "&#10;")
+    }
+    def escAttr(c: Column): Column =
+      regexp_replace(regexp_replace(escText(c), "\"", "&quot;"),
+        "\t", "&#9;")
+    val ns = regexp_extract(col("p"), "^(.*[/#])([^/#]+)$", 1)
+    val local = regexp_extract(col("p"), "^(.*[/#])([^/#]+)$", 2)
+    val validLocal = local.rlike("^[A-Za-z_][A-Za-z0-9_.-]*$")
+    // XML 1.0 cannot carry control chars outside {TAB, LF, CR} at all —
+    // not even as character references — so values holding them are
+    // unserializable in this format, full stop
+    val xmlIllegal = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+    val serializable = validLocal &&
+      !col("o_value").rlike(xmlIllegal) && !col("s").rlike(xmlIllegal)
+    val bad = quads.filter(!serializable).select(col("p"), col("o_value"))
+      .limit(1).collect() // tiny: first offender or empty
+    require(bad.isEmpty,
+      "not RDF/XML-serializable (predicate without an NCName local part, " +
+        s"or an XML-1.0-illegal control char): ${bad.mkString}")
+    val propElem =
+      when(col("o_kind") === Quad.KindIri,
+        concat(lit("<"), local, lit(" xmlns=\""), escAttr(ns),
+          lit("\" rdf:resource=\""), escAttr(col("o_value")), lit("\"/>")))
+        .when(col("o_kind") === Quad.KindBnode,
+          concat(lit("<"), local, lit(" xmlns=\""), escAttr(ns),
+            lit("\" rdf:nodeID=\""),
+            escAttr(expr("substring(o_value, 3)")), lit("\"/>")))
+        .otherwise(concat(lit("<"), local, lit(" xmlns=\""), escAttr(ns),
+          when(col("o_lang").isNotNull,
+            concat(lit("\" xml:lang=\""), escAttr(col("o_lang"))))
+            .when(col("o_type").isNotNull,
+              concat(lit("\" rdf:datatype=\""), escAttr(col("o_type"))))
+            .otherwise(lit("")),
+          lit("\">"), escText(col("o_value")),
+          lit("</"), local, lit(">")))
+    val subjAttr =
+      when(col("s").startsWith(Quad.BnodePrefix),
+        concat(lit(" rdf:nodeID=\""),
+          escAttr(expr("substring(s, 3)")), lit("\"")))
+        .otherwise(concat(lit(" rdf:about=\""), escAttr(col("s")), lit("\"")))
+    quads
+      .select(col("s"), propElem.as("pe"), subjAttr.as("sa"))
+      .groupBy(col("s"), col("sa"))
+      .agg(array_join(sort_array(collect_list(col("pe"))), "").as("props"))
+      .select(concat(lit("<rdf:Description"), col("sa"), lit(">"),
+        col("props"), lit("</rdf:Description>")).as("value"))
+  }
+
+  /** Write quads as RDF/XML (triple-scoped; graph drops). Every part
+    * file is a complete document: `<rdf:RDF>` root framing added per
+    * partition. */
+  def write(quads: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    import quads.sparkSession.implicits._
+    toElementLines(quads).as[String].mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else Iterator(s"""<rdf:RDF xmlns:rdf="$RdfNs">""") ++ it ++
+        Iterator("</rdf:RDF>")
+    }.write.mode("overwrite").text(path)
+  }
+
   /** Read an RDF/XML file (or directory of files) into quads. One task
     * per file — see the scale note in the object doc. */
   def read(spark: SparkSession, path: String, graph: String): Dataset[Quad] = {

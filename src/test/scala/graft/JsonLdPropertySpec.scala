@@ -46,9 +46,12 @@ class JsonLdPropertySpec extends AnyFunSuite {
   private val valueGen: Gen[String] =
     Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, charGen)).map(_.mkString)
 
+  // letter-first local part: RDF/XML needs an NCName after the last
+  // '/'; harmless extra constraint for the other sinks
   private val iriGen: Gen[String] =
-    Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar))
-      .map(s => "http://ex/" + s.mkString)
+    Gen.zip(Gen.alphaChar, Gen.choose(0, 5)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaNumChar)))
+      .map { case (h, t) => "http://ex/" + h + t.mkString }
 
   private val bnodeGen: Gen[String] =
     Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar))
@@ -75,6 +78,32 @@ class JsonLdPropertySpec extends AnyFunSuite {
   private def key(q: Quad) =
     (q.graph, q.s, q.p, q.o_value, Option(q.o_type), Option(q.o_lang), q.o_kind)
 
+  test("RdfIO dispatches every extension through the matching sink and source") {
+    import graft.rdf.RdfIO
+    import spark.implicits._
+    val quads = Seq(
+      Quad.lit(Quad.DefaultGraph, "http://ex/a", "http://ex/p", "v"),
+      Quad("http://g/x", "http://ex/b", "http://ex/q", "http://ex/a",
+        null, null, Quad.KindIri))
+    def k(q: Quad) = (q.s, q.p, q.o_value, Option(q.o_type),
+      Option(q.o_lang), q.o_kind)
+    for (e <- Seq("nt", "nq", "ttl", "trig", "rdf", "jsonld")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-rdfio").toString + s"/out.$e"
+      RdfIO.write(quads.toDS().toDF(), dir)
+      val back = RdfIO.read(spark, dir).collect()
+      assert(back.map(k).toSet == quads.map(k).toSet, s"format .$e")
+      // quad-scoped formats keep the graph labels; triple-scoped collapse
+      val graphs = back.map(_.graph).toSet
+      if (Set("nq", "trig", "jsonld")(e))
+        assert(graphs == Set(Quad.DefaultGraph, "http://g/x"), s".$e graphs")
+      else assert(graphs == Set(Quad.DefaultGraph), s".$e graphs")
+    }
+    intercept[IllegalArgumentException] {
+      RdfIO.read(spark, "/tmp/x.parquet")
+    }
+  }
+
   test("arbitrary quad batches roundtrip through the N-Quads sink byte-exactly") {
     import graft.rdf.NTriples
     forAllSamples(Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, quadGen)), 25) {
@@ -85,6 +114,79 @@ class JsonLdPropertySpec extends AnyFunSuite {
           .as[String].collect()
         val back = lines.map(NTriples.parseQuadLine(_, Quad.DefaultGraph))
         assert(back.map(key).toSet == quads.map(key).toSet)
+    }
+  }
+
+  test("arbitrary quad batches roundtrip through the TriG sink (graphs survive)") {
+    import graft.rdf.Turtle
+    import spark.implicits._
+    forAllSamples(Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, quadGen)), 25) {
+      quads0 =>
+        val quads = quads0.distinct
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-trigprop").toString
+        Turtle.writeTrig(quads.toDS().toDF(), dir)
+        val back = Turtle.readTrig(spark, dir).collect()
+        def k(q: Quad) = (q.graph, q.s.replaceAll("_:t[0-9a-f]+_", "_:"),
+          q.p,
+          if (q.o_kind == Quad.KindBnode)
+            q.o_value.replaceAll("_:t[0-9a-f]+_", "_:") else q.o_value,
+          Option(q.o_type), Option(q.o_lang), q.o_kind)
+        assert(back.map(k).toSet == quads.map(k).toSet,
+          s"roundtrip mismatch in $dir")
+    }
+  }
+
+  test("arbitrary quad batches roundtrip through the RDF/XML sink (triple-scoped)") {
+    import graft.rdf.RdfXml
+    import spark.implicits._
+    forAllSamples(Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, quadGen)), 25) {
+      quads0 =>
+        // \b and \f are ILLEGAL in XML 1.0 (even as char refs) — the
+        // writer rejects them loudly (covered below); map them out here
+        val quads = quads0.distinct.map(q => q.copy(
+          o_value = q.o_value.replace('\b', 'B').replace('\f', 'F')))
+          .distinct
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-xmlprop").toString
+        RdfXml.write(quads.toDS().toDF(), dir)
+        val back = RdfXml.read(spark, dir, "g").collect()
+        def k(q: Quad) = (q.s.replaceAll("_:x[0-9a-f]+_", "_:"),
+          q.p,
+          if (q.o_kind == Quad.KindBnode)
+            q.o_value.replaceAll("_:x[0-9a-f]+_", "_:") else q.o_value,
+          Option(q.o_type), Option(q.o_lang), q.o_kind)
+        assert(back.map(k).toSet == quads.map(k).toSet,
+          s"roundtrip mismatch in $dir")
+    }
+    // the writer refuses XML-1.0-illegal control chars loudly
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      RdfXml.write(Seq(Quad.lit("g", "http://ex/a", "http://ex/p",
+        "bad\fchar")).toDS().toDF(), java.nio.file.Files
+        .createTempDirectory("graft-xmlbad").toString)
+    }
+    assert(e.getMessage.contains("RDF/XML-serializable"))
+  }
+
+  test("arbitrary quad batches roundtrip through the Turtle sink (triple-scoped)") {
+    import graft.rdf.Turtle
+    import spark.implicits._
+    forAllSamples(Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, quadGen)), 25) {
+      quads0 =>
+        val quads = quads0.distinct
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-ttlprop").toString
+        Turtle.write(quads.toDS().toDF(), dir)
+        val back = Turtle.read(spark, dir, "g").collect()
+        def tripleKey(q: Quad) = (q.s.replaceAll("_:t[0-9a-f]+_", "_:"),
+          q.p,
+          if (q.o_kind == Quad.KindBnode)
+            q.o_value.replaceAll("_:t[0-9a-f]+_", "_:") else q.o_value,
+          Option(q.o_type), Option(q.o_lang), q.o_kind)
+        // Turtle is triple-scoped: compare modulo the dropped graph
+        assert(back.map(tripleKey).toSet == quads.map(tripleKey).toSet,
+          s"roundtrip mismatch in $dir")
     }
   }
 
