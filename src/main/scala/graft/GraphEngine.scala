@@ -18,10 +18,33 @@ import graft.sparql.SparqlParser._
   */
 final class GraphEngine(val store: QuadStore) {
 
-  /** Execute one SPARQL update (INSERT..WHERE / INSERT DATA /
-    * DELETE..WHERE / DELETE DATA / CLEAR / DROP). */
+  // cost-based BGP ordering, opt-in per engine (see CardEstimator)
+  private var stats: Option[graft.sparql.CardEstimator] = None
+
+  /** Gather per-predicate cardinalities from the store's CURRENT state
+    * (one vocabulary-sized aggregate) and plan every subsequent query
+    * on this engine with data-driven pattern ordering instead of the
+    * static shape rank. Call again after bulk loads to refresh. */
+  def withCardinalityStats(): GraphEngine = {
+    stats = Some(graft.sparql.CardEstimator.fromQuads(store.read()))
+    this
+  }
+
+  /** Run plan construction with this engine's stats in planner scope. */
+  private def planned[T](f: => T): T =
+    graft.sparql.CardEstimator.current.withValue(stats)(f)
+
+  /** Execute a SPARQL update *request* (§3.1): one or more operations
+    * (INSERT..WHERE / INSERT DATA / DELETE..WHERE / DELETE DATA /
+    * CLEAR / DROP / COPY / MOVE / ADD / LOAD) separated by `;`, run
+    * strictly in sequence — each operation reads the store state the
+    * previous one left (the reference posts whole update files to
+    * Stardog, which executes them with exactly these semantics). */
   def update(text: String, name: String = "update"): Unit =
-    SparqlParser.parse(text, name) match {
+    SparqlParser.parseRequest(text, name).foreach(execute)
+
+  private def execute(op: SparqlParser.UpdateOp): Unit = planned {
+    op match {
       case InsertWhere(q) =>
         // the compiled template writes only q.targetGraph — pass it so
         // the anti-join scope needs no extra batch computation
@@ -93,6 +116,7 @@ final class GraphEngine(val store: QuadStore) {
           store.appendDistinct(quads.toDF(), Some(Seq(g)))
         }
     }
+  }
 
   /** COPY/ADD body: rebind `from`'s quads to `to` and insert; `replace`
     * clears the target first (COPY/MOVE §3.2.3-4) — both sides are one
@@ -109,7 +133,7 @@ final class GraphEngine(val store: QuadStore) {
     * read (partition pruning, like USING), the WHERE group compiles to
     * the same DataFrame plan as a mapping query, and the projection
     * returns one column per selected variable. */
-  def select(text: String, name: String = "select"): DataFrame = {
+  def select(text: String, name: String = "select"): DataFrame = planned {
     val q = SparqlParser.parseSelect(text, name)
     val scoped =
       if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) store.read()
@@ -130,7 +154,7 @@ final class GraphEngine(val store: QuadStore) {
 
   /** Execute a SPARQL ASK: true iff any solution exists (short-
     * circuiting LIMIT 1 under the hood). */
-  def ask(text: String, name: String = "ask"): Boolean = {
+  def ask(text: String, name: String = "ask"): Boolean = planned {
     val q = SparqlParser.parseAsk(text, name)
     val scoped =
       if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) store.read()
@@ -142,7 +166,7 @@ final class GraphEngine(val store: QuadStore) {
     * quad DataFrame bound to `targetGraph` (a graph VALUE — nothing is
     * written to the store). */
   def construct(text: String, name: String = "construct",
-      targetGraph: String = "urn:graft:construct"): DataFrame = {
+      targetGraph: String = "urn:graft:construct"): DataFrame = planned {
     val q = SparqlParser.parseConstruct(text, name)
     val scoped =
       if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) store.read()
@@ -153,7 +177,7 @@ final class GraphEngine(val store: QuadStore) {
 
   /** Execute a SPARQL DESCRIBE: the IRI's concise bounded description
     * (own triples + bounded blank-node closure) as a quad DataFrame. */
-  def describe(text: String, name: String = "describe"): DataFrame = {
+  def describe(text: String, name: String = "describe"): DataFrame = planned {
     val q = SparqlParser.parseDescribe(text, name)
     val scoped =
       if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) store.read()
@@ -163,11 +187,12 @@ final class GraphEngine(val store: QuadStore) {
 
   /** Compile an INSERT..WHERE update and return the quads it would
     * produce, without writing (for inspection / testing). */
-  def preview(text: String, name: String = "preview"): DataFrame =
+  def preview(text: String, name: String = "preview"): DataFrame = planned {
     SparqlParser.parse(text, name) match {
       case InsertWhere(q) => Compiler.run(q, store.readGraphs(q.usingGraphs),
         namedScope(q.usingGraphs, q.usingNamed))
       case other => throw new IllegalArgumentException(
         s"preview requires INSERT..WHERE, got $other")
     }
+  }
 }

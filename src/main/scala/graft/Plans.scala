@@ -145,6 +145,29 @@ object Plans {
         "arrays — reconstruction is element_at over codebook literals " +
         "inside the codegen span; only the 50 ADC survivors per query " +
         "join the true vectors back for exact re-ranking."),
+    "rdf_dict_bgp_join" ->
+      ("dictionary-encoded BGP: every join between the constant probes, " +
+        "the user-edge self-join and the intersect carries (s_id, o_id) " +
+        "LONGS — term strings appear in exactly two places, the " +
+        "dictionary build and the final single-row-per-user decode " +
+        "join. At 100 TB the shuffle bytes of the whole join tree drop " +
+        "by the average-term-length factor (~10-20x for IRIs); the " +
+        "dictionary itself is built once per corpus with a distributed " +
+        "sort + zipWithIndex, no single-partition window."),
+    "rdf_sparql_stats_join" ->
+      ("cost-based BGP ordering: the engine's CardEstimator (one " +
+        "vocabulary-sized aggregate) anchors the join tree on the " +
+        "'error' probe (~20x rarer than 'purchase'), so every " +
+        "subsequent join's build side is error-sized — Catalyst never " +
+        "reorders the compiler's joins, so this decision must happen " +
+        "at compile time and now follows data, not syntax."),
+    "dedup_incremental" ->
+      ("cross-snapshot dedup: the band join's left side is the 20% " +
+        "incoming batch only — the base corpus contributes its band " +
+        "index but never self-joins, so candidate volume scales with " +
+        "the batch. At production scale the base bands are a persisted " +
+        "artifact (the ann_ivfpq_persisted pattern) and the increment " +
+        "is the only thing shingled per run."),
     "ann_ivfpq_bucketed" ->
       ("IVFADC composed: the cell equi-join prunes the scan to the " +
         "query's probed cells BEFORE any vector math, the pruned rows " +

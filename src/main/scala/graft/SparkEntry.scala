@@ -17,7 +17,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Relational2.queries ++ ops.Relational3.queries ++
-      ops.RdfOps.queries ++
+      ops.RdfOps.queries ++ ops.DictOps.queries ++
       ops.TextOps.queries ++ ops.QualityOps.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.SemanticOps.queries ++
       ops.Multimodal.queries ++ ops.Udafs.queries ++ ops.Curation.queries ++
@@ -28,7 +28,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracleSql ++ ops.Relational2.oracleSql ++ ops.Relational3.oracleSql ++
-      ops.RdfOps.oracleSql ++
+      ops.RdfOps.oracleSql ++ ops.DictOps.oracleSql ++
       ops.TextOps.oracleSql ++ ops.QualityOps.oracleSql ++ ops.Dedup.oracleSql ++
       ops.Similarity.oracleSql ++ ops.SemanticOps.oracleSql ++
       ops.Multimodal.oracleSql ++ ops.Udafs.oracleSql ++ ops.Curation.oracleSql ++

@@ -209,6 +209,38 @@ object Dedup {
         .orderBy(col("i"), col("j"))
     }),
 
+    // ---- Incremental (cross-snapshot) near-dup: an incoming batch
+    // checked against an already-indexed base corpus — the shape every
+    // production pipeline actually runs (the 100 TB corpus is static
+    // and carries a persisted band index, cf. ann_ivfpq_persisted;
+    // only the daily increment is shingled and probed). The band join
+    // is incoming×bucket-sized — the base NEVER self-joins, so cost
+    // scales with the batch, not the corpus. Here the split is
+    // simulated deterministically (doc_id%5==0 → incoming, 20%);
+    // band parameters and the exact-Jaccard verify are identical to
+    // dedup_minhash_lsh, so the oracle is the exact cross-pair set.
+    "dedup_incremental" -> ((s, d) => {
+      val (ex, counts) = shingleTables(s, d)
+      val bands = minhashBands(belowCap(ex, ShingleDfCap))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val incoming = bands.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id").as("i"), col("band"), col("bandHash"))
+      val base = bands.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select(col("doc_id").as("j"), col("band"), col("bandHash"))
+      val cand = incoming.join(base, Seq("band", "bandHash"))
+        .select(col("i"), col("j")).distinct()
+      val exI = ex.select(col("doc_id").as("i"), col("hs"))
+      val exJ = ex.select(col("doc_id").as("j"), col("hs"))
+      val inter = cand
+        .join(exI, "i").join(exJ, Seq("j", "hs"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+      jaccardOf(inter, counts)
+        .filter(col("jac") >= 0.8)
+        .select(col("i").as("inc_id"), col("j").as("base_id"),
+          round(col("jac"), 4).as("jac"))
+        .orderBy(col("inc_id"), col("base_id"))
+    }),
+
     // ---- SimHash fingerprints + hamming-band near-dup candidates
     "dedup_simhash" -> ((s, d) => {
       // fingerprints feed BOTH sides of the chunk self-join — persist so
@@ -258,7 +290,42 @@ object Dedup {
     // shallow (diameter ~2-3 even at corpus scale) so the loop is short.
     "dedup_clusters" -> ((s, d) =>
       clusterAssign(neardupPairs(s, d).select(col("i"), col("j")))
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // ---- Canonical corpus: the dedup family's end product — drop
+    // every non-representative member of each near-dup cluster (keep
+    // the min-id rep; singletons survive untouched). The anti-join side
+    // is (cluster members minus reps), a small fraction of the corpus,
+    // so the rewrite is scan + broadcast-anti-join at any scale.
+    "dedup_canonical" -> ((s, d) => {
+      val reps = clusterAssign(neardupPairs(s, d).select(col("i"), col("j")))
+      val drop = reps.filter(col("cluster_rep") =!= col("doc_id"))
+        .select(col("doc_id"))
+      Tables.documents(s, d)
+        .join(drop, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("chars_kept"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- Leakage-free train/held-out split: a doc's split is decided
+    // by its near-dup CLUSTER representative, not its own id, so two
+    // near-duplicate documents can never land on opposite sides of the
+    // train/eval boundary (the train-test-contamination failure mode of
+    // naive per-doc hashing). rep%10<8 → ~80% train; the rep join is
+    // dup-cluster-sized (broadcastable — clusters are a small fraction
+    // of any deduped corpus), singleton docs default to their own id.
+    "split_leakage_free" -> ((s, d) => {
+      val reps = clusterAssign(neardupPairs(s, d).select(col("i"), col("j")))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(reps, Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+        .select(col("doc_id"),
+          when(pmod(col("rep"), lit(10)) < 8, "train")
+            .otherwise("held_out").as("split"))
+        .orderBy(col("doc_id"))
+    }))
 
   /** Assign each node of the (i, j) pair graph the minimum doc_id
     * reachable from it (its connected-component representative).
@@ -381,7 +448,49 @@ object Dedup {
     // MinHash+LSH must find exactly the >=0.8 pairs (verify step makes
     // precision exact; band parameters make recall ~1 at this threshold)
     "dedup_minhash_lsh" -> pairsOracle,
+    // cross-snapshot restriction of the exact pair set: keep pairs with
+    // exactly one incoming (doc_id%5==0) side, incoming id first
+    "dedup_incremental" ->
+      s"""WITH $pairsCtes
+          SELECT CASE WHEN i % 5 = 0 THEN i ELSE j END AS inc_id,
+                 CASE WHEN i % 5 = 0 THEN j ELSE i END AS base_id, jac
+          FROM pairs
+          WHERE (i % 5 = 0) <> (j % 5 = 0)
+          ORDER BY inc_id, base_id""",
     "dedup_clusters" -> clustersOracle,
+    // survivors = docs that are not a non-rep member of any cluster
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $pairsCtes,
+          bi AS (SELECT i AS a, j AS b FROM pairs
+                 UNION SELECT j, i FROM pairs),
+          reach(a, b) AS (
+            SELECT a, b FROM bi
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN bi e ON r.b = e.a),
+          drops AS (SELECT a AS doc_id FROM reach
+                    GROUP BY a HAVING least(a, min(b)) <> a)
+        SELECT source, count(*) AS n_kept,
+          CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = d.doc_id)
+        GROUP BY source
+        ORDER BY source""",
+    // same component closure; split decided by the cluster rep
+    "split_leakage_free" ->
+      s"""WITH RECURSIVE $pairsCtes,
+          bi AS (SELECT i AS a, j AS b FROM pairs
+                 UNION SELECT j, i FROM pairs),
+          reach(a, b) AS (
+            SELECT a, b FROM bi
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN bi e ON r.b = e.a),
+          reps AS (SELECT a AS doc_id, least(a, min(b)) AS rep
+                   FROM reach GROUP BY a)
+        SELECT d.doc_id,
+          CASE WHEN coalesce(r.rep, d.doc_id) % 10 < 8
+               THEN 'train' ELSE 'held_out' END AS split
+        FROM documents d LEFT JOIN reps r ON r.doc_id = d.doc_id
+        ORDER BY d.doc_id""",
     // the exact-pair COUNT comes from SQL; the recall bound is the
     // deterministic sketch property the audit asserts
     "dedup_simhash_recall" ->

@@ -352,6 +352,33 @@ object RdfOps {
         .orderBy(col("s"), col("p"), col("o_value"))
     }),
 
+    // S7, §3.1 request grammar: ONE update text carrying FOUR
+    // `;`-separated operations (plus a trailing `;`), executed strictly
+    // in sequence — op2's WHERE reads op1's inserts, op3 deletes the
+    // staging graph op1 wrote, op4 appends a marker. The final store
+    // state proves the sequencing: only the derived graph survives.
+    // Stardog/rdflib accept whole request files like this, so the
+    // reference's posted update files are covered beyond one-op texts.
+    "rdf_sparql_update_seq" -> ((s, _) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-seq-${System.nanoTime()}"
+      val engine = new graft.GraphEngine(new graft.model.GraphStore(s, dir))
+      engine.update("""
+        PREFIX ex: <http://ex/>
+        INSERT DATA { GRAPH <http://ex/src> {
+          ex:a ex:name "Alpha" . ex:b ex:name "Beta" .
+        } } ;
+        PREFIX out: <http://ex/o/>
+        WITH <http://ex/out>
+        INSERT { ?s out:label ?u }
+        USING <http://ex/src>
+        WHERE { ?s ex:name ?n . BIND (UCASE(?n) AS ?u) } ;
+        DELETE WHERE { GRAPH <http://ex/src> { ?s ex:name ?n } } ;
+        INSERT DATA { GRAPH <http://ex/out> { ex:run ex:status "done" } } ;
+        """)
+      engine.store.read()
+        .orderBy(col("graph"), col("s"), col("p"), col("o_value"))
+    }),
+
     // Read-side SPARQL: SELECT DISTINCT + FILTER + FROM scoping +
     // ORDER/LIMIT compiled onto the quad store (partition-pruned scan,
     // BGP self-join, TakeOrderedAndProject for the limit). The oracle
@@ -370,6 +397,64 @@ object RdfOps {
         }
         ORDER BY ?etype ?uid
         LIMIT 100""")
+    }),
+
+    // VoID dataset statistics (W3C void: vocabulary) — the RDF
+    // ecosystem's standard self-description: dataset-level triple /
+    // distinct-subject / property counts plus one propertyPartition
+    // per predicate, emitted AS quad rows ready for insertion into a
+    // well-known graph. All counts are distributed aggregates over the
+    // store scan (countDistinct shuffles term hashes, per-predicate
+    // rows are vocabulary-sized); nothing touches the driver.
+    "rdf_void_summary" -> ((s, d) => {
+      val quads = eventStore(s, d).readGraphs(Seq(eventStoreGraph))
+      val void = "http://rdfs.org/ns/void#"
+      val ds = "urn:graft:void:dataset"
+      val totals = quads.agg(
+        count(lit(1)).as("triples"),
+        countDistinct(col("s")).as("dsubj"),
+        countDistinct(col("p")).as("nprops"))
+      val datasetRows = totals.select(explode(array(
+        struct(lit(ds).as("s"), lit(void + "triples").as("p"),
+          col("triples").cast("string").as("o_value")),
+        struct(lit(ds).as("s"), lit(void + "distinctSubjects").as("p"),
+          col("dsubj").cast("string").as("o_value")),
+        struct(lit(ds).as("s"), lit(void + "properties").as("p"),
+          col("nprops").cast("string").as("o_value")))).as("q"))
+        .select(col("q.*"))
+      val partRows = quads.groupBy(col("p").as("prop"))
+        .agg(count(lit(1)).as("n"))
+        .select(explode(array(
+          struct(concat(lit("urn:graft:void:part:"), col("prop")).as("s"),
+            lit(void + "property").as("p"), col("prop").as("o_value")),
+          struct(concat(lit("urn:graft:void:part:"), col("prop")).as("s"),
+            lit(void + "triples").as("p"),
+            col("n").cast("string").as("o_value")))).as("q"))
+        .select(col("q.*"))
+      datasetRows.unionByName(partRows).orderBy(col("s"), col("p"), col("o_value"))
+    }),
+
+    // Cost-based BGP ordering end to end: the engine gathers
+    // per-predicate cardinalities from the store (one vocabulary-sized
+    // aggregate) and plans this 4-pattern self-join by estimated
+    // cardinality instead of the static constant-shape rank — 'error'
+    // events are ~20× rarer than 'purchase', so the error probe anchors
+    // the join tree (CardEstimatorSpec pins the chosen order; here the
+    // oracle proves the reordered plan computes the same answer).
+    "rdf_sparql_stats_join" -> ((s, d) => {
+      val g = eventStoreGraph
+      val engine = new graft.GraphEngine(eventStore(s, d))
+        .withCardinalityStats()
+      engine.select(s"""
+        PREFIX src: <$ns>
+        SELECT ?uid (COUNT(?e) AS ?n)
+        FROM <$g>
+        WHERE {
+          ?e src:event_type "purchase" ; src:user_id ?uid .
+          ?e2 src:event_type "error" ; src:user_id ?uid .
+        }
+        GROUP BY ?uid
+        ORDER BY ?uid""")
     }),
 
     // SPARQL 1.1 SERVICE (federated query), Spark-first: the endpoint
@@ -1612,6 +1697,20 @@ ORDER BY s, p, o_value""",
              n, NULL, NULL, 'literal'
            FROM (VALUES ('Alpha'), ('Beta')) t(n)) u
          ORDER BY s, p, o_value""",
+    // constructed state: only the derived graph survives the request —
+    // src's rows were deleted by op3, so the oracle enumerates op2's
+    // uppercased labels plus op4's marker
+    "rdf_sparql_update_seq" ->
+      """SELECT * FROM (
+           SELECT 'http://ex/out' AS graph, 'http://ex/' || s AS s,
+             'http://ex/o/label' AS p, upper(n) AS o_value,
+             CAST(NULL AS VARCHAR) AS o_type, CAST(NULL AS VARCHAR) AS o_lang,
+             'literal' AS o_kind
+           FROM (VALUES ('a', 'Alpha'), ('b', 'Beta')) t(s, n)
+           UNION ALL
+           SELECT 'http://ex/out', 'http://ex/run', 'http://ex/status',
+             'done', NULL, NULL, 'literal') u
+         ORDER BY graph, s, p, o_value""",
     "rdf_sparql_minus" ->
       """SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS c,
            c_mktsegment AS seg
@@ -1627,6 +1726,48 @@ ORDER BY s, p, o_value""",
            SELECT DISTINCT CAST(user_id AS VARCHAR), 'p'
            FROM events WHERE event_type = 'purchase') t
          ORDER BY uid, kind""",
+    // VoID statistics recomputed relationally: each event mints one
+    // subject and one triple per non-null flattened field
+    "rdf_void_summary" ->
+      s"""WITH c AS (
+            SELECT count(event_type) AS ct, count(user_id) AS cu,
+                   count(event_id) AS ce,
+                   count(CASE WHEN event_type IS NOT NULL
+                           OR user_id IS NOT NULL
+                           OR event_id IS NOT NULL THEN 1 END) AS ds
+            FROM events),
+          parts AS (
+            SELECT '${ns}event_type' AS prop, ct AS n FROM c WHERE ct > 0
+            UNION ALL
+            SELECT '${ns}user_id', cu FROM c WHERE cu > 0
+            UNION ALL
+            SELECT '${ns}event_id', ce FROM c WHERE ce > 0)
+          SELECT * FROM (
+            SELECT 'urn:graft:void:dataset' AS s,
+                   'http://rdfs.org/ns/void#triples' AS p,
+                   CAST(ct + cu + ce AS VARCHAR) AS o_value FROM c
+            UNION ALL
+            SELECT 'urn:graft:void:dataset',
+                   'http://rdfs.org/ns/void#distinctSubjects',
+                   CAST(ds AS VARCHAR) FROM c
+            UNION ALL
+            SELECT 'urn:graft:void:dataset',
+                   'http://rdfs.org/ns/void#properties',
+                   CAST((SELECT count(*) FROM parts) AS VARCHAR) FROM c
+            UNION ALL
+            SELECT 'urn:graft:void:part:' || prop,
+                   'http://rdfs.org/ns/void#property', prop FROM parts
+            UNION ALL
+            SELECT 'urn:graft:void:part:' || prop,
+                   'http://rdfs.org/ns/void#triples',
+                   CAST(n AS VARCHAR) FROM parts) u
+          ORDER BY s, p, o_value""",
+    "rdf_sparql_stats_join" ->
+      """SELECT CAST(p.user_id AS VARCHAR) AS uid, count(*) AS n
+         FROM events p JOIN events e2 ON p.user_id = e2.user_id
+         WHERE p.event_type = 'purchase' AND e2.event_type = 'error'
+         GROUP BY p.user_id
+         ORDER BY uid""",
     "rdf_sparql_service" ->
       """SELECT CASE event_type
                WHEN 'view' THEN 'browse' WHEN 'click' THEN 'browse'

@@ -211,7 +211,14 @@ object Compiler {
 
     def joinPatternBatch(batch: Seq[TriplePattern]): Unit = {
       if (batch.isEmpty) return
-      val remaining = batch.sortBy(rank).toBuffer
+      // static shape rank, unless a CardEstimator is in planner scope
+      // (GraphEngine.withCardinalityStats) — then data-driven estimates
+      // pick the order ([[CardEstimator]]; orderOf mirrors this loop)
+      val est: TriplePattern => Double = CardEstimator.current.value match {
+        case Some(ce) => tp => ce.estimate(tp)
+        case None => tp => rank(tp).toDouble
+      }
+      val remaining = batch.sortBy(est).toBuffer
       while (remaining.nonEmpty) {
         val boundVars: Set[String] =
           acc.map(_.columns.toSet).getOrElse(Set.empty)

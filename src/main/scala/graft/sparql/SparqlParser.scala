@@ -55,6 +55,15 @@ object SparqlParser {
   def parse(text: String, name: String = "parsed"): UpdateOp =
     new P(text, name).parseUpdate()
 
+  /** Parse a full SPARQL 1.1 Update *request* (§3.1: `Update ::=
+    * Prologue (Update1 (';' Update)?)?`) — one or more operations
+    * separated by `;`, sharing one prologue scope. PREFIX/BASE
+    * declarations carry forward across operations and may be
+    * re-declared mid-request (later wins, as in rdflib/Stardog); a
+    * trailing `;` and a prologue-only request are both legal. */
+  def parseRequest(text: String, name: String = "request"): Seq[UpdateOp] =
+    new P(text, name).parseUpdateRequest()
+
   /** Parse a SPARQL SELECT (the read-side entry; see
     * [[graft.GraphEngine.select]]). */
   def parseSelect(text: String, name: String = "select"): SelectQuery =
@@ -791,6 +800,30 @@ object SparqlParser {
           }
         } else fail("expected INSERT or DELETE")
       }
+    }
+
+    /** The request grammar, iteratively: parse prologue, stop at EOF
+      * (covers the prologue-only and trailing-`;` cases), else one
+      * operation, then demand `;` or EOF. The inner `parsePrefixes()`
+      * in [[parseUpdate]] is an idempotent no-op here, and the shared
+      * `prefixes`/`base` state is exactly the spec's request-wide
+      * prologue scope. */
+    def parseUpdateRequest(): Seq[UpdateOp] = {
+      val ops = mutable.Buffer.empty[UpdateOp]
+      var more = true
+      while (more) {
+        parsePrefixes()
+        ws()
+        if (pos >= input.length) more = false
+        else {
+          ops += parseUpdate()
+          ws()
+          if (pos >= input.length) more = false
+          else if (!tryEat(';'))
+            fail("expected ';' between update operations or end of request")
+        }
+      }
+      ops.toSeq
     }
 
     /** `[SILENT] (DEFAULT | [GRAPH] g1) TO (DEFAULT | [GRAPH] g2)`

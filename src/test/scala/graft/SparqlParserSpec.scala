@@ -331,6 +331,37 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(g2 == "http://ex/g" && !s2)
   }
 
+  test("update request: `;`-separated operations share one prologue scope") {
+    val ops = SparqlParser.parseRequest(s"""
+      PREFIX ex: <http://ex/>
+      INSERT DATA { GRAPH <http://ex/g> { ex:s ex:p ex:o } } ;
+      # comment between operations
+      PREFIX ex: <http://ex2/>
+      DELETE WHERE { GRAPH <http://ex/g> { ?s ex:p ?o } } ;
+      CLEAR GRAPH <http://ex/g> ;
+      """)
+    assert(ops.size == 3)
+    val InsertData(quads) = ops(0): @unchecked
+    assert(quads.head.p == "http://ex/p")
+    // the re-declared ex: prefix (later wins) governs op 2's pattern
+    val DeleteWhere(q) = ops(1): @unchecked
+    val Algebra.Pat(tp) = q.where.elems.head: @unchecked
+    assert(tp.p == Algebra.I("http://ex2/p"))
+    val ClearGraphOp(g, _) = ops(2): @unchecked
+    assert(g == "http://ex/g")
+
+    // prologue-only and empty requests are legal no-ops
+    assert(SparqlParser.parseRequest("PREFIX ex: <http://ex/>").isEmpty)
+    assert(SparqlParser.parseRequest("  # nothing\n").isEmpty)
+
+    // junk between operations fails loudly
+    val e = intercept[IllegalArgumentException] {
+      SparqlParser.parseRequest(
+        "CLEAR GRAPH <http://ex/g> CLEAR GRAPH <http://ex/h>")
+    }
+    assert(e.getMessage.contains("';'"))
+  }
+
   test("unterminated string literal fails fast instead of hanging") {
     val e = intercept[IllegalArgumentException] {
       SparqlParser.parse(
