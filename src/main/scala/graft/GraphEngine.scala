@@ -141,6 +141,28 @@ final class GraphEngine(val store: QuadStore) {
     Compiler.runSelect(q, scoped, namedScope(q.fromGraphs, q.fromNamed))
   }
 
+  /** SELECT keeping full `(v,k,dt,lg)` term structs — the input the
+    * W3C results serializers need (see [[graft.sparql.SparqlResults]]). */
+  def selectTerms(text: String, name: String = "select"): DataFrame = planned {
+    val q = SparqlParser.parseSelect(text, name)
+    val scoped =
+      if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) store.read()
+      else store.readGraphs(q.fromGraphs)
+    Compiler.runSelectTerms(q, scoped, namedScope(q.fromGraphs, q.fromNamed))
+  }
+
+  /** W3C SPARQL 1.1 Query Results JSON document for a SELECT. */
+  def selectJson(text: String): String =
+    graft.sparql.SparqlResults.jsonDocument(selectTerms(text))
+
+  /** W3C results CSV document (lexical values, RFC 4180). */
+  def selectCsv(text: String): String =
+    graft.sparql.SparqlResults.csvDocument(selectTerms(text))
+
+  /** W3C results TSV document (full SPARQL term syntax). */
+  def selectTsv(text: String): String =
+    graft.sparql.SparqlResults.tsvDocument(selectTerms(text))
+
   /** The GRAPH-pattern dataset (SPARQL 1.1 13.2): with no dataset clause
     * GRAPH ranges over the whole store (None = same as the default
     * scope); any FROM/FROM NAMED makes the dataset explicit, so GRAPH

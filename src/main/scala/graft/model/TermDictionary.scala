@@ -69,6 +69,31 @@ object TermDictionary {
     spark.createDataFrame(indexed).toDF("term", "id")
   }
 
+  /** Incremental dictionary maintenance: terms of `newQuads` that the
+    * existing dictionary doesn't know get fresh ids appended AFTER the
+    * current range (sorted among themselves). Existing ids are FROZEN —
+    * nothing downstream (encoded quads on disk, indexes keyed by id)
+    * ever needs rewriting, which is the whole point: at 100 TB the
+    * dictionary is a persisted artifact and a daily increment touches
+    * only its own new terms (anti-join + sort of increment-sized data),
+    * never the corpus. Same frozen-base pattern as the IVFADC
+    * incremental append. The max-id read is a 1-row aggregate. */
+  def append(dict: DataFrame, newQuads: DataFrame): DataFrame = {
+    val spark = newQuads.sparkSession
+    import spark.implicits._
+    val fresh = newQuads.select(col("s").as("term"))
+      .unionByName(newQuads.select(col("p").as("term")))
+      .unionByName(newQuads.select(objTermOf(newQuads).as("term")))
+      .distinct()
+      .join(dict.select(col("term")), Seq("term"), "left_anti")
+      .orderBy("term")
+    val base = dict.agg(coalesce(max(col("id")) + 1L, lit(0L)))
+      .first().getLong(0)
+    val indexed = fresh.as[String].rdd.zipWithIndex()
+      .map { case (t, i) => (t, i + base) }
+    dict.unionByName(spark.createDataFrame(indexed).toDF("term", "id"))
+  }
+
   /** Rewrite quads to id space: (graph, s_id, p_id, o_id). Graph names
     * stay as strings — they are the partition key, low-cardinality, and
     * never join-shuffled. The s/o joins shuffle by term; the p join

@@ -42,6 +42,20 @@ object DictOps {
     "rdf_dict_terms" -> ((s, d) =>
       TermDictionary.dictionary(eventQuads(s, d)).orderBy("id")),
 
+    // Incremental dictionary maintenance: the 80% base corpus builds
+    // the dictionary, the 20% increment appends ONLY its genuinely new
+    // terms (frozen base ids, fresh ids after the range, sorted among
+    // themselves) — the daily-batch shape; nothing keyed by an old id
+    // is ever rewritten. Oracle recomputes both generations in SQL.
+    "rdf_dict_append" -> ((s, d) => {
+      val quads = eventQuads(s, d)
+      val evId = regexp_extract(col("s"), "ev/(\\d+)$", 1).cast("long")
+      val base = quads.filter(pmod(evId, lit(5)) =!= 0)
+      val inc = quads.filter(pmod(evId, lit(5)) === 0)
+      TermDictionary.append(TermDictionary.dictionary(base), inc)
+        .orderBy("id")
+    }),
+
     // A 4-pattern BGP — users with BOTH a purchase and an error event —
     // executed entirely in id space: constants are looked up once
     // (4-row collect, bounded by the query text), the self-joins carry
@@ -89,6 +103,42 @@ object DictOps {
              UNION ALL SELECT o FROM quads))
          SELECT term, row_number() OVER (ORDER BY term) - 1 AS id
          FROM terms ORDER BY id""",
+    "rdf_dict_append" ->
+      """WITH qb AS (
+           SELECT 'http://ex/ev/' || CAST(event_id AS VARCHAR) AS s,
+                  'http://ex/p/type' AS p, '"' || event_type || '"' AS o
+           FROM events WHERE event_id % 5 <> 0
+           UNION ALL
+           SELECT 'http://ex/ev/' || CAST(event_id AS VARCHAR),
+                  'http://ex/p/user',
+                  'http://ex/u/' || CAST(user_id AS VARCHAR)
+           FROM events WHERE event_id % 5 <> 0),
+         qi AS (
+           SELECT 'http://ex/ev/' || CAST(event_id AS VARCHAR) AS s,
+                  'http://ex/p/type' AS p, '"' || event_type || '"' AS o
+           FROM events WHERE event_id % 5 = 0
+           UNION ALL
+           SELECT 'http://ex/ev/' || CAST(event_id AS VARCHAR),
+                  'http://ex/p/user',
+                  'http://ex/u/' || CAST(user_id AS VARCHAR)
+           FROM events WHERE event_id % 5 = 0),
+         tb AS (SELECT DISTINCT term FROM (
+                  SELECT s AS term FROM qb
+                  UNION ALL SELECT p FROM qb
+                  UNION ALL SELECT o FROM qb)),
+         ti AS (SELECT DISTINCT term FROM (
+                  SELECT s AS term FROM qi
+                  UNION ALL SELECT p FROM qi
+                  UNION ALL SELECT o FROM qi) x
+                WHERE term NOT IN (SELECT term FROM tb)),
+         db AS (SELECT term, row_number() OVER (ORDER BY term) - 1 AS id
+                FROM tb),
+         di AS (SELECT term, (SELECT count(*) FROM tb)
+                  + row_number() OVER (ORDER BY term) - 1 AS id
+                FROM ti)
+         SELECT term, id FROM db
+         UNION ALL SELECT term, id FROM di
+         ORDER BY id""",
     "rdf_dict_bgp_join" ->
       """SELECT user_term FROM (
            SELECT 'http://ex/u/' || CAST(user_id AS VARCHAR) AS user_term

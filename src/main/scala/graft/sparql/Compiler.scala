@@ -1117,19 +1117,37 @@ object Compiler {
     out
   }
 
+  /** Full-term SELECT execution: same pipeline as [[runSelect]] but the
+    * result keeps complete `(v, k, dt, lg)` term structs — aggregates
+    * wrapped back into typed literals — which is what the W3C results
+    * serializers ([[SparqlResults]]) need to emit `"type"`/`"datatype"`
+    * /`"xml:lang"` faithfully. */
+  def runSelectTerms(query: SelectQuery, scopedQuads: DataFrame,
+      namedQuads: Option[DataFrame] = None): DataFrame =
+    compileSubSelect(query, scopedQuads, namedQuads)
+
   /** `{ SELECT ... }` subquery → binding table in TERM-STRUCT form (so
     * the enclosing group joins it like any other element). Plain vars
     * pass through as structs; aggregate aliases are wrapped back into
     * typed literals (COUNT → xsd:integer, SUM/AVG → xsd:double, MIN/
     * MAX/SAMPLE → plain literal of the lexical form). */
-  private def compileSubSelect(query: SelectQuery, quads: DataFrame): DataFrame = {
-    val bindings = compileGroup(quads, query.where, None)
+  private def compileSubSelect(query: SelectQuery, quads: DataFrame,
+      namedQuads: Option[DataFrame] = None): DataFrame = {
+    val bindings = compileGroup(quads, query.where, None, namedQuads)
     var out: DataFrame =
       if (query.aggs.isEmpty && query.groupBy.isEmpty && query.having.isEmpty) {
-        val vars =
-          if (query.projection.nonEmpty) query.vars
+        val withExprs = query.projection
+          .collect { case PExpr(e, as) => (e, as) }
+          .foldLeft(bindings) { case (df, (e, as)) =>
+            df.withColumn(as, compileExpr(e))
+          }
+        val names =
+          if (query.projection.nonEmpty) query.projection.collect {
+            case PVar(n) => n
+            case PExpr(_, as) => as
+          }
           else bindings.columns.toSeq.sorted
-        bindings.select(vars.map(col): _*)
+        withExprs.select(names.map(col): _*)
       } else {
         val (havingRw, hiddenAggs) = extractHavingAggs(query.having)
         val allAggs = query.aggs ++ hiddenAggs

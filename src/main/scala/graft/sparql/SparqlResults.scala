@@ -1,0 +1,106 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** W3C SPARQL 1.1 Query Results serializers (JSON, CSV, TSV) — the
+  * wire formats every SPARQL client stack (rdflib included, which is
+  * how the reference's users consume Stardog answers) expects.
+  *
+  * Spark-first split: the PER-ROW serialization is a codegen'd column
+  * expression over the term-struct result of
+  * [[Compiler.runSelectTerms]] — `to_json` / `concat_ws` run
+  * distributed, escaping included, so a 10⁹-row result serializes as a
+  * map-only job writable straight to storage. Only the `*Document`
+  * assemblers collect — they build ONE text document, which is by
+  * definition result-sized and belongs wherever the client is.
+  */
+object SparqlResults {
+
+  /** One W3C JSON binding object per term:
+    * `{"type":"uri"|"literal"|"bnode","value":v[,"xml:lang":lg]
+    * [,"datatype":dt]}`; null terms (unbound) stay null so `to_json`
+    * omits the variable, as §3.2.2 requires. */
+  private def bindingObj(c: Column): Column =
+    when(c.isNull, lit(null).cast(
+      "struct<type:string,value:string,`xml:lang`:string,datatype:string>"))
+      .otherwise(struct(
+        when(c.getField("k") === "iri", lit("uri"))
+          .when(c.getField("k") === "bnode", lit("bnode"))
+          .otherwise(lit("literal")).as("type"),
+        c.getField("v").as("value"),
+        c.getField("lg").as("xml:lang"),
+        c.getField("dt").as("datatype")))
+
+  /** Distributed per-row JSON serialization: one
+    * `{"var":{binding},...}` object per line (to_json escapes values
+    * and drops null fields — Spark's default ignoreNullFields). */
+  def jsonBindings(terms: DataFrame): Dataset[String] = {
+    import terms.sparkSession.implicits._
+    terms.select(to_json(struct(
+      terms.columns.map(v => bindingObj(col(v)).as(v)).toIndexedSeq: _*))
+      .as("line")).as[String]
+  }
+
+  /** The complete §3 results document (head + bindings array). */
+  def jsonDocument(terms: DataFrame): String = {
+    val vars = terms.columns
+      .map(v => "\"" + v + "\"").mkString(",")
+    jsonBindings(terms).collect()
+      .mkString(s"""{"head":{"vars":[$vars]},"results":{"bindings":[""",
+        ",", "]}}")
+  }
+
+  /** RFC 4180 quoting for the CSV format (§4.1): quote when the value
+    * contains a comma, quote, CR or LF; double inner quotes. Unbound →
+    * empty field. */
+  private def csvField(c: Column): Column = {
+    val v = c.getField("v")
+    when(v.isNull, lit(""))
+      .when(v.rlike("[\",\r\n]"),
+        concat(lit("\""), regexp_replace(v, "\"", "\"\""), lit("\"")))
+      .otherwise(v)
+  }
+
+  /** Distributed CSV rows (no header — see [[csvDocument]]). */
+  def csvRows(terms: DataFrame): Dataset[String] = {
+    import terms.sparkSession.implicits._
+    terms.select(concat_ws(",",
+      terms.columns.map(v => csvField(col(v))).toIndexedSeq: _*)
+      .as("line")).as[String]
+  }
+
+  /** Header + rows, CRLF-joined per §4.1. */
+  def csvDocument(terms: DataFrame): String =
+    (terms.columns.mkString(",") +: csvRows(terms).collect())
+      .mkString("", "\r\n", "\r\n")
+
+  /** TSV term syntax (§4.2): IRIs in `<>`, literals in SPARQL form
+    * with `\`/`"`/tab/newline escaped and `@lang` / `^^<dt>` tags,
+    * bnodes raw `_:label`; unbound → empty field. */
+  private def tsvTerm(c: Column): Column = {
+    val v = c.getField("v")
+    val esc = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      v, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\t", "\\\\t")
+    when(c.isNull, lit(""))
+      .when(c.getField("k") === "iri", concat(lit("<"), v, lit(">")))
+      .when(c.getField("k") === "bnode", v)
+      .otherwise(concat(lit("\""), esc, lit("\""),
+        when(c.getField("lg").isNotNull, concat(lit("@"), c.getField("lg")))
+          .otherwise(lit("")),
+        when(c.getField("dt").isNotNull,
+          concat(lit("^^<"), c.getField("dt"), lit(">")))
+          .otherwise(lit(""))))
+  }
+
+  def tsvRows(terms: DataFrame): Dataset[String] = {
+    import terms.sparkSession.implicits._
+    terms.select(concat_ws("\t",
+      terms.columns.map(v => tsvTerm(col(v))).toIndexedSeq: _*)
+      .as("line")).as[String]
+  }
+
+  def tsvDocument(terms: DataFrame): String =
+    (terms.columns.map("?" + _).mkString("\t") +: tsvRows(terms).collect())
+      .mkString("", "\n", "\n")
+}

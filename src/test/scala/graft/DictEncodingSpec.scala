@@ -61,6 +61,27 @@ class DictEncodingSpec extends AnyFunSuite {
     assert(back == expected)
   }
 
+  test("append freezes base ids and appends only new terms after range") {
+    import spark.implicits._
+    val base = fixture
+    val dict0 = TermDictionary.dictionary(base)
+    val n0 = dict0.count()
+    val newQuads = Seq(
+      // one fully-known quad (no new terms) and one with two new terms
+      Quad.iri("g1", "http://ex/a", "http://ex/p", "http://ex/b"),
+      Quad.lit("g1", "http://ex/zz", "http://ex/p", "fresh")).toDF()
+    val dict1 = TermDictionary.append(dict0, newQuads)
+    // base ids unchanged
+    val frozen = dict1.join(dict0.withColumnRenamed("id", "id0"), "term")
+    assert(frozen.filter(org.apache.spark.sql.functions
+      .col("id") =!= org.apache.spark.sql.functions.col("id0")).count() == 0)
+    // exactly the two unseen terms got the next ids, sorted
+    val added = dict1.join(dict0.select("term"), Seq("term"), "left_anti")
+      .orderBy("id").collect()
+    assert(added.map(_.getString(0)).toSeq == Seq("\"fresh\"", "http://ex/zz"))
+    assert(added.map(_.getLong(1)).toSeq == Seq(n0, n0 + 1))
+  }
+
   test("constantIds resolves exactly the asked-for terms") {
     val dict = TermDictionary.dictionary(fixture)
     val ids = TermDictionary.constantIds(dict,
