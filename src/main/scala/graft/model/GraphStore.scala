@@ -143,9 +143,22 @@ final class GraphStore(val spark: SparkSession, val path: String) extends QuadSt
   def dropGraph(graph: String): Unit = clearGraph(graph)
 
   /** Store maintenance (S9, the reference's post-load optimize): rewrite
-    * a graph partition into few large files for scan efficiency. */
+    * a graph partition into few large files for scan efficiency —
+    * SORTED by (p, s, o_value) within each file. Predicate-constant
+    * patterns are the dominant scan shape in every SPARQL workload, and
+    * parquet keeps per-row-group min/max statistics: with the sort, a
+    * `p = <iri>` scan filter skips every row group whose p-range
+    * excludes the constant (and const-subject probes prune within a
+    * predicate run). On a 100 TB store this turns compaction into a
+    * clustered index build — the same sorted-layout trick RDF-3X bakes
+    * into its permutation indexes — for one no-extra-shuffle sort. */
   def compact(graph: String, numFiles: Int = 1): Unit = {
+    // `graph` leads the sort so the partitionBy writer's required
+    // ordering (partition columns first) is already satisfied and it
+    // does NOT inject its own non-stable sort on top, which would
+    // scramble the (p, s, o_value) clustering
     val quads = readGraphs(Seq(graph)).coalesce(numFiles)
+      .sortWithinPartitions("graph", "p", "s", "o_value")
     val tmp = new Path(path + s".compact-${System.nanoTime()}")
     quads.write.partitionBy("graph").parquet(tmp.toString)
     clearGraph(graph)

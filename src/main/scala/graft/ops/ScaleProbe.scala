@@ -280,3 +280,127 @@ object StreamStateProbe {
     spark.stop()
   }
 }
+
+/** Dictionary-encoding shuffle-bytes probe (round 8): measures the
+  * actual shuffle WRITE bytes of the same 4-pattern BGP executed over
+  * raw term strings vs dictionary-encoded longs, at 1×/3×/10× quad
+  * volume — the empirical backing for TermDictionary's claim that id
+  * space shrinks query-time shuffles by the average-term-length
+  * factor. The one-time dictionary build+encode cost is measured
+  * separately (it shuffles strings by construction); the claim is
+  * about QUERY-time shuffles over the persisted encoded form.
+  *
+  * Prints one JSON line per factor; BENCH_NOTES.md records the table.
+  */
+object DictShuffleProbe {
+
+  private final class ShuffleBytes
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
+  /** Run `f`, return (result, shuffle bytes its stages wrote). The
+    * listener bus is async; a short settle keeps the tally complete —
+    * fine for a probe, never used in the engine. */
+  private def measured[T](spark: SparkSession)(f: => T): (T, Long) = {
+    val l = new ShuffleBytes
+    spark.sparkContext.addSparkListener(l)
+    val r = f
+    Thread.sleep(1500)
+    spark.sparkContext.removeSparkListener(l)
+    (r, l.bytes.get)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+      else Seq(1, 3, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName("graft-dict-shuffle-probe")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      // AQE may elide small shuffles entirely; keep it ON (production
+      // shape) — the comparison is like-for-like on both sides
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.storage.StorageLevel
+
+    val ev0 = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
+    factors.foreach { f =>
+      val ev = (0 until f).map(r =>
+        ev0.withColumn("event_id", col("event_id") + lit(r * 1000000000L)))
+        .reduce(_ unionAll _)
+      val g = lit(graft.model.Quad.DefaultGraph).as("graph")
+      val subj = concat(lit("http://ex/ev/"), col("event_id")).as("s")
+      val nullS = lit(null).cast("string")
+      val quads = ev.select(g, subj, lit("http://ex/p/type").as("p"),
+          col("event_type").as("o_value"), nullS.as("o_type"),
+          nullS.as("o_lang"), lit("literal").as("o_kind"))
+        .unionByName(ev.select(g, subj, lit("http://ex/p/user").as("p"),
+          concat(lit("http://ex/u/"), col("user_id")).as("o_value"),
+          nullS.as("o_type"), nullS.as("o_lang"), lit("iri").as("o_kind")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nQuads = quads.count()
+
+      // raw-string BGP: users with both a purchase and an error event
+      def rawQuery(): Long = {
+        def typed(t: String) = quads
+          .filter(col("p") === "http://ex/p/type" && col("o_value") === t)
+          .select(col("s"))
+        val userEdge = quads.filter(col("p") === "http://ex/p/user")
+          .select(col("s"), col("o_value").as("u"))
+        typed("purchase").join(userEdge, "s").select(col("u"))
+          .intersect(typed("error").join(userEdge, "s").select(col("u")))
+          .count()
+      }
+
+      // one-time build: dictionary + encoded quads, materialized
+      import graft.model.TermDictionary
+      val ((dict, enc), buildBytes) = measured(spark) {
+        val dict = TermDictionary.dictionary(quads)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val enc = TermDictionary.encode(quads, dict)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        dict.count(); enc.count()
+        (dict, enc)
+      }
+
+      def dictQuery(): Long = {
+        val ids = TermDictionary.constantIds(dict, Seq(
+          "http://ex/p/type", "http://ex/p/user",
+          "\"purchase\"", "\"error\""))
+        def typed(t: String) = enc
+          .filter(col("p_id") === ids("http://ex/p/type") &&
+            col("o_id") === ids("\"" + t + "\""))
+          .select(col("s_id"))
+        val userEdge = enc.filter(col("p_id") === ids("http://ex/p/user"))
+          .select(col("s_id"), col("o_id").as("u_id"))
+        typed("purchase").join(userEdge, "s_id").select(col("u_id"))
+          .intersect(typed("error").join(userEdge, "s_id").select(col("u_id")))
+          .count()
+      }
+
+      val (nRaw, rawBytes) = measured(spark)(rawQuery())
+      val (nDict, dictBytes) = measured(spark)(dictQuery())
+      require(nRaw == nDict, s"raw=$nRaw dict=$nDict must agree")
+
+      println(s"""{"factor":$f,"quads":$nQuads,"result_rows":$nRaw,""" +
+        s""""raw_query_shuffle_bytes":$rawBytes,""" +
+        s""""dict_query_shuffle_bytes":$dictBytes,""" +
+        s""""dict_build_shuffle_bytes":$buildBytes,""" +
+        s""""query_ratio":${
+          if (dictBytes > 0) f"${rawBytes.toDouble / dictBytes}%.2f" else "null"}}""")
+      dict.unpersist(blocking = false)
+      enc.unpersist(blocking = false)
+      quads.unpersist(blocking = false)
+    }
+    spark.stop()
+  }
+}

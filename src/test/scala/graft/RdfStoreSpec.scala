@@ -153,4 +153,21 @@ class GraphStoreSpec extends AnyFunSuite {
     st.compact(g1)
     assert(st.countGraph(g1) == 10)
   }
+
+  test("compact writes each file sorted by (p, s, o_value)") {
+    val st = newStore()
+    // insert in scrambled predicate/subject order across batches
+    val quads = scala.util.Random.shuffle((1 to 30).map(i =>
+      Quad.iri(g1, s"http://ex/s${i % 7}", s"http://ex/p${i % 5}",
+        s"http://ex/o$i")).toList)
+    quads.grouped(4).foreach(b => st.insertData(b))
+    st.compact(g1)
+    // single compacted file: physical row order == read order
+    val rows = st.readGraphs(Seq(g1))
+      .select("p", "s", "o_value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows.size == 30)
+    assert(rows == rows.sorted,
+      "compacted file must be clustered for row-group min/max pruning")
+  }
 }
