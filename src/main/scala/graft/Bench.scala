@@ -76,7 +76,11 @@ object Bench {
     // fixture-scale correctness demos: constant-cost regardless of SF,
     // so they'd pollute a throughput metric. Verify still runs them.
     val fixtureDemos = Set(
-      "rdf_mapping_pipeline", "rdf_sparql_update", "rdf_json_file_source")
+      "rdf_mapping_pipeline", "rdf_sparql_update", "rdf_json_file_source",
+      // constructed-state lifecycle demos (multi-op request, CLEAR
+      // scopes): ~20 store-write jobs over literal quads — pure fixed
+      // cost, zero SF-dependence
+      "rdf_sparql_update_seq", "rdf_clear_scopes")
     // JVM/codegen warmup (untimed): classload Catalyst + janino + parquet
     // reader, broadcast-join, window, and vector-kernel paths so the
     // first timed query doesn't pay one-time costs.

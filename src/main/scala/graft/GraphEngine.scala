@@ -70,6 +70,18 @@ final class GraphEngine(val store: QuadStore) {
         } finally { b.unpersist(blocking = false); () }
       case ClearGraphOp(g, _) => store.clearGraph(g)
       case DropGraphOp(g, _) => store.dropGraph(g)
+      // §3.2.2-3: scope resolves against the store's CURRENT graph list
+      // (a metadata listing); DEFAULT targets the unnamed graph's
+      // storage name. CLEAR and DROP coincide here — on this store a
+      // graph exists exactly while it has content.
+      case ClearScopeOp(scope, _) =>
+        val targets = scope match {
+          case "DEFAULT" => Seq(graft.model.Quad.DefaultGraph)
+          case "NAMED" =>
+            store.graphNames().filterNot(_ == graft.model.Quad.DefaultGraph)
+          case _ => store.graphNames()
+        }
+        targets.foreach(store.clearGraph)
       // §3.2.3-5: COPY/MOVE/ADD of a graph onto itself is a no-op. The
       // guard is also a correctness requirement here: copyInto clears the
       // target eagerly while the source read is a lazy scan, so without it

@@ -30,6 +30,9 @@ trait QuadStore {
     * for scan efficiency — and, on merge-on-read, collapse history. */
   def compact(graph: String, numFiles: Int = 1): Unit
   def countGraph(graph: String): Long = readGraphs(Seq(graph)).count()
+  /** Every graph currently present (the dataset's graph list — needed
+    * by `CLEAR/DROP ALL|NAMED`, §3.2.2-3). Bounded by graph count. */
+  def graphNames(): Seq[String]
 }
 
 /** Parquet-backed quad store partitioned by named graph.
@@ -138,6 +141,14 @@ final class GraphStore(val spark: SparkSession, val path: String) extends QuadSt
     val dir = partitionDir(graph)
     if (fs.exists(dir)) fs.delete(dir, true)
   }
+
+  /** Graph list = partition directory list — pure metadata, no scan. */
+  def graphNames(): Seq[String] =
+    if (!exists) Seq.empty
+    else fs.listStatus(new Path(path)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("graph="))
+      .map(st => ExternalCatalogUtils.unescapePathName(
+        st.getPath.getName.stripPrefix("graph=")))
 
   /** DROP (SILENT) GRAPH — same physical op on a partitioned store. */
   def dropGraph(graph: String): Unit = clearGraph(graph)
@@ -278,6 +289,15 @@ final class MergeOnReadStore(val spark: SparkSession, val path: String)
   }
 
   def dropGraph(graph: String): Unit = clearGraph(graph)
+
+  /** Partition-directory list (may include fully-tombstoned graphs —
+    * clearing those is a harmless no-op for ALL/NAMED). */
+  def graphNames(): Seq[String] =
+    if (!fs.exists(new Path(path))) Seq.empty
+    else fs.listStatus(new Path(path)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("graph="))
+      .map(st => ExternalCatalogUtils.unescapePathName(
+        st.getPath.getName.stripPrefix("graph=")))
 
   /** Collapse one graph partition: rewrite its merged view as a single
     * batch-0 insert delta and drop the masked history. */

@@ -399,6 +399,28 @@ object RdfOps {
         LIMIT 100""")
     }),
 
+    // §3.2.2-3 CLEAR scopes: one request seeds the default graph and
+    // two named graphs, CLEAR NAMED wipes exactly the named ones, a
+    // later op writes a fresh named graph, CLEAR DEFAULT empties the
+    // unnamed graph — final state proves each scope resolved against
+    // the store's live graph list (a metadata listing, no scan).
+    "rdf_clear_scopes" -> ((s, _) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-scopes-${System.nanoTime()}"
+      val engine = new graft.GraphEngine(new graft.model.GraphStore(s, dir))
+      engine.update("""
+        INSERT DATA {
+          <http://ex/d1> <http://ex/p> "default1" .
+          GRAPH <http://ex/g1> { <http://ex/a> <http://ex/p> "x" }
+          GRAPH <http://ex/g2> { <http://ex/c> <http://ex/p> "z" }
+        } ;
+        CLEAR NAMED ;
+        INSERT DATA { GRAPH <http://ex/g3> { <http://ex/k> <http://ex/p> "kept" } } ;
+        CLEAR DEFAULT""")
+      engine.store.read()
+        .select(col("graph"), col("s"), col("p"), col("o_value"))
+        .orderBy(col("graph"), col("s"))
+    }),
+
     // VoID dataset statistics (W3C void: vocabulary) — the RDF
     // ecosystem's standard self-description: dataset-level triple /
     // distinct-subject / property counts plus one propertyPartition
@@ -1726,6 +1748,10 @@ ORDER BY s, p, o_value""",
            SELECT DISTINCT CAST(user_id AS VARCHAR), 'p'
            FROM events WHERE event_type = 'purchase') t
          ORDER BY uid, kind""",
+    // constructed state: only the post-CLEAR-NAMED insert survives
+    "rdf_clear_scopes" ->
+      """SELECT 'http://ex/g3' AS graph, 'http://ex/k' AS s,
+           'http://ex/p' AS p, 'kept' AS o_value""",
     // VoID statistics recomputed relationally: each event mints one
     // subject and one triple per non-null flattened field
     "rdf_void_summary" ->

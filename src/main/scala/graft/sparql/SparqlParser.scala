@@ -37,6 +37,10 @@ object SparqlParser {
       insertTemplate: Seq[TriplePattern],
       usingNamed: Seq[String] = Seq.empty) extends UpdateOp
   final case class ClearGraphOp(graph: String, silent: Boolean) extends UpdateOp
+  /** `CLEAR|DROP [SILENT] ALL|NAMED|DEFAULT` (§3.2.2-3) — scope is one
+    * of "ALL", "NAMED", "DEFAULT". CLEAR and DROP coincide on a store
+    * where a graph's existence IS its content. */
+  final case class ClearScopeOp(scope: String, silent: Boolean) extends UpdateOp
   final case class DropGraphOp(graph: String, silent: Boolean) extends UpdateOp
   /** `COPY|MOVE|ADD [SILENT] [GRAPH] g1 TO [GRAPH] g2` — graph-level
     * management (SPARQL 1.1 Update §3.2.3-5). COPY replaces g2 with
@@ -752,11 +756,17 @@ object SparqlParser {
     def parseUpdate(): UpdateOp = {
       parsePrefixes()
       if (keyword("CLEAR")) {
-        val silent = keyword("SILENT"); expectKeyword("GRAPH")
-        ClearGraphOp(iriRef(), silent)
+        val silent = keyword("SILENT")
+        if (keyword("ALL")) ClearScopeOp("ALL", silent)
+        else if (keyword("NAMED")) ClearScopeOp("NAMED", silent)
+        else if (keyword("DEFAULT")) ClearScopeOp("DEFAULT", silent)
+        else { expectKeyword("GRAPH"); ClearGraphOp(iriRef(), silent) }
       } else if (keyword("DROP")) {
-        val silent = keyword("SILENT"); expectKeyword("GRAPH")
-        DropGraphOp(iriRef(), silent)
+        val silent = keyword("SILENT")
+        if (keyword("ALL")) ClearScopeOp("ALL", silent)
+        else if (keyword("NAMED")) ClearScopeOp("NAMED", silent)
+        else if (keyword("DEFAULT")) ClearScopeOp("DEFAULT", silent)
+        else { expectKeyword("GRAPH"); DropGraphOp(iriRef(), silent) }
       } else if (keyword("COPY")) {
         graphToGraph(CopyGraphOp)
       } else if (keyword("MOVE")) {

@@ -86,6 +86,17 @@ class MorStoreSpec extends AnyFunSuite {
     assert(names.toSeq == Seq("Alpha", "Beta"))
     engine.update("CLEAR SILENT GRAPH <http://ex/out>")
     assert(st.countGraph("http://ex/out") == 0)
+    // CLEAR NAMED resolves against the live graph list on this backend
+    // too (graphNames is a partition-dir listing); the default graph
+    // survives, the named one goes
+    engine.update("""
+      INSERT DATA { <http://ex/d> <http://ex/p> "def" .
+        GRAPH <http://ex/n1> { <http://ex/x> <http://ex/p> "named" } }""")
+    engine.update("CLEAR NAMED")
+    assert(st.countGraph("http://ex/n1") == 0)
+    assert(st.countGraph(graft.model.Quad.DefaultGraph) == 1)
+    engine.update("CLEAR ALL")
+    assert(st.read().count() == 0)
   }
 
   test("the full reference mapping pipeline is backend-equivalent") {

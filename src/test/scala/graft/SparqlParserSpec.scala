@@ -329,6 +329,14 @@ class SparqlParserSpec extends AnyFunSuite {
     val DropGraphOp(g2, s2) = SparqlParser.parse(
       "DROP GRAPH <http://ex/g>"): @unchecked
     assert(g2 == "http://ex/g" && !s2)
+
+    // §3.2.2-3 scope forms, CLEAR and DROP alike
+    val ClearScopeOp(sc1, sl1) = SparqlParser.parse("CLEAR SILENT ALL"): @unchecked
+    assert(sc1 == "ALL" && sl1)
+    val ClearScopeOp(sc2, _) = SparqlParser.parse("DROP NAMED"): @unchecked
+    assert(sc2 == "NAMED")
+    val ClearScopeOp(sc3, _) = SparqlParser.parse("CLEAR DEFAULT"): @unchecked
+    assert(sc3 == "DEFAULT")
   }
 
   test("update request: `;`-separated operations share one prologue scope") {
