@@ -68,6 +68,24 @@ final class GraphEngine(val store: QuadStore) {
           store.appendDistinct(Compiler.instantiateTemplate(b, insT, insG),
             Some(Seq(insG)))
         } finally { b.unpersist(blocking = false); () }
+      case QuadModifyWhere(delT, insT, using, where, usingNamed) =>
+        // variable/mixed-graph templates: one pre-state binding
+        // evaluation feeds both templates (§3.1.3, same as ModifyWhere);
+        // target graphs come from the data, so the store computes its
+        // own graph scope (a bounded distinct over the instantiated
+        // batch). Empty USING scopes like SELECT: the whole store.
+        val scoped =
+          if (using.isEmpty) store.read() else store.readGraphs(using)
+        val b = Compiler.bindingsOf(where, scoped,
+          namedScope(using, usingNamed))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          b.count()
+          if (delT.nonEmpty)
+            store.deleteQuads(Compiler.instantiateQuads(b, delT))
+          if (insT.nonEmpty)
+            store.appendDistinct(Compiler.instantiateQuads(b, insT))
+        } finally { b.unpersist(blocking = false); () }
       case ClearGraphOp(g, _) => store.clearGraph(g)
       case DropGraphOp(g, _) => store.dropGraph(g)
       // §3.2.2-3: scope resolves against the store's CURRENT graph list

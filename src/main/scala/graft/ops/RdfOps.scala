@@ -399,6 +399,35 @@ object RdfOps {
         LIMIT 100""")
     }),
 
+    // §3.1.3 QuadPattern templates: INSERT { GRAPH ?g { ... } } fans
+    // rows into graphs COMPUTED by the WHERE group (per-kind routing —
+    // the partition-by-key shape at store level), and the DELETE WHERE
+    // shorthand with a variable graph term erases matching quads
+    // WHEREVER they live. Legacy constant-graph templates keep the
+    // partition-scoped fast path; the oracle pins the final state.
+    "rdf_sparql_quad_template" -> ((s, _) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-qt-${System.nanoTime()}"
+      val engine = new graft.GraphEngine(new graft.model.GraphStore(s, dir))
+      engine.update("""
+        INSERT DATA { GRAPH <http://ex/src> {
+          <http://ex/a> <http://ex/kind> "red" .   <http://ex/a> <http://ex/val> "1" .
+          <http://ex/b> <http://ex/kind> "blue" .  <http://ex/b> <http://ex/val> "2" .
+          <http://ex/c> <http://ex/kind> "red" .   <http://ex/c> <http://ex/val> "3" .
+        } } ;
+        INSERT { GRAPH ?g { ?s <http://ex/val> ?v } }
+        USING <http://ex/src>
+        WHERE {
+          ?s <http://ex/kind> ?k ; <http://ex/val> ?v .
+          BIND (URI(CONCAT('http://ex/by/', ?k)) AS ?g)
+        } ;
+        DELETE WHERE { GRAPH ?g { ?s <http://ex/val> "1" } }
+        """)
+      engine.store.read()
+        .filter(col("graph").startsWith("http://ex/by/"))
+        .select(col("graph"), col("s"), col("p"), col("o_value"))
+        .orderBy(col("graph"), col("s"))
+    }),
+
     // §3.2.2-3 CLEAR scopes: one request seeds the default graph and
     // two named graphs, CLEAR NAMED wipes exactly the named ones, a
     // later op writes a fresh named graph, CLEAR DEFAULT empties the
@@ -1748,6 +1777,14 @@ ORDER BY s, p, o_value""",
            SELECT DISTINCT CAST(user_id AS VARCHAR), 'p'
            FROM events WHERE event_type = 'purchase') t
          ORDER BY uid, kind""",
+    // constructed state: per-kind routed quads minus the var-graph
+    // DELETE's match ("1" erased wherever it lives)
+    "rdf_sparql_quad_template" ->
+      """SELECT * FROM (VALUES
+           ('http://ex/by/blue', 'http://ex/b', 'http://ex/val', '2'),
+           ('http://ex/by/red',  'http://ex/c', 'http://ex/val', '3'))
+           t(graph, s, p, o_value)
+         ORDER BY graph, s""",
     // constructed state: only the post-CLEAR-NAMED insert survives
     "rdf_clear_scopes" ->
       """SELECT 'http://ex/g3' AS graph, 'http://ex/k' AS s,

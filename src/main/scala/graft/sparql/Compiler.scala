@@ -922,30 +922,63 @@ object Compiler {
     * union branch per triple, which would re-execute the whole join tree
     * once per template triple (a 14-triple template = 14× the work and an
     * unplannable physical plan at scale). */
+  /** Template slot → term-struct column (shared by the triple- and
+    * quad-template instantiators). */
+  private def templateTerm(n: Node, position: String): Column = n match {
+    case V(name) => col(name)
+    case I(iri) => iriTerm(lit(iri))
+    case L(v, dt, lang) if position == "o" =>
+      litTerm(lit(v), Option(dt).map(lit).getOrElse(nullStr),
+        Option(lang).map(lit).getOrElse(nullStr))
+    case _ => throw new IllegalArgumentException(s"literal in $position slot")
+  }
+
+  private def templateQuadStruct(tp: TriplePattern): Column = {
+    val s = templateTerm(tp.s, "s")
+    val p = templateTerm(tp.p, "p")
+    val o = templateTerm(tp.o, "o")
+    struct(
+      s.getField("v").as("s"),
+      p.getField("v").as("p"),
+      o.getField("v").as("o_value"),
+      o.getField("dt").as("o_type"),
+      o.getField("lg").as("o_lang"),
+      o.getField("k").as("o_kind"))
+  }
+
   private[sparql] def instantiate(
-      bindings: DataFrame, template: Seq[TriplePattern], targetGraph: String): DataFrame = {
-    def termOf(n: Node, position: String): Column = n match {
-      case V(name) => col(name)
-      case I(iri) => iriTerm(lit(iri))
-      case L(v, dt, lang) if position == "o" =>
-        litTerm(lit(v), Option(dt).map(lit).getOrElse(nullStr),
-          Option(lang).map(lit).getOrElse(nullStr))
-      case _ => throw new IllegalArgumentException(s"literal in $position slot")
-    }
-    val quadStructs = template.map { tp =>
-      val s = termOf(tp.s, "s"); val p = termOf(tp.p, "p"); val o = termOf(tp.o, "o")
-      struct(
-        s.getField("v").as("s"),
-        p.getField("v").as("p"),
-        o.getField("v").as("o_value"),
-        o.getField("dt").as("o_type"),
-        o.getField("lg").as("o_lang"),
-        o.getField("k").as("o_kind"))
+      bindings: DataFrame, template: Seq[TriplePattern], targetGraph: String): DataFrame =
+    bindings
+      .select(explode(array(template.map(templateQuadStruct): _*)).as("q"))
+      .select(lit(targetGraph).as("graph"), col("q.*"))
+      .where(col("s").isNotNull && col("p").isNotNull && col("o_value").isNotNull)
+      .dropDuplicates()
+
+  /** Quad-template instantiation (§3.1.3 QuadPattern): each template
+    * triple carries its own graph term. Constants inline; a VARIABLE
+    * graph slot takes the binding's lexical value, and rows whose graph
+    * binding is unbound or not an IRI are skipped — graph names are
+    * IRIs, the same skip rule unbound template slots follow (Q10). */
+  def instantiateQuads(bindings: DataFrame,
+      template: Seq[(Node, TriplePattern)]): DataFrame = {
+    val quadStructs = template.map { case (g, tp) =>
+      val (gv, gk) = g match {
+        case I(iri) => (lit(iri), lit(Quad.KindIri))
+        case V(name) =>
+          (col(name).getField("v"), col(name).getField("k"))
+        case other =>
+          throw new IllegalArgumentException(s"graph term $other")
+      }
+      struct(gv.as("graph"), gk.as("g_kind"),
+        templateQuadStruct(tp).as("t"))
     }
     bindings
       .select(explode(array(quadStructs: _*)).as("q"))
-      .select(lit(targetGraph).as("graph"), col("q.*"))
-      .where(col("s").isNotNull && col("p").isNotNull && col("o_value").isNotNull)
+      .select(col("q.graph").as("graph"), col("q.g_kind").as("g_kind"),
+        col("q.t.*"))
+      .where(col("graph").isNotNull && col("g_kind") === Quad.KindIri &&
+        col("s").isNotNull && col("p").isNotNull && col("o_value").isNotNull)
+      .drop("g_kind")
       .dropDuplicates()
   }
 

@@ -36,6 +36,20 @@ object SparqlParser {
       where: Group, deleteTemplate: Seq[TriplePattern],
       insertTemplate: Seq[TriplePattern],
       usingNamed: Seq[String] = Seq.empty) extends UpdateOp
+  /** Generalized DELETE/INSERT..WHERE whose templates are QUAD patterns
+    * (§3.1.3 QuadPattern): each template triple carries its own graph
+    * term — a constant IRI or a VARIABLE bound by the WHERE group. The
+    * single-constant-graph ops below stay the fast path (their target
+    * graph feeds the store's partition-scoped writes); the parser emits
+    * this form only when a template actually mixes graphs or uses a
+    * variable graph slot. */
+  final case class QuadModifyWhere(
+      delTemplate: Seq[(Node, TriplePattern)],
+      insTemplate: Seq[(Node, TriplePattern)],
+      using: Seq[String],
+      where: Group,
+      usingNamed: Seq[String]) extends UpdateOp
+
   final case class ClearGraphOp(graph: String, silent: Boolean) extends UpdateOp
   /** `CLEAR|DROP [SILENT] ALL|NAMED|DEFAULT` (§3.2.2-3) — scope is one
     * of "ALL", "NAMED", "DEFAULT". CLEAR and DROP coincide on a store
@@ -783,29 +797,60 @@ object SparqlParser {
         val withGraph = if (keyword("WITH")) Some(iriRef()) else None
         if (keyword("INSERT")) {
           if (keyword("DATA")) InsertData(parseQuadData(withGraph))
-          else InsertWhere(parseTemplateWhere(withGraph))
+          else {
+            val qt = quadTemplateBlock(withGraph)
+            val (using, usingNamed) = usingClauses()
+            expectKeyword("WHERE")
+            val where = group()
+            constGraphOf(qt) match {
+              case Some((target, tpl)) => InsertWhere(
+                MappingQuery(queryName, target, using, where, tpl, usingNamed))
+              case None =>
+                QuadModifyWhere(Seq.empty, qt, using, where, usingNamed)
+            }
+          }
         } else if (keyword("DELETE")) {
           if (keyword("DATA")) DeleteData(parseQuadData(withGraph))
           else if (keyword("WHERE")) {
             // §3.1.3.3 shorthand: one quad pattern is both template and
-            // WHERE; without WITH/GRAPH it ranges over the default graph
-            val (delGraph, delT) =
-              templateBlock(withGraph.orElse(Some(graft.model.Quad.DefaultGraph)))
-            DeleteWhere(MappingQuery(queryName, delGraph, Seq(delGraph),
-              Group(delT.map(Pat(_))), delT))
+            // WHERE; without WITH/GRAPH it ranges over the default
+            // graph. A variable graph term turns each quad into a
+            // GRAPH-scoped pattern so ?g binds from the store.
+            val qt = quadTemplateBlock(
+              withGraph.orElse(Some(graft.model.Quad.DefaultGraph)))
+            constGraphOf(qt) match {
+              case Some((delGraph, delT)) =>
+                DeleteWhere(MappingQuery(queryName, delGraph, Seq(delGraph),
+                  Group(delT.map(Pat(_))), delT))
+              case None =>
+                val elems: Seq[Element] = qt.map { case (g, tp) =>
+                  GraphE(g, Group(Seq(Pat(tp)))) }
+                QuadModifyWhere(qt, Seq.empty, Seq.empty, Group(elems),
+                  Seq.empty)
+            }
           } else {
-            val (delGraph, delT) = templateBlock(withGraph)
+            val delQt = quadTemplateBlock(withGraph)
             if (keyword("INSERT")) {
-              val (insGraph, insT) = templateBlock(withGraph)
+              val insQt = quadTemplateBlock(withGraph)
               val (using, usingNamed) = usingClauses()
               expectKeyword("WHERE")
-              ModifyWhere(delGraph, insGraph, using, group(),
-                delT, insT, usingNamed)
+              val where = group()
+              (constGraphOf(delQt), constGraphOf(insQt)) match {
+                case (Some((dg, dt)), Some((ig, it))) =>
+                  ModifyWhere(dg, ig, using, where, dt, it, usingNamed)
+                case _ =>
+                  QuadModifyWhere(delQt, insQt, using, where, usingNamed)
+              }
             } else {
               val (using, usingNamed) = usingClauses()
               expectKeyword("WHERE")
-              DeleteWhere(MappingQuery(queryName, delGraph, using,
-                group(), delT, usingNamed))
+              val where = group()
+              constGraphOf(delQt) match {
+                case Some((dg, dt)) => DeleteWhere(
+                  MappingQuery(queryName, dg, using, where, dt, usingNamed))
+                case None =>
+                  QuadModifyWhere(delQt, Seq.empty, using, where, usingNamed)
+              }
             }
           }
         } else fail("expected INSERT or DELETE")
@@ -852,21 +897,54 @@ object SparqlParser {
       if (keyword("DEFAULT")) graft.model.Quad.DefaultGraph
       else { keyword("GRAPH"); iriRef() }
 
-    /** `{ [GRAPH g] triples }` → (target graph, template triples). */
-    private def templateBlock(withGraph: Option[String]): (String, Seq[TriplePattern]) = {
+    /** QuadPattern template block (§3.1.3): bare triple runs (→ WITH's
+      * graph, or the default graph) interleaved with any number of
+      * `GRAPH (<iri> | ?var) { triples }` blocks. */
+    private def quadTemplateBlock(
+        withGraph: Option[String]): Seq[(Node, TriplePattern)] = {
       eat('{')
-      var target = withGraph
-      val template = mutable.Buffer.empty[TriplePattern]
-      ws()
-      if (keyword("GRAPH")) {
-        target = Some(iriRef())
-        eat('{')
-        templateTriples(template)
-        eat('}')
-      } else templateTriples(template)
+      val out = mutable.Buffer.empty[(Node, TriplePattern)]
+      var more = true
+      while (more) {
+        ws()
+        if (peek == '}') more = false
+        else if (keyword("GRAPH")) {
+          val g: Node = {
+            ws()
+            if (peek == '?' || peek == '$') V(varName()) else I(iriRef())
+          }
+          eat('{')
+          val block = mutable.Buffer.empty[TriplePattern]
+          templateTriples(block)
+          eat('}')
+          ws(); tryEat('.')
+          out ++= block.map(g -> _)
+        } else {
+          // one subject-group per pass, so a following GRAPH block is
+          // seen by the outer loop rather than read as a subject
+          val g = I(withGraph.getOrElse(graft.model.Quad.DefaultGraph))
+          val buf = mutable.Buffer.empty[Element]
+          triplesSameSubject(buf, allowPaths = false)
+          tryEat('.')
+          out ++= buf.map {
+            case Pat(tp) => g -> tp
+            case other => fail(s"template may only contain triples, got $other")
+          }
+        }
+      }
       eat('}')
-      (target.getOrElse(fail("no target graph (WITH or GRAPH)")), template.toSeq)
+      out.toSeq
     }
+
+    /** Every template quad in ONE constant graph → the legacy
+      * (targetGraph, triples) form, which keeps the store's
+      * partition-scoped write path. */
+    private def constGraphOf(
+        t: Seq[(Node, TriplePattern)]): Option[(String, Seq[TriplePattern])] =
+      t.map(_._1).distinct match {
+        case Seq(I(g)) => Some(g -> t.map(_._2))
+        case _ => None
+      }
 
     // ---------------- query (read) forms ----------------
     private val AggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
@@ -1103,13 +1181,6 @@ object SparqlParser {
         }
         ConstructQuery(queryName, template, from, g, fromNamed)
       }
-    }
-
-    private def parseTemplateWhere(withGraph: Option[String]): MappingQuery = {
-      val (target, template) = templateBlock(withGraph)
-      val (using, usingNamed) = usingClauses()
-      expectKeyword("WHERE")
-      MappingQuery(queryName, target, using, group(), template, usingNamed)
     }
 
     /** `(USING [NAMED] <iri>)*` — the update-side dataset clauses

@@ -339,6 +339,43 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(sc3 == "DEFAULT")
   }
 
+  test("quad templates: variable/mixed graphs generalize, constants stay legacy") {
+    // constant single graph → legacy InsertWhere (partition-scoped path)
+    val InsertWhere(legacy) = SparqlParser.parse("""
+      INSERT { GRAPH <http://ex/g> { ?s <http://ex/p> ?o } }
+      USING <http://ex/src> WHERE { ?s <http://ex/q> ?o }"""): @unchecked
+    assert(legacy.targetGraph == "http://ex/g")
+
+    // variable graph → QuadModifyWhere with a V graph term
+    val QuadModifyWhere(del1, ins1, using1, _, _) = SparqlParser.parse("""
+      INSERT { GRAPH ?g { ?s <http://ex/p> ?o } }
+      USING <http://ex/src>
+      WHERE { ?s <http://ex/q> ?o . BIND(URI('http://ex/t') AS ?g) }"""): @unchecked
+    assert(del1.isEmpty && ins1.size == 1 && using1 == Seq("http://ex/src"))
+    assert(ins1.head._1 == Algebra.V("g"))
+
+    // mixed graphs in one template → generalized form, both targets kept
+    val QuadModifyWhere(_, ins2, _, _, _) = SparqlParser.parse("""
+      INSERT { GRAPH <http://ex/a> { ?s <http://ex/p> ?o }
+               GRAPH <http://ex/b> { ?s <http://ex/q> ?o } }
+      WHERE { ?s <http://ex/r> ?o }"""): @unchecked
+    assert(ins2.map(_._1).distinct ==
+      Seq(Algebra.I("http://ex/a"), Algebra.I("http://ex/b")))
+
+    // DELETE WHERE shorthand with ?g: template quads double as
+    // GRAPH-scoped patterns
+    val QuadModifyWhere(del3, ins3, _, where3, _) = SparqlParser.parse("""
+      DELETE WHERE { GRAPH ?g { ?s <http://ex/p> "x" } }"""): @unchecked
+    assert(ins3.isEmpty && del3.size == 1)
+    val Algebra.GraphE(gv, _) = where3.elems.head: @unchecked
+    assert(gv == Algebra.V("g"))
+
+    // bare triples without WITH now target the default graph (§3.1.3)
+    val InsertWhere(bare) = SparqlParser.parse("""
+      INSERT { ?s <http://ex/p> ?o } WHERE { ?s <http://ex/q> ?o }"""): @unchecked
+    assert(bare.targetGraph == Quad.DefaultGraph)
+  }
+
   test("update request: `;`-separated operations share one prologue scope") {
     val ops = SparqlParser.parseRequest(s"""
       PREFIX ex: <http://ex/>
