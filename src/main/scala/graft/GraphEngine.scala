@@ -185,6 +185,10 @@ final class GraphEngine(val store: QuadStore) {
   def selectJson(text: String): String =
     graft.sparql.SparqlResults.jsonDocument(selectTerms(text))
 
+  /** W3C boolean results JSON document for an ASK. */
+  def askJson(text: String): String =
+    graft.sparql.SparqlResults.askJsonDocument(ask(text))
+
   /** W3C results CSV document (lexical values, RFC 4180). */
   def selectCsv(text: String): String =
     graft.sparql.SparqlResults.csvDocument(selectTerms(text))

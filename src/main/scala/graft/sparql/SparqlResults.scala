@@ -51,6 +51,10 @@ object SparqlResults {
         ",", "]}}")
   }
 
+  /** The §3 boolean results document (ASK). */
+  def askJsonDocument(result: Boolean): String =
+    s"""{"head":{},"boolean":$result}"""
+
   /** RFC 4180 quoting for the CSV format (§4.1): quote when the value
     * contains a comma, quote, CR or LF; double inner quotes. Unbound →
     * empty field. */

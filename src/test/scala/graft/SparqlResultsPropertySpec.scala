@@ -1,0 +1,155 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.sparql.SparqlResults
+
+/** Property fuzz for the W3C results serializers: ARBITRARY term rows
+  * (unicode, quotes, newlines, tabs, commas, every kind/datatype/lang
+  * combination, unbound slots) serialized to the JSON results document
+  * must parse back — with Jackson, a fully independent JSON reader —
+  * to exactly the original bindings; CSV rows must round-trip through
+  * an RFC 4180 reader. Escaping is precisely where a hand-rolled
+  * serializer corrupts data silently; this is the net under it.
+  */
+class SparqlResultsPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def forAllSamples[T](gen: Gen[T], n: Int)(f: T => Unit): Unit = {
+    var seed = Seed(20260815L)
+    var i = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private val charGen: Gen[Char] = Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    3 -> Gen.oneOf(' ', '"', '\\', '\n', '\t', '\r', ',', ';', '\'',
+      '{', '}', '[', ']', '<', '>', '@', '^'),
+    1 -> Gen.oneOf('é', 'Ω', '中', 'ß', '€'))
+
+  private val valueGen: Gen[String] =
+    Gen.choose(0, 16).flatMap(n => Gen.listOfN(n, charGen)).map(_.mkString)
+
+  /** One term as (v, k, dt, lg) — or null for an unbound slot. */
+  private val termGen: Gen[(String, String, String, String)] = Gen.frequency(
+    3 -> valueGen.map(v => ("http://ex/" + v.replaceAll("[^A-Za-z0-9]", ""),
+      "iri", null, null)),
+    1 -> Gen.alphaNumStr.map(s => ("_:" + s.take(6), "bnode", null, null)),
+    4 -> valueGen.map(v => (v, "literal", null, null)),
+    2 -> valueGen.map(v =>
+      (v, "literal", "http://www.w3.org/2001/XMLSchema#string2", null)),
+    2 -> Gen.zip(valueGen, Gen.oneOf("en", "nl", "de-DE"))
+      .map { case (v, l) => (v, "literal", null, l) })
+
+  private val rowGen: Gen[Seq[Option[(String, String, String, String)]]] =
+    Gen.listOfN(3, Gen.frequency(5 -> termGen.map(Some(_)),
+      1 -> Gen.const(None)))
+
+  private val batchGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, rowGen))
+
+  private def toDf(rows: Seq[Seq[Option[(String, String, String, String)]]]) = {
+    import org.apache.spark.sql.types._
+    val term = StructType(Seq(StructField("v", StringType),
+      StructField("k", StringType), StructField("dt", StringType),
+      StructField("lg", StringType)))
+    val schema = StructType(Seq("a", "b", "c").map(StructField(_, term)))
+    val data = rows.map(r => org.apache.spark.sql.Row(r.map(_.map {
+      case (v, k, dt, lg) => org.apache.spark.sql.Row(v, k, dt, lg)
+    }.orNull): _*))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data.toIndexedSeq, 2), schema)
+  }
+
+  test("JSON document round-trips arbitrary bindings through Jackson") {
+    val mapper = new ObjectMapper()
+    forAllSamples(batchGen, 20) { rows =>
+      val doc = SparqlResults.jsonDocument(toDf(rows))
+      val tree = mapper.readTree(doc)
+      assert(tree.get("head").get("vars").size() == 3)
+      val bindings = tree.get("results").get("bindings")
+      assert(bindings.size() == rows.size)
+      rows.zipWithIndex.foreach { case (row, i) =>
+        val obj = bindings.get(i)
+        row.zip(Seq("a", "b", "c")).foreach {
+          case (None, name) => assert(!obj.has(name))
+          case (Some((v, k, dt, lg)), name) =>
+            val b = obj.get(name)
+            val expectedType =
+              if (k == "iri") "uri" else if (k == "bnode") "bnode" else "literal"
+            assert(b.get("type").asText() == expectedType)
+            assert(b.get("value").asText() == v)
+            if (dt != null) assert(b.get("datatype").asText() == dt)
+            else assert(!b.has("datatype"))
+            if (lg != null) assert(b.get("xml:lang").asText() == lg)
+            else assert(!b.has("xml:lang"))
+        }
+      }
+    }
+  }
+
+  /** Minimal strict RFC 4180 parser (quoted fields, doubled quotes). */
+  private def parseCsvLine(line: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < line.length) {
+      val c = line(i)
+      if (inQ) {
+        if (c == '"' && i + 1 < line.length && line(i + 1) == '"') {
+          cur += '"'; i += 1
+        } else if (c == '"') inQ = false
+        else cur += c
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += cur.result(); cur.clear()
+        case other => cur += other
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.toSeq
+  }
+
+  test("CSV rows round-trip arbitrary lexical values (RFC 4180)") {
+    // CSV carries lexical values only; CRLF is the record separator so
+    // values keep \n but \r is excluded (a bare CR inside an unquoted-
+    // context record split is ambiguous for the line-based reader here;
+    // the serializer itself quotes it correctly)
+    forAllSamples(batchGen, 20) { rows0 =>
+      val rows = rows0.map(_.map(_.map { case (v, k, dt, lg) =>
+        (v.replace("\r", ""), k, dt, lg) }))
+      val doc = SparqlResults.csvDocument(toDf(rows))
+      // split on CRLF NOT followed by continuation — records are
+      // CRLF-terminated; embedded newlines only occur inside quotes,
+      // so a stateful scan splits records correctly
+      val records = scala.collection.mutable.Buffer.empty[String]
+      val cur = new StringBuilder
+      var inQ = false
+      doc.foreach {
+        case '"' => inQ = !inQ; cur += '"'
+        case '\n' if !inQ && cur.nonEmpty && cur.last == '\r' =>
+          cur.setLength(cur.length - 1); records += cur.result(); cur.clear()
+        case c => cur += c
+      }
+      assert(records.head == "a,b,c")
+      val parsed = records.tail.map(parseCsvLine)
+      assert(parsed.size == rows.size)
+      rows.zip(parsed).foreach { case (row, fields) =>
+        assert(fields.size == 3)
+        row.zip(fields).foreach {
+          case (None, f) => assert(f == "")
+          case (Some((v, _, _, _)), f) => assert(f == v)
+        }
+      }
+    }
+  }
+}
