@@ -256,6 +256,30 @@ final class MergeOnReadStore(val spark: SparkSession, val path: String)
   def readGraphs(graphs: Seq[String]): DataFrame =
     readMerged().where(col("graph").isin(graphs: _*))
 
+  /** TIME TRAVEL: the set-semantics view as of batch `asOf` — replay
+    * only deltas with `batch_id <= asOf` through the same latest-wins
+    * aggregation. A snapshot read is a FILTER, not a copy: no data is
+    * duplicated per version, exactly the Iceberg/Hudi snapshot-read
+    * trade on this plain parquet layout. (The filter lands on the
+    * parquet scan as a pushed predicate; `compact` collapses history
+    * to batch 0 and therefore truncates how far back a snapshot can
+    * reach — the compaction-vs-retention trade every MOR table has.) */
+  def readAsOf(asOf: Long): DataFrame = {
+    val keys = GraphStore.schema.fieldNames.toIndexedSeq
+    readDeltas()
+      .filter(col("batch_id") <= asOf)
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(col("op"), col("batch_id")).as("last_op"))
+      .filter(col("last_op") === "i")
+      .select(keys.map(col): _*)
+  }
+
+  /** Distinct batch ids present (the version history) — a batch_id-only
+    * column scan, cheap at any scale. */
+  def versions(): Seq[Long] =
+    readDeltas().select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+
   // ---- QuadStore surface: the engine's set-semantics ops re-expressed
   // as O(delta) writes (insert deltas / tombstones); the latest-wins
   // read supplies the dedup appendDistinct does eagerly.

@@ -59,6 +59,43 @@ object GraphAlgos {
         .orderBy(col("node"))
     }),
 
+    // ---- multi-source BFS shortest hops (3 levels) over the same
+    // bipartite graph: level-synchronous frontier expansion — each
+    // superstep is one frontier ⨝ edges equi-join (shuffles on node id)
+    // plus an anti-join against the visited set, so a node's first
+    // discovery level IS its hop distance and no node re-expands. The
+    // visited set is the only state that grows; at cluster scale both
+    // sides of every join are hash-partitioned by node and the frontier
+    // stays bounded by the per-level reach. The oracle recomputes the
+    // same distances with a recursive CTE + min(dist).
+    "graph_bfs_hops" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(concat(lit("u:"), col("user_id")).as("u"),
+          concat(lit("t:"), col("event_type")).as("t"),
+          col("user_id"))
+        .distinct()
+      val edges = ev.select(col("u").as("src"), col("t").as("dst"))
+        .unionAll(ev.select(col("t").as("src"), col("u").as("dst")))
+        .distinct().localCheckpoint()
+      val seeds = ev.filter(col("user_id") % 100 === 0)
+        .select(col("u").as("seed")).distinct()
+      var visited = seeds
+        .select(col("seed"), col("seed").as("node"), lit(0).as("dist"))
+        .localCheckpoint()
+      var frontier = visited
+      for (h <- 1 to 3) {
+        frontier = frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("seed"), col("dst").as("node"))
+          .distinct()
+          .join(visited.select(col("seed"), col("node")), Seq("seed", "node"),
+            "left_anti")
+          .withColumn("dist", lit(h))
+          .localCheckpoint()
+        visited = visited.unionAll(frontier).localCheckpoint()
+      }
+      visited.orderBy(col("seed"), col("node"))
+    }),
+
     // ---- triangle counting on the near-dup pair graph (reuses the
     // memoized pair table the dedup family builds): with edges oriented
     // a<b, each triangle a<b<c is found exactly once by the two-hop
@@ -87,6 +124,23 @@ object GraphAlgos {
         FROM e JOIN $prev ON e.src = $prev.node GROUP BY dst)"""
 
   def oracleSql: Map[String, String] = Map(
+    // recursive-CTE walk bounded at 3 hops; UNION (distinct) keeps the
+    // recursion finite, min(dist) recovers the BFS level
+    "graph_bfs_hops" ->
+      s"""WITH RECURSIVE ev AS (SELECT DISTINCT
+               'u:' || CAST(user_id AS VARCHAR) AS u,
+               't:' || event_type AS t, user_id FROM events),
+          edges AS (SELECT u AS src, t AS dst FROM ev
+                    UNION SELECT t, u FROM ev),
+          seeds AS (SELECT DISTINCT u AS seed FROM ev WHERE user_id % 100 = 0),
+          walk(seed, node, dist) AS (
+            SELECT seed, seed, 0 FROM seeds
+            UNION
+            SELECT w.seed, e.dst, w.dist + 1
+            FROM walk w JOIN edges e ON e.src = w.node
+            WHERE w.dist < 3)
+        SELECT seed, node, CAST(min(dist) AS INT) AS dist
+        FROM walk GROUP BY seed, node ORDER BY seed, node""",
     "graph_pagerank" ->
       s"""WITH ev AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
                't:' || event_type AS t FROM events),

@@ -1267,6 +1267,40 @@ object RdfOps {
         .orderBy(col("s"), col("o_value"))
     }),
 
+    // S6b TIME TRAVEL: snapshot reads of the merge-on-read store as-of
+    // historical batches — the same 4-batch history as rdf_store_mor,
+    // then three snapshot reads tagged by version: as-of batch 1 (the
+    // full load), as-of batch 2 (tombstones applied), as-of batch 4
+    // (current: revives + updates). A snapshot is a batch_id filter
+    // pushed into the delta scan before the latest-wins aggregation —
+    // no per-version copies — so history costs nothing until compaction
+    // collapses it. The oracle recomputes all three expected states
+    // from `nation`.
+    "rdf_store_timetravel" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-tt-${System.nanoTime()}"
+      val store = new graft.model.MergeOnReadStore(s, dir)
+      val g = "http://ex/nations"
+      def quads(df: DataFrame, value: Column) = df.select(
+        lit(g).as("graph"),
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+        lit("name").as("p"), value.as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      val nation = Tables.nation(s, d)
+      val key = col("n_nationkey")
+      store.appendDelta(quads(nation, col("n_name")), 1L)
+      store.appendDelta(quads(nation.filter(key % 5 === 0), col("n_name")), 2L, op = "d")
+      store.appendDelta(quads(nation.filter(key % 10 === 0),
+        concat(col("n_name"), lit("#v2"))), 3L)
+      store.appendDelta(quads(nation.filter(key % 4 === 0), col("n_name")), 4L)
+      store.versions().filter(Set(1L, 2L, 4L))
+        .map(v => store.readAsOf(v)
+          .select(lit(v).as("version"), col("s"), col("o_value")))
+        .reduce(_ unionAll _)
+        .orderBy(col("version"), col("s"), col("o_value"))
+    }),
+
     // S6/S9/Q13: store lifecycle — append, clear, re-append, scoped read
     "rdf_store_lifecycle" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-store-${System.nanoTime()}"
@@ -2025,6 +2059,26 @@ ORDER BY s, p, o_value""",
     // %5) are tombstoned then revived by the b4 re-insert; %10=0 carry
     // the b3 updated value as an additional quad identity. The plain
     // %4=0 re-inserts collapse into their live b1 rows (no extra rows).
+    // three expected snapshot states: v1 = full load; v2 = tombstones
+    // applied (%5=0 gone); v4 = current (the rdf_store_mor set)
+    "rdf_store_timetravel" ->
+      """SELECT version, s, o_value FROM (
+           SELECT CAST(1 AS BIGINT) AS version,
+             'nation:' || CAST(n_nationkey AS VARCHAR) AS s, n_name AS o_value
+           FROM nation
+           UNION ALL
+           SELECT 2, 'nation:' || CAST(n_nationkey AS VARCHAR), n_name
+           FROM nation WHERE n_nationkey % 5 <> 0
+           UNION ALL
+           SELECT 4, 'nation:' || CAST(n_nationkey AS VARCHAR), n_name
+           FROM nation WHERE n_nationkey % 5 <> 0
+           UNION ALL
+           SELECT 4, 'nation:' || CAST(n_nationkey AS VARCHAR), n_name
+           FROM nation WHERE n_nationkey % 20 = 0
+           UNION ALL
+           SELECT 4, 'nation:' || CAST(n_nationkey AS VARCHAR), n_name || '#v2'
+           FROM nation WHERE n_nationkey % 10 = 0) t
+         ORDER BY version, s, o_value""",
     "rdf_store_mor" ->
       """SELECT s, p, o_value FROM (
            SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS s,

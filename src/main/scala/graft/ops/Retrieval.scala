@@ -1,0 +1,218 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.util.Tables
+
+/** Sparse + hybrid retrieval over the `documents`/`embeddings` tables:
+  * Okapi BM25 top-k (the inverted-index scoring every eval-retrieval
+  * and RAG data pipeline runs) and reciprocal-rank fusion of the BM25
+  * list with the exact dense-cosine list (the standard hybrid-search
+  * combiner; Cormack, Clarke & Buettcher, SIGIR 2009).
+  *
+  * Scale shape (100 TB design point):
+  *  - The postings table (doc, term, tf) IS the inverted index: scoring
+  *    is a term equi-join postings ⨝ query-terms — shuffle-partitioned
+  *    by term, never a doc × query cross join. At cluster scale the
+  *    postings would be bucketed by term; the per-(query, doc) combine
+  *    shuffles only matched candidates.
+  *  - Corpus statistics (N, avgdl) are a 1-row broadcast; df rides a
+  *    window over the postings table itself (each (doc, term) row is
+  *    one containing doc — no second corpus pass).
+  *  - RRF consumes the two top-k lists (k rows per query each), so the
+  *    fusion join is bounded by queries × 2k rows regardless of corpus
+  *    size.
+  *
+  * Determinism contract (same trick as the k-means family): per-term
+  * BM25 contributions are quantized to 1e-6 integers and summed as
+  * longs — integer addition is order-free, so the score is identical
+  * on every partitioning and in DuckDB; ranking uses the rounded score
+  * with doc-id tie-break on both engines.
+  */
+object Retrieval {
+
+  private val K1 = 1.2
+  private val B = 0.75
+  private val QueryMod = 50   // query docs: doc_id % 50 == 0
+  private val QueryTerms = 8  // first-8-token prefix is the query text
+  private val FuseDepth = 20  // per-list depth entering the fusion
+  private val RrfK = 60       // the standard RRF dampening constant
+
+  private def round4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
+
+  /** (doc_id, term, tf, dl, df) postings with per-doc length and
+    * per-term document frequency — one corpus pass: tf aggregates on
+    * (doc, term) carrying dl through; df is a count-over-term window on
+    * the aggregated postings (each row is one distinct containing doc). */
+  private def postings(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+    toks.select(col("doc_id"), size(col("tk")).as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+  }
+
+  /** (query_id, term) — the distinct first-[[QueryTerms]] tokens of
+    * each query document. */
+  private def queryTerms(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % QueryMod === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(TextOps.tokens(col("text")), 1, QueryTerms)))
+          .as("term"))
+
+  /** BM25-ranked (query_id, rank, doc_id, score) down to `depth`.
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (the always-positive
+    * Robertson/Spärck Jones form); the arithmetic is written in the
+    * exact textual order the oracle uses so both engines fold the same
+    * doubles. */
+  private[ops] def bm25Ranks(s: SparkSession, d: String, depth: Int): DataFrame = {
+    val stats = Tables.documents(s, d)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val contrib = postings(s, d)
+      .join(queryTerms(s, d), "term")
+      .where(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("ci",
+        floor(log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * col("tf") * (lit(K1) + 1)
+          / (col("tf") + lit(K1) * (lit(1) - lit(B) + lit(B) * col("dl") / col("avgdl")))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(round4(sum(col("ci")) / lit(1000000.0)).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= depth)
+  }
+
+  /** Exact-cosine dense ranks for the same query ids over `embeddings`
+    * (vec_id ≡ doc_id in this corpus), down to `depth`. */
+  private[ops] def denseRanks(s: SparkSession, d: String, depth: Int): DataFrame = {
+    val vecs = Tables.fanOut(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val q = vecs.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val scored = vecs.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(Similarity.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= depth)
+      .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Okapi BM25 top-5: each query doc's first-8-token prefix
+    // scored against the whole corpus through the inverted index.
+    "retrieval_bm25_topk" -> ((s, d) =>
+      bm25Ranks(s, d, depth = 5)
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("doc_id"), col("score"))
+        .orderBy(col("query_id"), col("rank"))),
+
+    // ---- hybrid sparse+dense fusion: RRF over the BM25 top-20 and the
+    // exact-cosine top-20, rrf = Σ 1/(60 + rank) across the lists a doc
+    // appears in (absent list contributes 0). The fusion input is two
+    // top-k lists — queries × 2k narrow rows — so fusion cost is
+    // independent of corpus size; the rrf score is a sum of exact
+    // reciprocals evaluated sparse-then-dense on both engines, rounded
+    // to 6 decimals for the rank tie-break contract.
+    "retrieval_hybrid_rrf" -> ((s, d) => {
+      val sparse = bm25Ranks(s, d, FuseDepth)
+        .select(col("query_id"), col("doc_id"), col("rank").as("rs"))
+      val dense = denseRanks(s, d, FuseDepth)
+        .select(col("query_id"), col("doc_id"), col("rank").as("rd"))
+      val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          floor((coalesce(lit(1.0) / (lit(RrfK) + col("rs")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(RrfK) + col("rd")), lit(0.0)))
+            * lit(1000000.0) + lit(0.5)) / 1000000)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+      fused.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("doc_id"), col("rrf"))
+        .orderBy(col("query_id"), col("rank"))
+    }))
+
+  /** Shared BM25 CTE block: postings, corpus stats, query terms, and
+    * the ranked list down to `depth` — the same arithmetic order as the
+    * Scala pipeline, contributions quantized to 1e-6 longs before the
+    * order-free sum. */
+  private def bm25Ctes(depth: Int): String =
+    s"""toks AS (SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS tk
+           FROM documents),
+        dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+               GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        stats AS (SELECT count(*) AS n_docs,
+            sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+        q AS (SELECT DISTINCT query_id, term FROM (
+                SELECT doc_id AS query_id, unnest(tk[1:$QueryTerms]) AS term
+                FROM toks WHERE doc_id % $QueryMod = 0) qt),
+        contrib AS (
+          SELECT q.query_id, tf.doc_id,
+            CAST(floor(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+              * tf * ($K1 + 1)
+              / (tf + $K1 * (1 - $B + $B * dl.dl / avgdl))
+              * 1000000.0 + 0.5) AS BIGINT) AS ci
+          FROM q JOIN tf USING (term) JOIN dfreq USING (term)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats
+          WHERE tf.doc_id <> q.query_id),
+        bmscored AS (
+          SELECT query_id, doc_id,
+            floor((sum(ci) / 1000000.0) * 10000 + 0.5) / 10000 AS score
+          FROM contrib GROUP BY 1, 2),
+        bmranked AS (
+          SELECT query_id, doc_id, score,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS rank
+          FROM bmscored QUALIFY rank <= $depth)"""
+
+  def oracleSql: Map[String, String] = Map(
+    "retrieval_bm25_topk" ->
+      s"""WITH ${bm25Ctes(5)}
+         SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+         FROM bmranked ORDER BY query_id, rank""",
+    "retrieval_hybrid_rrf" ->
+      s"""WITH ${bm25Ctes(FuseDepth)},
+          dsranked AS (
+            SELECT query_id, doc_id, rank FROM (
+              SELECT q.vec_id AS query_id, b.vec_id AS doc_id,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY round(CAST(list_cosine_similarity(q.embedding, b.embedding) AS DOUBLE), 4) DESC,
+                           b.vec_id) AS rank
+              FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
+              WHERE q.vec_id % $QueryMod = 0) t
+            WHERE rank <= $FuseDepth),
+          fused AS (
+            SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+              COALESCE(s.doc_id, d.doc_id) AS doc_id,
+              floor((COALESCE(1.0 / ($RrfK + s.rank), 0.0)
+                + COALESCE(1.0 / ($RrfK + d.rank), 0.0))
+                * 1000000.0 + 0.5) / 1000000 AS rrf
+            FROM bmranked s FULL OUTER JOIN dsranked d
+              ON d.query_id = s.query_id AND d.doc_id = s.doc_id)
+         SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf FROM (
+           SELECT query_id, doc_id, rrf,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf DESC, doc_id) AS rank
+           FROM fused) t
+         WHERE rank <= 5 ORDER BY query_id, rank""")
+}
