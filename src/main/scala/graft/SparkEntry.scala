@@ -22,7 +22,7 @@ object SparkEntry {
       ops.Similarity.queries ++ ops.SemanticOps.queries ++
       ops.Multimodal.queries ++ ops.Udafs.queries ++ ops.Curation.queries ++
       ops.Sampling.queries ++ ops.Contamination.queries ++
-      ops.Retrieval.queries ++
+      ops.Retrieval.queries ++ ops.Inference.queries ++ ops.Classify.queries ++
       ops.GraphAlgos.queries ++ streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,6 +34,6 @@ object SparkEntry {
       ops.Similarity.oracleSql ++ ops.SemanticOps.oracleSql ++
       ops.Multimodal.oracleSql ++ ops.Udafs.oracleSql ++ ops.Curation.oracleSql ++
       ops.Sampling.oracleSql ++ ops.Contamination.oracleSql ++
-      ops.Retrieval.oracleSql ++
+      ops.Retrieval.oracleSql ++ ops.Inference.oracleSql ++ ops.Classify.oracleSql ++
       ops.GraphAlgos.oracleSql ++ streaming.EventStreams.oracleSql
 }

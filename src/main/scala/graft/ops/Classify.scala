@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Trained-in-engine document classifiers — the model-based curation
+  * step of a training-data pipeline (quality/domain classifiers à la
+  * CCNet / fastText-style source filtering): a multinomial Naive Bayes
+  * over token counts and a Rocchio (nearest-class-centroid) classifier
+  * over the embedding column. Both TRAIN inside the engine with
+  * order-independent integer-quantized arithmetic (the contract shared
+  * with the k-means / PQ trainers — see [[SemanticOps]]), so the full
+  * train→predict loop is a pure function of the data and the DuckDB
+  * oracle recomputes it bit-for-bit: counts are exact integers,
+  * per-term log-likelihoods are quantized to micro-nats
+  * (`floor(ln(x)·1e6 + 0.5)` as BIGINT) before the order-free integer
+  * sum, and argmax ties break on the class key.
+  *
+  * Scale shape: NB's model is (vocab × classes) count rows built by one
+  * partial-agg shuffle over the token stream; scoring joins the
+  * per-document term counts against the model on the token key — the
+  * class dimension fans out ONLY the per-document distinct-term rows
+  * (|classes| × |doc vocab|), never the corpus. Rocchio's model is
+  * classes × dim doubles — collected once (bounded, the
+  * literal-centroid pattern) and applied as map-side codegen'd
+  * distances, no shuffle after the centroid agg.
+  */
+object Classify {
+
+  /** Quantized micro-nat log-likelihood: deterministic across engines
+    * up to 1 ulp of ln (both sides evaluate IEEE doubles; the 1e-6
+    * quantization absorbs the difference). */
+  private def qln(x: Column): Column =
+    floor(log(x) * lit(1000000.0) + lit(0.5)).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- multinomial Naive Bayes, trained on the corpus's own source
+    // labels and evaluated on it (the mechanics, not a holdout claim):
+    // Laplace-1 smoothing, priors from document counts. Output is the
+    // confusion matrix.
+    "text_classify_nb" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      val toks = Tables.fanOut(docs).select(col("doc_id"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      val classes = docs.select(col("source").as("cls")).distinct()
+      val priors = docs.groupBy(col("source").as("cls"))
+        .agg(count(lit(1)).as("dc"))
+        .crossJoin(docs.agg(count(lit(1)).as("dtot")))
+      val cw = toks.groupBy(col("source").as("cls"), col("tok"))
+        .agg(count(lit(1)).as("cw"))
+      val tc = toks.groupBy(col("source").as("cls")).agg(count(lit(1)).as("tc"))
+      val vocab = toks.agg(countDistinct(col("tok")).as("v"))
+      val ndw = toks.groupBy(col("doc_id"), col("source"), col("tok"))
+        .agg(count(lit(1)).as("n"))
+      // class fan-out over per-document DISTINCT terms only; unseen
+      // (class, term) pairs take the smoothed zero count
+      val grid = ndw.join(broadcast(classes))
+        .join(cw, Seq("cls", "tok"), "left").na.fill(0L, Seq("cw"))
+        .join(broadcast(tc), Seq("cls"))
+        .crossJoin(broadcast(vocab))
+      val term = col("n") * qln((col("cw") + 1).cast("double")
+        / (col("tc") + col("v")).cast("double"))
+      val scores = grid.select(col("doc_id"), col("source"), col("cls"),
+          term.as("contrib"))
+        .groupBy(col("doc_id"), col("source"), col("cls"))
+        .agg(sum(col("contrib")).as("ll"))
+        .join(broadcast(priors), Seq("cls"))
+        .withColumn("score",
+          col("ll") + qln(col("dc").cast("double") / col("dtot").cast("double")))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("cls"))
+      scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("source").as("actual"), col("cls").as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("actual"), col("predicted"))
+    }),
+
+    // ---- Rocchio / nearest-class-centroid over the embeddings: class
+    // centroids are order-free quantized means (one (label, dim)
+    // partial-agg shuffle, labels × dim rows collected as plan
+    // literals); prediction is a map-side argmin over codegen'd
+    // literal-centroid distances, rounded to 6 decimals with
+    // label-ascending tie-break. Confusion matrix out.
+    "embed_classify_rocchio" -> ((s, d) => {
+      val base = Tables.fanOut(Similarity.vecsN(s, d))
+        .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+          Seq("vec_id"))
+      val sums = base
+        .select(col("label"), posexplode(transform(col("v"),
+          x => floor(x * lit(1000000.0) + lit(0.5)).cast("long")))
+          .as(Seq("dim", "xi")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val labels = sums.map(_.getInt(0)).distinct.sorted
+      val dim = sums.map(_.getInt(1)).max + 1
+      val centroids = labels.map { lb =>
+        val c = new Array[Double](dim)
+        sums.filter(_.getInt(0) == lb).foreach(r =>
+          c(r.getInt(1)) = (r.getLong(2).toDouble / r.getLong(3)) / 1e6)
+        c
+      }
+      val dists = array(centroids.toIndexedSeq.map(c =>
+        round(Similarity.sqDist(col("v"), lit(c)), 6)): _*)
+      base.withColumn("dists", dists)
+        .withColumn("predicted", element_at(lit(labels),
+          array_position(col("dists"), array_min(col("dists"))).cast("int")))
+        .groupBy(col("label").as("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("actual"), col("predicted"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "text_classify_nb" ->
+      """WITH toks AS (
+           SELECT doc_id, source,
+                  unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents),
+         classes AS (SELECT DISTINCT source AS cls FROM documents),
+         priors AS (SELECT source AS cls, count(*) AS dc
+                    FROM documents GROUP BY source),
+         dtot AS (SELECT count(*) AS dtot FROM documents),
+         cw AS (SELECT source AS cls, tok, count(*) AS cw
+                FROM toks GROUP BY 1, 2),
+         tc AS (SELECT source AS cls, count(*) AS tc FROM toks GROUP BY 1),
+         vocab AS (SELECT count(DISTINCT tok) AS v FROM toks),
+         ndw AS (SELECT doc_id, source, tok, count(*) AS n
+                 FROM toks GROUP BY 1, 2, 3),
+         scores AS (
+           SELECT ndw.doc_id, ndw.source, c.cls,
+             sum(ndw.n * CAST(floor(ln(
+               (COALESCE(cw.cw, 0) + 1) * 1.0 / (tc.tc + vocab.v))
+               * 1000000.0 + 0.5) AS BIGINT)) AS ll
+           FROM ndw CROSS JOIN classes c
+           JOIN tc ON tc.cls = c.cls
+           CROSS JOIN vocab
+           LEFT JOIN cw ON cw.cls = c.cls AND cw.tok = ndw.tok
+           GROUP BY 1, 2, 3),
+         scored AS (
+           SELECT s.doc_id, s.source, s.cls,
+             s.ll + CAST(floor(ln(p.dc * 1.0 / d.dtot) * 1000000.0 + 0.5)
+               AS BIGINT) AS score
+           FROM scores s JOIN priors p ON p.cls = s.cls CROSS JOIN dtot d),
+         pred AS (
+           SELECT doc_id, source, cls,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cls) AS rn
+           FROM scored)
+         SELECT source AS actual, cls AS predicted, count(*) AS n
+         FROM pred WHERE rn = 1
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "embed_classify_rocchio" ->
+      """WITH p AS (SELECT CAST(max(len(embedding)) AS INT) AS dm
+                    FROM embeddings),
+         di AS (SELECT unnest(range(1, (SELECT dm FROM p) + 1)) AS i),
+         v AS (SELECT e.vec_id, e.label,
+                 list_transform(range(1, p.dm + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE)) AS v
+               FROM embeddings e CROSS JOIN p),
+         sums AS (
+           SELECT x.label, di.i AS dim,
+             sum(CAST(floor(x.v[di.i] * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+             count(*) AS n
+           FROM v x CROSS JOIN di GROUP BY x.label, di.i),
+         cent AS (
+           SELECT label AS k,
+             list((CAST(sx AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
+           FROM sums GROUP BY label),
+         dists AS (
+           SELECT x.vec_id, x.label AS actual, c.k,
+             round(list_sum(list_transform(range(1, p.dm + 1),
+               i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i]))), 6) AS dist
+           FROM v x CROSS JOIN p CROSS JOIN cent c),
+         pred AS (
+           SELECT vec_id, actual, k,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, k) AS rn
+           FROM dists)
+         SELECT actual, k AS predicted, count(*) AS n
+         FROM pred WHERE rn = 1
+         GROUP BY 1, 2 ORDER BY 1, 2""")
+}
