@@ -48,17 +48,17 @@ final class GraphEngine(val store: QuadStore) {
       case InsertWhere(q) =>
         // the compiled template writes only q.targetGraph — pass it so
         // the anti-join scope needs no extra batch computation
-        store.appendDistinct(Compiler.run(q, store.readGraphs(q.usingGraphs),
+        store.appendDistinct(Compiler.run(q, whereDefault(q.targetGraph, q.usingGraphs),
           namedScope(q.usingGraphs, q.usingNamed)), Some(Seq(q.targetGraph)))
       case InsertData(quads) => store.insertData(quads)
       case DeleteWhere(q) =>
-        store.deleteQuads(Compiler.run(q, store.readGraphs(q.usingGraphs),
+        store.deleteQuads(Compiler.run(q, whereDefault(q.targetGraph, q.usingGraphs),
           namedScope(q.usingGraphs, q.usingNamed)), Some(Seq(q.targetGraph)))
       case DeleteData(quads) => store.deleteData(quads)
       case ModifyWhere(delG, insG, using, where, delT, insT, usingNamed) =>
         // ONE binding evaluation feeds both templates; materialize it
         // BEFORE mutating so both see the pre-update state (§3.1.3)
-        val b = Compiler.bindingsOf(where, store.readGraphs(using),
+        val b = Compiler.bindingsOf(where, whereDefault(delG, using),
           namedScope(using, usingNamed))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -202,9 +202,21 @@ final class GraphEngine(val store: QuadStore) {
     * scope); any FROM/FROM NAMED makes the dataset explicit, so GRAPH
     * sees exactly the FROM NAMED graphs — an empty scan when only FROM
     * was given. */
+  /** WHERE-clause default graph for updates (SPARQL 1.1 Update §3.1.3):
+    * the USING graphs when given; otherwise — the operation declares no
+    * dataset — the WITH graph (or the unnamed default graph), never an
+    * empty scope. */
+  private def whereDefault(target: String, using: Seq[String]): DataFrame =
+    store.readGraphs(if (using.nonEmpty) using else Seq(target))
+
+  /** Named-graph scope for GRAPH patterns. No dataset declared at all →
+    * the whole graph store (§3.1.3: a WITH-only update still sees every
+    * named graph; the SELECT path reaches the same behavior through the
+    * GraphE fallback). Explicit USING without USING NAMED → the spec's
+    * empty named set. */
   private def namedScope(fromGraphs: Seq[String],
       fromNamed: Seq[String]): Option[DataFrame] =
-    if (fromGraphs.isEmpty && fromNamed.isEmpty) None
+    if (fromGraphs.isEmpty && fromNamed.isEmpty) Some(store.read())
     else if (fromNamed.nonEmpty) Some(store.readGraphs(fromNamed))
     else Some(store.read().where(org.apache.spark.sql.functions.lit(false)))
 

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Characteristic sets (Neumann & Moerkotte, "Characteristic Sets:
+  * Accurate Cardinality Estimation for RDF Queries with Multiple
+  * Joins", ICDE 2011 — public literature): the structural summary a
+  * quad store keeps for STAR-join cardinality estimation. Each subject
+  * is classified by the SET of predicates it carries; subjects sharing
+  * a predicate set form one characteristic set with an exact member
+  * count. A star query `{ ?s p1 ?a . ?s p2 ?b }` is then estimated by
+  * summing the counts of every characteristic set containing both
+  * predicates — exact when predicates are single-valued per subject,
+  * and vastly better than per-predicate independence when predicate
+  * co-occurrence is correlated (the usual RDF shape).
+  *
+  * Scale: building the summary is one subject-keyed aggregation pass
+  * (collect_set over p, then a second aggregation over the set key) —
+  * the same O(n) shuffle the dictionary build already pays; the summary
+  * itself is schema-sized (distinct structural shapes, not subjects)
+  * and lives driver-side / broadcast, which is exactly how the
+  * estimator consumes statistics ([[graft.sparql.CardEstimator]]'s
+  * per-predicate table is the degenerate single-predicate case).
+  */
+object RdfStats {
+
+  private val ns = "http://localhost/"
+
+  /** The characteristic-set summary of a statement frame `(s, p)`:
+    * one row per distinct predicate set with subject and triple
+    * counts. `pset` is the comma-joined sorted predicate list — a
+    * stable, engine-portable set key. */
+  def characteristicSets(statements: DataFrame): DataFrame =
+    statements.groupBy(col("s"))
+      .agg(concat_ws(",", sort_array(collect_set(col("p")))).as("pset"),
+        count(lit(1)).as("triples"))
+      .groupBy(col("pset"))
+      .agg(count(lit(1)).as("n_subjects"), sum(col("triples")).as("n_triples"))
+
+  /** Fixture: events as star-shaped subjects whose predicate sets vary
+    * with the event shape — `etype` always, `uid` when user_id is
+    * present, `amount` only for conversion events with a value, `code`
+    * only for errors. */
+  private def shapedStatements(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val subj = concat(lit("urn:ev:"), col("event_id").cast("string"))
+    val etype = ev.select(subj.as("s"), lit(ns + "etype").as("p"),
+      col("event_type").as("o"))
+    val uid = ev.filter(col("user_id").isNotNull)
+      .select(subj.as("s"), lit(ns + "uid").as("p"),
+        col("user_id").cast("string").as("o"))
+    val amount = ev.filter(col("event_type").isin("purchase", "signup")
+        && col("value").isNotNull)
+      .select(subj.as("s"), lit(ns + "amount").as("p"),
+        floor(col("value")).cast("long").cast("string").as("o"))
+    val code = ev.filter(col("event_type") === "error")
+      .select(subj.as("s"), lit(ns + "code").as("p"),
+        pmod(col("event_id"), lit(7)).cast("string").as("o"))
+    etype.unionByName(uid).unionByName(amount).unionByName(code)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the summary itself: one row per structural shape
+    "rdf_char_sets" -> ((s, d) =>
+      characteristicSets(shapedStatements(s, d)).orderBy(col("pset"))),
+
+    // the summary USED: a star query's estimate (sum of member counts
+    // over sets containing both predicates) against its true
+    // cardinality — equal here because both predicates are
+    // single-valued, which is the property the estimator exploits.
+    "rdf_cset_estimate" -> ((s, d) => {
+      val stmts = shapedStatements(s, d)
+      val cs = characteristicSets(stmts)
+      val est = cs.filter(
+          array_contains(split(col("pset"), ","), ns + "etype") &&
+          array_contains(split(col("pset"), ","), ns + "amount"))
+        .agg(coalesce(sum(col("n_subjects")), lit(0L)).as("estimated"))
+      val a = stmts.filter(col("p") === ns + "etype")
+        .select(col("s")).distinct()
+      val b = stmts.filter(col("p") === ns + "amount")
+        .select(col("s")).distinct()
+      val actual = a.join(b, Seq("s")).agg(count(lit(1)).as("actual"))
+      est.crossJoin(actual)
+        .select(col("estimated"), col("actual"),
+          (col("estimated") === col("actual")).cast("int").as("exact"))
+    }))
+
+  private val statementsCte =
+    s"""stmts(s, p) AS (
+          SELECT 'urn:ev:' || CAST(event_id AS VARCHAR), '${ns}etype'
+          FROM events
+          UNION ALL
+          SELECT 'urn:ev:' || CAST(event_id AS VARCHAR), '${ns}uid'
+          FROM events WHERE user_id IS NOT NULL
+          UNION ALL
+          SELECT 'urn:ev:' || CAST(event_id AS VARCHAR), '${ns}amount'
+          FROM events WHERE event_type IN ('purchase', 'signup')
+            AND value IS NOT NULL
+          UNION ALL
+          SELECT 'urn:ev:' || CAST(event_id AS VARCHAR), '${ns}code'
+          FROM events WHERE event_type = 'error'),
+        per_subject AS (
+          SELECT s, string_agg(DISTINCT p, ',' ORDER BY p) AS pset,
+                 count(*) AS triples
+          FROM stmts GROUP BY s)"""
+
+  def oracleSql: Map[String, String] = Map(
+    "rdf_char_sets" ->
+      s"""WITH $statementsCte
+          SELECT pset, count(*) AS n_subjects,
+                 CAST(sum(triples) AS BIGINT) AS n_triples
+          FROM per_subject GROUP BY pset ORDER BY pset""",
+
+    "rdf_cset_estimate" ->
+      s"""WITH $statementsCte,
+          cs AS (
+            SELECT pset, count(*) AS n_subjects
+            FROM per_subject GROUP BY pset),
+          est AS (
+            SELECT CAST(COALESCE(sum(n_subjects), 0) AS BIGINT)
+              AS estimated FROM cs
+            WHERE list_contains(string_split(pset, ','), '${ns}etype')
+              AND list_contains(string_split(pset, ','), '${ns}amount')),
+          act AS (
+            SELECT count(*) AS actual FROM (
+              SELECT DISTINCT s FROM stmts WHERE p = '${ns}etype') a
+            JOIN (SELECT DISTINCT s FROM stmts WHERE p = '${ns}amount') b
+            USING (s))
+          SELECT estimated, actual,
+            CAST(estimated = actual AS INT) AS exact
+          FROM est CROSS JOIN act""")
+}
