@@ -174,7 +174,34 @@ object Plans {
         "are PQ codes (8 bytes), and exact vectors appear only in the " +
         "top-100 re-rank join — at cluster scale the cell column is " +
         "the partition key, so this is partition pruning over a " +
-        "compressed index."))
+        "compressed index."),
+    "rdfs_entailment_types" ->
+      ("RDFS materialization: every closure (subClassOf/subPropertyOf) " +
+        "joins as a BroadcastHashJoin build side — the schema frame is " +
+        "vocabulary-sized — so the instance data flows through ONE " +
+        "map-side pass per rule family and the only instance-sized " +
+        "exchange is the final distinct. No iterative join over " +
+        "instance rows anywhere in the plan."),
+    "rdf_mapping_refresh" ->
+      ("non-monotone incremental maintenance: the GRAPH <delta> anchor " +
+        "pattern is batch-sized, so AQE broadcasts it against the " +
+        "staging scan; the target-graph retraction rides the same " +
+        "binding frame. Shuffle volume tracks the delta " +
+        "(InferenceScaleProbe measures it flat as the base corpus " +
+        "grows 10x), while the base contributes a map-side pruned " +
+        "scan only."),
+    "rdf_char_sets" ->
+      ("characteristic sets: one subject-keyed partial_agg exchange " +
+        "(collect_set over p), then a set-key aggregation whose " +
+        "cardinality is the number of structural SHAPES, not subjects " +
+        "— the second exchange is schema-sized at any corpus scale."),
+    "text_classify_nb" ->
+      ("Naive Bayes train+predict in one plan: model counts partial-" +
+        "aggregate before their exchanges; the class fan-out multiplies " +
+        "only the per-document DISTINCT-term rows (|classes| x doc " +
+        "vocab, never the corpus token stream); priors/vocab join as " +
+        "1-row broadcasts; the argmax is a per-doc window, partitioned " +
+        "on doc_id — no global sort."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

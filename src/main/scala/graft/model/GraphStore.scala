@@ -224,12 +224,17 @@ final class MergeOnReadStore(val spark: SparkSession, val path: String)
   private def nextBatchId(): Long = batchCounter.incrementAndGet()
 
   /** O(delta) write: no existing data is read. `op` = "i" (insert) or
-    * "d" (delete tombstone masking every earlier batch of that quad). */
-  def appendDelta(quads: DataFrame, batchId: Long, op: String = "i"): Unit =
+    * "d" (delete tombstone masking every earlier batch of that quad).
+    * Batch ids must be non-negative — [[MergeOnReadStore.CompactedBatchId]]
+    * is reserved for the read-optimized compacted base. */
+  def appendDelta(quads: DataFrame, batchId: Long, op: String = "i"): Unit = {
+    require(batchId >= 0, s"batch ids must be >= 0 (got $batchId); " +
+      s"${MergeOnReadStore.CompactedBatchId} is reserved for compacted data")
     quads.select(schema.fieldNames.map(col).toIndexedSeq: _*)
       .withColumn("batch_id", lit(batchId))
       .withColumn("op", lit(op))
       .write.partitionBy("graph").mode("append").parquet(path)
+  }
 
   /** Raw deltas (all batches, tombstones included). */
   def readDeltas(): DataFrame =
@@ -240,17 +245,35 @@ final class MergeOnReadStore(val spark: SparkSession, val path: String)
       .select(deltaSchema.fieldNames.map(col).toIndexedSeq: _*)
 
   /** Set-semantics view: per quad identity the LATEST batch wins, and it
-    * must be an insert. One hash aggregation on the quad key (max_by —
-    * no window sort needed; batch ids are unique per quad write), which
-    * also dedups identical re-inserted quads. Graph-scoped reads prune
-    * delta partitions exactly like the base store. */
+    * must be an insert. READ-OPTIMIZED split (the Hudi/Iceberg MOR read):
+    * the compacted base (reserved batch [[MergeOnReadStore.CompactedBatchId]],
+    * distinct inserts by construction of [[compact]]) needs NO
+    * latest-wins aggregation — only the post-compaction delta TAIL
+    * aggregates, and the base is corrected by an anti-join against the
+    * tail's touched quad keys. After regular compaction the tail is
+    * batch-sized, so AQE broadcasts it and the base contributes a
+    * map-side scan with ZERO corpus shuffle (InferenceScaleProbe
+    * measures the refresh flat at 10x base). With no compaction the
+    * base is empty and this degenerates to the original global
+    * aggregation. Graph-scoped reads prune delta partitions exactly
+    * like the base store (the graph filter pushes through both union
+    * branches and the aggregation). */
   def readMerged(): DataFrame = {
     val keys = schema.fieldNames.toIndexedSeq
-    readDeltas()
+    val deltas = readDeltas()
+    val base = deltas
+      .filter(col("batch_id") === MergeOnReadStore.CompactedBatchId
+        && col("op") === "i")
+      .select(keys.map(col): _*)
+    val tail = deltas
+      .filter(col("batch_id") =!= MergeOnReadStore.CompactedBatchId)
+    val tailMerged = tail
       .groupBy(keys.map(col): _*)
       .agg(max_by(col("op"), col("batch_id")).as("last_op"))
-      .filter(col("last_op") === "i")
+    val tailInserts = tailMerged.filter(col("last_op") === "i")
       .select(keys.map(col): _*)
+    val tailKeys = tailMerged.select(keys.map(col): _*)
+    base.join(tailKeys, keys, "left_anti").unionByName(tailInserts)
   }
 
   def readGraphs(graphs: Seq[String]): DataFrame =
@@ -274,11 +297,13 @@ final class MergeOnReadStore(val spark: SparkSession, val path: String)
       .select(keys.map(col): _*)
   }
 
-  /** Distinct batch ids present (the version history) — a batch_id-only
-    * column scan, cheap at any scale. */
+  /** Distinct batch ids present (the version history; the reserved
+    * compacted pseudo-batch is not a version) — a batch_id-only column
+    * scan, cheap at any scale. */
   def versions(): Seq[Long] =
     readDeltas().select(col("batch_id")).distinct()
-      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+      .collect().map(_.getLong(0))
+      .filter(_ != MergeOnReadStore.CompactedBatchId).sorted.toIndexedSeq
 
   // ---- QuadStore surface: the engine's set-semantics ops re-expressed
   // as O(delta) writes (insert deltas / tombstones); the latest-wins
@@ -323,11 +348,14 @@ final class MergeOnReadStore(val spark: SparkSession, val path: String)
       .map(st => ExternalCatalogUtils.unescapePathName(
         st.getPath.getName.stripPrefix("graph=")))
 
-  /** Collapse one graph partition: rewrite its merged view as a single
-    * batch-0 insert delta and drop the masked history. */
+  /** Collapse one graph partition: rewrite its merged view as the
+    * reserved compacted pseudo-batch (distinct inserts, no history) and
+    * drop the masked deltas. Post-compaction reads skip the latest-wins
+    * aggregation for these rows — see [[readMerged]]. */
   def compact(graph: String, numFiles: Int = 1): Unit = {
     val merged = readGraphs(Seq(graph)).coalesce(numFiles)
-      .withColumn("batch_id", lit(0L)).withColumn("op", lit("i"))
+      .withColumn("batch_id", lit(MergeOnReadStore.CompactedBatchId))
+      .withColumn("op", lit("i"))
     val tmp = new Path(path + s".compact-${System.nanoTime()}")
     merged.write.partitionBy("graph").parquet(tmp.toString)
     val part = "graph=" + ExternalCatalogUtils.escapePathName(graph)
@@ -337,4 +365,11 @@ final class MergeOnReadStore(val spark: SparkSession, val path: String)
     if (fs.exists(src)) fs.rename(src, dst)
     fs.delete(tmp, true)
   }
+}
+
+object MergeOnReadStore {
+  /** Reserved batch id marking compacted (already-merged, insert-only,
+    * distinct) rows — writer batches are required non-negative, so the
+    * read path can split base from tail on this id alone. */
+  val CompactedBatchId: Long = -1L
 }

@@ -404,3 +404,153 @@ object DictShuffleProbe {
     spark.stop()
   }
 }
+
+/** Scale probe for the round-8 inference + incremental-maintenance
+  * operators. Two claims, both measured rather than argued:
+  *
+  *  1. RDFS materialization is LINEAR in instance volume with a fixed
+  *     ontology — the schema closure is constant-sized, so inferred
+  *     rows and shuffle bytes must both track the replication factor.
+  *  2. Non-monotone incremental refresh is O(batch), not O(corpus):
+  *     with a FIXED delta and a growing base corpus (on the
+  *     merge-on-read store, where retractions are tombstones), the
+  *     refresh's shuffle bytes must stay flat — the base is touched
+  *     only by a map-side pruned scan, never shuffled.
+  *
+  * Prints one JSON line per (probe, factor); summarized in
+  * BENCH_NOTES.md.
+  */
+object InferenceScaleProbe {
+
+  private final class ShuffleBytes
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
+  private def measured[T](spark: SparkSession)(f: => T): (T, Long) = {
+    val l = new ShuffleBytes
+    spark.sparkContext.addSparkListener(l)
+    val r = f
+    Thread.sleep(1500)
+    spark.sparkContext.removeSparkListener(l)
+    (r, l.bytes.get)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+      else Seq(1, 3, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName("graft-inference-scale-probe")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val ns = "http://localhost/"
+    val nullS = lit(null).cast("string")
+
+    def replicate(f: Int) = {
+      val ev0 = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      (0 until f).map(r =>
+        ev0.withColumn("event_id", col("event_id") + lit(r * 1000000000L)))
+        .reduce(_ unionAll _)
+    }
+
+    // ---- probe 1: materialization linearity
+    factors.foreach { f =>
+      val ev = replicate(f)
+      val subj = concat(lit("urn:ev:"), col("event_id").cast("string"))
+      val inst = ev.select(subj.as("s"),
+          lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type").as("p"),
+          concat(lit(ns + "type/"), col("event_type")).as("o"),
+          lit("iri").as("kind"))
+        .unionByName(ev.filter(col("user_id").isNotNull).select(subj.as("s"),
+          lit(ns + "user_id").as("p"),
+          concat(lit("urn:user:"), col("user_id").cast("string")).as("o"),
+          lit("iri").as("kind")))
+      import spark.implicits._
+      val T = ns + "type/"; val C = ns + "cls/"
+      val schema = Seq(
+        (T + "purchase", Inference.SubClassOf, C + "conversion"),
+        (T + "signup", Inference.SubClassOf, C + "conversion"),
+        (C + "conversion", Inference.SubClassOf, C + "interaction"),
+        (T + "click", Inference.SubClassOf, C + "engagement"),
+        (T + "view", Inference.SubClassOf, C + "engagement"),
+        (C + "engagement", Inference.SubClassOf, C + "interaction"),
+        (C + "interaction", Inference.SubClassOf, C + "event"),
+        (T + "error", Inference.SubClassOf, C + "event"),
+        (ns + "user_id", Inference.SubPropertyOf, ns + "actor"),
+        (ns + "actor", Inference.SubPropertyOf, ns + "participant"),
+        (ns + "user_id", Inference.Range, C + "user"))
+        .toDF("s", "p", "o").withColumn("kind", lit("iri"))
+      val nIn = inst.count()
+      val ((nOut), bytes) = measured(spark) {
+        Inference.rdfsMaterialize(schema.unionByName(inst)).count()
+      }
+      println(s"""{"probe":"rdfs_materialize","factor":$f,"instance_rows":$nIn,""" +
+        s""""materialized_rows":$nOut,"shuffle_bytes":$bytes}""")
+    }
+
+    // ---- probe 2: refresh cost vs base size (fixed delta, MOR store)
+    factors.foreach { f =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-infprobe-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
+      val store = new graft.model.MergeOnReadStore(spark, dir)
+      val gStage = "http://ex/staging/events"
+      val gDelta = "http://ex/staging/late_values"
+      val ev = replicate(f)
+      val subj = concat(lit("urn:ev:"), col("event_id").cast("string"))
+      store.appendDistinct(ev.select(lit(gStage).as("graph"), subj.as("s"),
+        lit(ns + "event_type").as("p"), col("event_type").as("o_value"),
+        nullS.as("o_type"), nullS.as("o_lang"), lit("literal").as("o_kind")))
+      val engine = new graft.GraphEngine(store)
+      engine.update(s"""
+        PREFIX src: <$ns>
+        PREFIX ex: <http://ex/>
+        WITH <http://ex/scored>
+        INSERT { ?e ex:scored "no" }
+        USING <$gStage>
+        WHERE { ?e src:event_type ?t }""")
+      // compaction after the bulk load — the production shape: the
+      // read-optimized base then skips latest-wins aggregation and the
+      // refresh's shuffles are tail-sized (see MergeOnReadStore.readMerged)
+      store.compact(gStage)
+      store.compact("http://ex/scored")
+      // FIXED-size delta regardless of factor: the 1x slice's %97 events
+      val delta = Tables.events(spark, sfDir)
+        .filter(pmod(col("event_id"), lit(97)) === 0 && col("value").isNotNull)
+      val dq = delta.select(lit(gDelta).as("graph"),
+        concat(lit("urn:ev:"), col("event_id").cast("string")).as("s"),
+        lit(ns + "value").as("p"),
+        floor(col("value")).cast("long").cast("string").as("o_value"),
+        nullS.as("o_type"), nullS.as("o_lang"), lit("literal").as("o_kind"))
+      store.appendDistinct(dq.withColumn("graph", lit(gStage)))
+      store.appendDistinct(dq)
+      val nDelta = dq.count()
+      val (_, bytes) = measured(spark) {
+        engine.update(s"""
+          PREFIX src: <$ns>
+          PREFIX ex: <http://ex/>
+          WITH <http://ex/scored>
+          DELETE { ?e ex:scored ?old }
+          INSERT { ?e ex:scored "yes" }
+          WHERE {
+            GRAPH <$gDelta> { ?e src:value ?dv }
+            OPTIONAL { ?e ex:scored ?old }
+          }""")
+      }
+      val nYes = store.readGraphs(Seq("http://ex/scored"))
+        .filter(col("o_value") === "yes").count()
+      require(nYes == nDelta, s"refresh must rewrite exactly the delta: $nYes vs $nDelta")
+      println(s"""{"probe":"refresh_fixed_delta","factor":$f,"delta_rows":$nDelta,""" +
+        s""""refresh_shuffle_bytes":$bytes}""")
+    }
+    spark.stop()
+  }
+}

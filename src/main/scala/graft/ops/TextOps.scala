@@ -173,6 +173,31 @@ object TextOps {
           (col("n_hit") >= col("n_exact") * 0.8).cast("int").as("recall_ok"))
     }),
 
+    // ---- Unicode NFC normalization (the canonicalization pass before
+    // any hash-based dedup — composed "café" and decomposed
+    // "cafe"+U+0301 must collide): a NATIVE codegen'd Catalyst
+    // expression over java.text.Normalizer, map-side only. The fixture
+    // plants decomposed suffixes (combining acute / combining ring) on
+    // an id-slice so the pass provably rewrites; DuckDB's
+    // nfc_normalize recomputes every normalized hash.
+    "text_normalize_nfc" -> ((s, d) => {
+      val suffix = when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" café"))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit(" Ångström"))
+        .otherwise(lit(" plain"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(col("text"), suffix).as("raw"))
+        .select(col("doc_id"),
+          graft.sparql.SparqlFunctions.normalize_nfc(col("raw")).as("norm"),
+          col("raw"))
+        .select(col("doc_id"),
+          (col("norm") =!= col("raw")).cast("int").as("changed"),
+          (length(col("raw")) - length(col("norm"))).cast("long")
+            .as("chars_composed"),
+          md5(col("norm").cast("binary")).as("norm_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- PII redaction (the scrub pass every training corpus runs):
     // email and IPv4 patterns replaced by placeholder tokens, plus
     // per-doc match counts for audit. Pure map-side regex — no shuffle,
@@ -320,6 +345,23 @@ object TextOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // the same decomposed suffixes rebuilt with chr(): 769=U+0301
+    // combining acute, 778=U+030A combining ring, 776=U+0308 combining
+    // diaeresis; nfc_normalize is DuckDB's UAX #15 NFC
+    "text_normalize_nfc" ->
+      """WITH raw AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769)
+                  WHEN doc_id % 3 = 1
+                    THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+                  ELSE ' plain' END AS raw
+           FROM documents),
+         n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM raw)
+         SELECT doc_id,
+           CAST(norm <> raw AS INT) AS changed,
+           CAST(len(raw) - len(norm) AS BIGINT) AS chars_composed,
+           md5(norm) AS norm_md5
+         FROM n ORDER BY doc_id""",
     // exact-pair count recomputed in SQL; the winnow-collision recall
     // floor is the deterministic sketch property the audit asserts
     "dedup_winnow_recall" ->

@@ -50,8 +50,52 @@ case class EncodeForUriExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode normalization runtime (java.text.Normalizer — the JDK's
+  * ICU-derived implementation of UAX #15). A text pipeline normalizes
+  * before hashing/dedup so that composed ("café") and decomposed
+  * ("cafe" + U+0301) spellings of the same string collide. */
+object NormalizeRuntime {
+  def nfc(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  def nfkc(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
+}
+
+/** Native codegen'd NFC/NFKC normalization — a Catalyst expression, not
+  * a UDF, so it stays inside whole-stage codegen on the token hot path. */
+case class NormalizeExpr(child: Expression, form: String)
+    extends UnaryExpression {
+  require(form == "NFC" || form == "NFKC", s"unsupported form $form")
+  override def dataType: DataType = StringType
+  override def prettyName: String = s"normalize_${form.toLowerCase}"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    UTF8String.fromString(
+      if (form == "NFC") NormalizeRuntime.nfc(s) else NormalizeRuntime.nfkc(s))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (form == "NFC") "nfc" else "nfkc"
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.sparql.NormalizeRuntime.$fn($c.toString()))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SparqlFunctions {
   /** Column wrapper for the native expression. */
   def encode_for_uri(c: Column): Column =
     GraftShim.column(EncodeForUriExpr(GraftShim.expression(c)))
+
+  /** Unicode NFC normalization (native, codegen'd). */
+  def normalize_nfc(c: Column): Column =
+    GraftShim.column(NormalizeExpr(GraftShim.expression(c), "NFC"))
+
+  /** Unicode NFKC normalization (native, codegen'd). */
+  def normalize_nfkc(c: Column): Column =
+    GraftShim.column(NormalizeExpr(GraftShim.expression(c), "NFKC"))
 }

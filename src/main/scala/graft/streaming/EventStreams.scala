@@ -263,6 +263,36 @@ object EventStreams {
         .orderBy(col("user_id"))
     }),
 
+    // ---- stream-stream LEFT OUTER join: the harder outer case — a
+    // null-extended row for an unmatched view can only be emitted once
+    // the watermark proves no in-window purchase can still arrive
+    // (v_ts + 30min past the global watermark, which is the MIN over
+    // both inputs' max-event-time - delay). Matched pairs emit exactly
+    // as in the inner join; the no-data micro-batch after the last
+    // data batch performs the final state eviction. State stays
+    // bounded by the same watermark (StreamStateProbe's argument
+    // applies unchanged — eviction is the join's correctness
+    // condition here, not just a memory bound).
+    "stream_stream_left_join" -> ((s, d) => {
+      val ev = eventsStream(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "30 minutes")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "30 minutes")
+      val joined = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      runToTable(joined, "append")
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("p_user")).as("n_matched"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- batch sessionization twin (gaps-and-islands; oracle-checked)
     "sessionize_batch" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -353,6 +383,36 @@ object EventStreams {
            ON p.user_id = v.user_id
           AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
          GROUP BY 1 ORDER BY 1""",
+    // left-outer twin: pairs as above; a null-extended row per view
+    // with NO in-window purchase, but only when the view's match window
+    // closed under the final watermark = min over both inputs of
+    // floor_ms(max ts) - 30min (per-input watermark nodes, global min)
+    "stream_stream_left_join" ->
+      """WITH v AS (SELECT user_id, ts FROM events
+                    WHERE event_type = 'view'),
+           p AS (SELECT user_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+           wm AS (SELECT (least((SELECT epoch_ms(max(ts)) FROM v),
+                                (SELECT epoch_ms(max(ts)) FROM p))
+                          - 1800000) * 1000 AS wm_us),
+           pairs AS (
+             SELECT v.user_id FROM v JOIN p
+               ON p.user_id = v.user_id
+              AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE),
+           unmatched AS (
+             SELECT v.user_id FROM v, wm
+             WHERE NOT EXISTS (
+                     SELECT 1 FROM p
+                     WHERE p.user_id = v.user_id
+                       AND p.ts >= v.ts
+                       AND p.ts <= v.ts + INTERVAL 30 MINUTE)
+               AND epoch_us(v.ts) + 1800000000 <= wm.wm_us),
+           allrows AS (
+             SELECT user_id, 1 AS m FROM pairs
+             UNION ALL
+             SELECT user_id, 0 FROM unmatched)
+         SELECT user_id, count(*) AS n_rows, CAST(sum(m) AS BIGINT) AS n_matched
+         FROM allrows GROUP BY user_id ORDER BY user_id""",
     "stream_tumbling_agg" ->
       """SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP)
              AS window_start,

@@ -55,9 +55,11 @@ class MorStoreSpec extends AnyFunSuite {
     val before = merged(st)
     st.compact("g")
     assert(merged(st) == before)
-    // history gone: every surviving delta row is the batch-0 rewrite
+    // history gone: every surviving delta row is the reserved
+    // compacted pseudo-batch (read-optimized base, skips latest-wins)
     val deltas = st.readDeltas().collect()
-    assert(deltas.forall(r => r.getAs[Long]("batch_id") == 0L))
+    assert(deltas.forall(r => r.getAs[Long]("batch_id") ==
+      graft.model.MergeOnReadStore.CompactedBatchId))
     assert(deltas.length == before.size)
   }
 
