@@ -23,7 +23,7 @@ object SparkEntry {
       ops.Multimodal.queries ++ ops.Udafs.queries ++ ops.Curation.queries ++
       ops.Sampling.queries ++ ops.Contamination.queries ++
       ops.Retrieval.queries ++ ops.Inference.queries ++ ops.Classify.queries ++
-      ops.Incremental.queries ++ ops.RdfStats.queries ++ ops.Bpe.queries ++
+      ops.Incremental.queries ++ ops.RdfStats.queries ++ ops.Bpe.queries ++ ops.Sketches.queries ++
       ops.GraphAlgos.queries ++ streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,6 +36,6 @@ object SparkEntry {
       ops.Multimodal.oracleSql ++ ops.Udafs.oracleSql ++ ops.Curation.oracleSql ++
       ops.Sampling.oracleSql ++ ops.Contamination.oracleSql ++
       ops.Retrieval.oracleSql ++ ops.Inference.oracleSql ++ ops.Classify.oracleSql ++
-      ops.Incremental.oracleSql ++ ops.RdfStats.oracleSql ++ ops.Bpe.oracleSql ++
+      ops.Incremental.oracleSql ++ ops.RdfStats.oracleSql ++ ops.Bpe.oracleSql ++ ops.Sketches.oracleSql ++
       ops.GraphAlgos.oracleSql ++ streaming.EventStreams.oracleSql
 }
