@@ -120,11 +120,121 @@ object Inference {
     allProps.unionByName(allTypes).distinct()
   }
 
+  val OwlInverseOf = "http://www.w3.org/2002/07/owl#inverseOf"
+  val OwlSymmetric = "http://www.w3.org/2002/07/owl#SymmetricProperty"
+  val OwlTransitive = "http://www.w3.org/2002/07/owl#TransitiveProperty"
+
+  /** OWL property-rule materialization (the owl-horst subset a KG
+    * actually uses: inverseOf / SymmetricProperty / TransitiveProperty)
+    * over a statement frame `(s, p, o, kind)` carrying both the
+    * property schema and instance triples.
+    *
+    * Stratification: (1) symmetric + inverse expansion (statement-
+    * local, broadcast schema); (2) transitive closure per DECLARED
+    * transitive predicate over the post-(1) edge set (bounded
+    * path-doubling — instance-sized but hierarchy-shaped, the same
+    * envelope as the SPARQL path closures); (3) one more inverse pass
+    * so a transitive predicate's inverse mirrors its closure. This is
+    * the fixpoint provided no predicate is both symmetric and
+    * transitive (that combination is an equivalence closure — use
+    * [[fuseSameAs]]'s component machinery instead) — asserted loudly. */
+  def owlMaterialize(statements: DataFrame): DataFrame = {
+    val spark = statements.sparkSession
+    val schemaRows = statements
+      .filter(col("p") === OwlInverseOf ||
+        (col("p") === RdfType && col("o").isin(OwlSymmetric, OwlTransitive)))
+      .collect()
+    val inv = schemaRows.filter(_.getString(1) == OwlInverseOf)
+      .map(r => (r.getString(0), r.getString(2)))
+    val symmetric = schemaRows.filter(r => r.getString(1) == RdfType &&
+      r.getString(2) == OwlSymmetric).map(_.getString(0)).toSet
+    val transitive = schemaRows.filter(r => r.getString(1) == RdfType &&
+      r.getString(2) == OwlTransitive).map(_.getString(0)).toSet
+    require(symmetric.intersect(transitive).isEmpty,
+      "symmetric+transitive predicates need component fusion, not closure")
+
+    val inst = statements.filter(col("p") =!= OwlInverseOf &&
+      !(col("p") === RdfType && col("o").isin(OwlSymmetric, OwlTransitive)))
+
+    def inversePass(df: DataFrame): DataFrame = {
+      val flips = inv.flatMap { case (p, q) => Seq((p, q), (q, p)) }
+      val flipped = flips.map { case (from, to) =>
+        df.filter(col("p") === from)
+          .select(col("o").as("s"), lit(to).as("p"), col("s").as("o"),
+            lit("iri").as("kind"))
+      }
+      if (flipped.isEmpty) df else flipped.foldLeft(df)(_ unionByName _)
+    }
+    val symRows = symmetric.toSeq.sorted.map(p =>
+      inst.filter(col("p") === p)
+        .select(col("o").as("s"), col("p"), col("s").as("o"),
+          lit("iri").as("kind")))
+    val pass1 = inversePass(
+      symRows.foldLeft(inst)(_ unionByName _)).distinct()
+
+    val closures = transitive.toSeq.sorted.map { p =>
+      transitiveClosure(pass1.filter(col("p") === p)
+        .select(col("s").as("a"), col("o").as("b")))
+        .select(col("a").as("s"), lit(p).as("p"), col("b").as("o"),
+          lit("iri").as("kind"))
+    }
+    val pass2 = closures.foldLeft(pass1)(_ unionByName _)
+    inversePass(pass2).distinct()
+  }
+
+  /** Fixture for OWL rules over the TPC-H hierarchy: customer ∈ nation
+    * ∈ region ∈ world as a TransitiveProperty chain, supplier
+    * reports_to nation with a declared inverse, and same-region nation
+    * adjacency as a SymmetricProperty. */
+  private def owlStatements(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val schema = Seq(
+      (ns + "reports_to", OwlInverseOf, ns + "manages"),
+      (ns + "connected", RdfType, OwlSymmetric),
+      (ns + "parent_org", RdfType, OwlTransitive))
+      .toDF("s", "p", "o").withColumn("kind", lit("iri"))
+    val parent = ns + "parent_org"
+    val cust = Tables.customer(s, d).select(
+      concat(lit("urn:c:"), col("c_custkey").cast("string")).as("s"),
+      lit(parent).as("p"),
+      concat(lit("urn:n:"), col("c_nationkey").cast("string")).as("o"),
+      lit("iri").as("kind"))
+    val nat = Tables.nation(s, d).select(
+      concat(lit("urn:n:"), col("n_nationkey").cast("string")).as("s"),
+      lit(parent).as("p"),
+      concat(lit("urn:r:"), col("n_regionkey").cast("string")).as("o"),
+      lit("iri").as("kind"))
+    val reg = Tables.region(s, d).select(
+      concat(lit("urn:r:"), col("r_regionkey").cast("string")).as("s"),
+      lit(parent).as("p"), lit("urn:world").as("o"), lit("iri").as("kind"))
+    val supp = Tables.supplier(s, d).select(
+      concat(lit("urn:s:"), col("s_suppkey").cast("string")).as("s"),
+      lit(ns + "reports_to").as("p"),
+      concat(lit("urn:n:"), col("s_nationkey").cast("string")).as("o"),
+      lit("iri").as("kind"))
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("k1"), col("n_regionkey").as("rk"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("k2"), col("n_regionkey").as("rk"))
+    val adj = n1.join(n2, "rk").filter(col("k1") < col("k2"))
+      .select(concat(lit("urn:n:"), col("k1").cast("string")).as("s"),
+        lit(ns + "connected").as("p"),
+        concat(lit("urn:n:"), col("k2").cast("string")).as("o"),
+        lit("iri").as("kind"))
+    schema.unionByName(cust).unionByName(nat).unionByName(reg)
+      .unionByName(supp).unionByName(adj)
+  }
+
   /** Fixture: schema + instance statements derived from `events`. The
     * ontology exercises depth-3 subClassOf chains, a subPropertyOf
     * chain, a domain and a range declaration; instances are one type +
     * one user (IRI object) + one value (literal) triple per event. */
-  private def eventStatements(s: SparkSession, d: String): DataFrame = {
+  private def eventStatements(s: SparkSession, d: String): DataFrame =
+    eventStatementsSlice(s, d, lit(true))
+
+  /** Id-sliced variant (incremental-materialization fixtures). */
+  private def eventStatementsSlice(s: SparkSession, d: String,
+      keep: Column): DataFrame = {
     import s.implicits._
     val schema = Seq(
       (T + "purchase", SubClassOf, C + "conversion"),
@@ -140,7 +250,7 @@ object Inference {
       (ns + "value", Domain, C + "measured"),
       (ns + "user_id", Range, C + "user"))
       .toDF("s", "p", "o").withColumn("kind", lit("iri"))
-    val ev = Tables.events(s, d)
+    val ev = Tables.events(s, d).filter(keep)
     val subj = concat(lit("urn:ev:"), col("event_id").cast("string"))
     val types = ev.select(subj.as("s"), lit(RdfType).as("p"),
       concat(lit(T), col("event_type")).as("o"), lit("iri").as("kind"))
@@ -323,6 +433,33 @@ object Inference {
           countDistinct(col("s")).as("n_subj"))
         .orderBy(col("p"))),
 
+    // O(delta) incremental materialization: RDFS rules are STATEMENT-
+    // local (each consumes one instance triple + broadcast schema), so
+    // materialize(base ∪ delta) ≡ materialize(base) ∪ materialize(delta)
+    // — a new batch infers over batch-sized input only. The oracle is
+    // the FULL recompute, so the identity is checked, not assumed.
+    "rdfs_incremental" -> ((s, d) => {
+      val seventh = pmod(col("event_id"), lit(7))
+      val base = rdfsMaterialize(eventStatementsSlice(s, d, seventh =!= 0))
+      val delta = rdfsMaterialize(eventStatementsSlice(s, d, seventh === 0))
+      base.unionByName(delta).distinct()
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("s")).as("n_subj"))
+        .orderBy(col("p"))
+    }),
+
+    // OWL property rules over the TPC-H hierarchy: transitive
+    // parent_org closure (customer→nation→region→world), inverse
+    // manages edges mirrored from reports_to, symmetric same-region
+    // nation adjacency — per-predicate statement counts.
+    "owl_entailment" -> ((s, d) =>
+      owlMaterialize(owlStatements(s, d))
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("s")).as("n_subj"))
+        .orderBy(col("p"))),
+
     // sameAs smushing: three minted aliases per user joined by a
     // 2-edge sameAs chain; events attach to different aliases by type;
     // after fusing, per-canonical-entity stats must equal the per-user
@@ -448,6 +585,56 @@ object Inference {
               UNION ALL
               SELECT s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', o
               FROM types))
+          SELECT p, count(*) AS n, count(DISTINCT s) AS n_subj
+          FROM stmts GROUP BY p ORDER BY p""",
+
+    // identical to rdfs_entailment_props: the incremental union must
+    // land on the full-recompute state exactly
+    "rdfs_incremental" ->
+      s"""$oracleCommon,
+          stmts(s, p, o) AS (
+            SELECT DISTINCT s, p, o FROM (
+              SELECT s, p, o FROM allprop
+              UNION ALL
+              SELECT s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', o
+              FROM types))
+          SELECT p, count(*) AS n, count(DISTINCT s) AS n_subj
+          FROM stmts GROUP BY p ORDER BY p""",
+
+    "owl_entailment" ->
+      s"""WITH RECURSIVE
+          par(a, b) AS (
+            SELECT 'urn:c:' || CAST(c_custkey AS VARCHAR),
+                   'urn:n:' || CAST(c_nationkey AS VARCHAR) FROM customer
+            UNION ALL
+            SELECT 'urn:n:' || CAST(n_nationkey AS VARCHAR),
+                   'urn:r:' || CAST(n_regionkey AS VARCHAR) FROM nation
+            UNION ALL
+            SELECT 'urn:r:' || CAST(r_regionkey AS VARCHAR), 'urn:world'
+            FROM region),
+          parc(a, b) AS (
+            SELECT a, b FROM par
+            UNION
+            SELECT parc.a, par.b FROM parc JOIN par ON parc.b = par.a),
+          rep(a, b) AS (
+            SELECT 'urn:s:' || CAST(s_suppkey AS VARCHAR),
+                   'urn:n:' || CAST(s_nationkey AS VARCHAR) FROM supplier),
+          conn(a, b) AS (
+            SELECT DISTINCT
+              'urn:n:' || CAST(n1.n_nationkey AS VARCHAR),
+              'urn:n:' || CAST(n2.n_nationkey AS VARCHAR)
+            FROM nation n1 JOIN nation n2
+              ON n1.n_regionkey = n2.n_regionkey
+             AND n1.n_nationkey <> n2.n_nationkey),
+          stmts(s, p, o) AS (
+            SELECT DISTINCT s, p, o FROM (
+              SELECT a, '${ns}parent_org', b FROM parc
+              UNION ALL
+              SELECT a, '${ns}reports_to', b FROM rep
+              UNION ALL
+              SELECT b, '${ns}manages', a FROM rep
+              UNION ALL
+              SELECT a, '${ns}connected', b FROM conn) t(s, p, o))
           SELECT p, count(*) AS n, count(DISTINCT s) AS n_subj
           FROM stmts GROUP BY p ORDER BY p""",
 

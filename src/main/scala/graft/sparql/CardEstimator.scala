@@ -31,7 +31,8 @@ import Algebra._
   */
 final class CardEstimator private (
     total: Long, totalDs: Long, totalDo: Long,
-    pred: Map[String, (Long, Long, Long)]) extends Serializable {
+    pred: Map[String, (Long, Long, Long)],
+    csets: Seq[(Set[String], Long)]) extends Serializable {
 
   def estimate(tp: TriplePattern): Double = tp.p match {
     case I(p) =>
@@ -39,6 +40,38 @@ final class CardEstimator private (
       scaled(n, ds, dn, tp)
     case _ => scaled(total, totalDs, totalDo, tp)
   }
+
+  /** Subjects whose predicate set covers `preds` — the characteristic-
+    * set star estimate (Neumann & Moerkotte ICDE 2011; see
+    * [[graft.ops.RdfStats]] for the summary as a queryable artifact).
+    * None when the summary wasn't gathered. Stored sets are the top-K
+    * by member count, so a miss UNDERestimates — safe for ordering. */
+  def starSubjects(preds: Set[String]): Option[Long] =
+    if (csets.isEmpty) None
+    else Some(csets.iterator.filter(c => preds.subsetOf(c._1)).map(_._2).sum)
+
+  /** Conditional cardinality of adding `tp` to a star already bound on
+    * the same subject variable with constant predicates `starPreds`:
+    * joint subject count × the predicate's per-subject multiplicity ×
+    * constant-object selectivity. Falls back to None (caller uses the
+    * independence estimate) for variable predicates / constant
+    * subjects / no summary. Correlation-aware where independence is
+    * systematically wrong: co-occurring predicates stop looking cheap
+    * just because their global count is small. */
+  def conditional(tp: TriplePattern, starPreds: Set[String]): Option[Double] =
+    (tp.s, tp.p) match {
+      case (V(_), I(p)) if starPreds.nonEmpty =>
+        starSubjects(starPreds + p).map { subj =>
+          val (n, ds, dn) = pred.getOrElse(p, (0L, 1L, 1L))
+          val mult = n.toDouble / math.max(ds, 1L)
+          val oSel = tp.o match {
+            case V(_) => 1.0
+            case _ => 1.0 / math.max(dn, 1L)
+          }
+          subj * mult * oSel
+        }
+      case _ => None
+    }
 
   private def scaled(n: Long, ds: Long, dn: Long, tp: TriplePattern): Double = {
     val sSel = tp.s match {
@@ -58,10 +91,20 @@ object CardEstimator {
   /** The planner-scope hook consulted by the compiler's BGP loop. */
   val current = new scala.util.DynamicVariable[Option[CardEstimator]](None)
 
-  /** One aggregate over the quad set → the full statistics object.
-    * Whole-store totals are derived from the per-predicate rows (NDV
-    * sums overestimate the true union NDV, which only makes variable-
-    * predicate patterns look expensive — the safe direction). */
+  /** Stored characteristic sets are capped at the top-K shapes by
+    * member count — structural shapes are schema-like in practice, but
+    * adversarial data could mint one per subject; the cap bounds
+    * driver memory and only costs estimate precision (underestimates
+    * for uncovered shapes). */
+  val MaxCsets = 1024
+
+  /** One aggregate over the quad set → the per-predicate statistics,
+    * plus one subject-keyed aggregate → the characteristic-set summary
+    * (both vocabulary/shape-sized results; the second pass is the same
+    * O(n) shuffle class as the first). Whole-store totals are derived
+    * from the per-predicate rows (NDV sums overestimate the true union
+    * NDV, which only makes variable-predicate patterns look expensive
+    * — the safe direction). */
   def fromQuads(quads: DataFrame): CardEstimator = {
     val rows = quads.groupBy("p").agg(
       count(lit(1)).as("n"),
@@ -70,29 +113,69 @@ object CardEstimator {
       .collect()
     val pred = rows.map(r => r.getString(0) ->
       (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val csetRows = quads.groupBy("s")
+      .agg(sort_array(collect_set(col("p"))).as("pset"))
+      .groupBy("pset").agg(count(lit(1)).as("n_subj"))
+      .orderBy(col("n_subj").desc, col("pset"))
+      .limit(MaxCsets)
+      .collect()
+    val csets = csetRows.map(r =>
+      r.getSeq[String](0).toSet -> r.getLong(1)).toSeq
     new CardEstimator(
       pred.valuesIterator.map(_._1).sum,
       pred.valuesIterator.map(_._2).sum,
       pred.valuesIterator.map(_._3).sum,
-      pred)
+      pred, csets)
   }
 
   /** Test/inspection helper: the greedy order the compiler will choose
     * for a pattern batch under this estimator — estimate-sorted, then
-    * connectivity-first exactly like the BGP loop. */
+    * connectivity-first with characteristic-set conditional refinement
+    * among connected candidates, exactly like the BGP loop. */
   def orderOf(est: CardEstimator, batch: Seq[TriplePattern]): Seq[TriplePattern] = {
     val remaining = batch.sortBy(est.estimate).toBuffer
     val out = scala.collection.mutable.Buffer.empty[TriplePattern]
     var bound = Set.empty[String]
+    val starPreds = scala.collection.mutable.Map.empty[String, Set[String]]
+      .withDefaultValue(Set.empty)
     while (remaining.nonEmpty) {
-      val idx = remaining.indexWhere(_.vars.exists(bound)) match {
-        case -1 => 0
-        case j => j
-      }
+      val idx = pickNext(remaining.toSeq, bound, starPreds, Some(est),
+        est.estimate)
       val tp = remaining.remove(idx)
       bound ++= tp.vars
+      (tp.s, tp.p) match {
+        case (V(v), I(p)) => starPreds(v) = starPreds(v) + p
+        case _ => ()
+      }
       out += tp
     }
     out.toSeq
+  }
+
+  /** Shared greedy selection step (compiler BGP loop + [[orderOf]]):
+    * among CONNECTED candidates pick the one with the smallest
+    * characteristic-set conditional estimate (falling back to the
+    * already-sorted individual estimate, so ties keep the sorted
+    * order); disconnected batches fall back to head. */
+  private[sparql] def pickNext(remaining: Seq[TriplePattern],
+      bound: Set[String],
+      starPreds: collection.Map[String, Set[String]],
+      ce: Option[CardEstimator],
+      est: TriplePattern => Double): Int = {
+    val connected = remaining.zipWithIndex
+      .filter { case (tp, _) => tp.vars.exists(bound) }
+    if (connected.isEmpty) 0
+    else ce match {
+      case Some(c) =>
+        connected.minBy { case (tp, i) =>
+          val cond = tp.s match {
+            case V(v) => c.conditional(tp, starPreds.getOrElse(v, Set.empty))
+            case _ => None
+          }
+          // tuple ordering keeps the sorted-order tie-break stable
+          (cond.getOrElse(est(tp)), i)
+        }._2
+      case None => connected.head._2
+    }
   }
 }

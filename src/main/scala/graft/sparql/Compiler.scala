@@ -214,21 +214,30 @@ object Compiler {
       // static shape rank, unless a CardEstimator is in planner scope
       // (GraphEngine.withCardinalityStats) — then data-driven estimates
       // pick the order ([[CardEstimator]]; orderOf mirrors this loop)
-      val est: TriplePattern => Double = CardEstimator.current.value match {
+      val ceOpt = CardEstimator.current.value
+      val est: TriplePattern => Double = ceOpt match {
         case Some(ce) => tp => ce.estimate(tp)
         case None => tp => rank(tp).toDouble
       }
       val remaining = batch.sortBy(est).toBuffer
+      // constant predicates already joined per subject VARIABLE — feeds
+      // the characteristic-set conditional estimate, which corrects the
+      // independence assumption for correlated star predicates
+      val starPreds = scala.collection.mutable.Map.empty[String, Set[String]]
+        .withDefaultValue(Set.empty)
       while (remaining.nonEmpty) {
         val boundVars: Set[String] =
           acc.map(_.columns.toSet).getOrElse(Set.empty)
-        // prefer a connected pattern; among connected, most selective
-        val idx = remaining.indexWhere(tp => tp.vars.exists(boundVars)) match {
-          case -1 if acc.isEmpty => 0
-          case -1 => 0 // disconnected → crossJoin (explicit, SURVEY §7.4.6)
-          case j => j
-        }
+        // prefer a connected pattern; among connected, smallest
+        // conditional (cset) estimate, else most selective (sorted);
+        // disconnected → crossJoin (explicit, SURVEY §7.4.6)
+        val idx = CardEstimator.pickNext(remaining.toSeq, boundVars,
+          starPreds, ceOpt, est)
         val tp = remaining.remove(idx)
+        (tp.s, tp.p) match {
+          case (V(v), I(p)) => starPreds(v) = starPreds(v) + p
+          case _ => ()
+        }
         acc = Some(joinStep(acc, nullable, compilePattern(quads, tp, graphVar), Set.empty))
         // an (inner) join against a pattern leaves its vars bound
         nullable --= tp.vars

@@ -69,4 +69,38 @@ class CardEstimatorSpec extends AnyFunSuite {
     assert(stats == plain)
     assert(stats.size == 2)
   }
+  /** Correlated-star fixture: `anti` (50 triples) co-occurs with EVERY
+    * `rare2` subject, while `common2` (905 triples) co-occurs with only
+    * 5 of them — global counts invert the joint sizes. */
+  private def correlatedQuads = {
+    import spark.implicits._
+    val rareSubj = (0 until 50).map(i => s"http://ex/r$i")
+    val rare = rareSubj.map(s => Quad.lit("g", s, "http://ex/rare2", "hit"))
+    // anti co-occurs with every rare subject, plus 10 anti-only
+    // subjects so rare2 (n=50) anchors uniquely ahead of anti (n=60)
+    val anti = (rareSubj ++ (0 until 10).map(i => s"http://ex/x$i"))
+      .map(s => Quad.lit("g", s, "http://ex/anti", "a"))
+    val commonOnRare = rareSubj.take(5).map(s =>
+      Quad.lit("g", s, "http://ex/common2", "c"))
+    val commonElse = (0 until 900).map(i =>
+      Quad.lit("g", s"http://ex/o$i", "http://ex/common2", "c"))
+    (rare ++ anti ++ commonOnRare ++ commonElse).toDF()
+  }
+
+  test("characteristic sets fix correlated-star ordering where independence fails") {
+    val est = CardEstimator.fromQuads(correlatedQuads)
+    // joint subject counts from the summary
+    assert(est.starSubjects(
+      Set("http://ex/rare2", "http://ex/anti")).contains(50L))
+    assert(est.starSubjects(
+      Set("http://ex/rare2", "http://ex/common2")).contains(5L))
+    val pRare = TriplePattern(V("s"), I("http://ex/rare2"), V("a"))
+    val pAnti = TriplePattern(V("s"), I("http://ex/anti"), V("b"))
+    val pCommon = TriplePattern(V("s"), I("http://ex/common2"), V("c"))
+    // independence would join anti (n=50) before common2 (n=905) after
+    // the rare anchor; the conditional estimate knows the rare+common2
+    // star has only 5 subjects vs rare+anti's 50 and flips the order
+    assert(CardEstimator.orderOf(est, Seq(pCommon, pAnti, pRare)) ==
+      Seq(pRare, pCommon, pAnti))
+  }
 }
