@@ -28,8 +28,8 @@ import graft.util.Tables
   */
 object Sketches {
 
-  private val D = 4
-  private val W = 1024
+  private[graft] val D = 4
+  private[graft] val W = 1024
   private val P = 2147483647L // 2^31 - 1
   private val A = Seq(1L, 31L, 1021L, 65537L)
   private val B = Seq(0L, 7L, 101L, 9973L)
@@ -44,7 +44,7 @@ object Sketches {
       (acc, c) => (acc * 257 + ascii(c)) % P)
 
   /** Bucket of hash `h` in sketch row `j` (affine map mod P mod W). */
-  private def bucket(h: Column, j: Int): Column =
+  private[graft] def bucket(h: Column, j: Int): Column =
     ((h * A(j) + B(j)) % P) % W
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -293,6 +293,48 @@ object EventStreams {
         .orderBy(col("user_id"))
     }),
 
+    // ---- CMS over the corpus-as-a-stream: the sketch's mergeability
+    // is exactly micro-batch compatibility — each batch's partial
+    // (row, bucket) counts add into the running state, so the complete-
+    // mode streaming aggregation must land on the identical sketch the
+    // batch build produces, and the same heavy-hitter probes (batch
+    // side: the probe set is a final query against the finished
+    // sketch) return the identical estimates. Oracle = the batch CMS
+    // oracle verbatim.
+    "stream_cms_heavyhitters" -> ((s, d) => {
+      import graft.ops.Sketches
+      val streamToks = documentsStream(s, d)
+        .select(explode(graft.ops.TextOps.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .withColumn("h", Sketches.polyHash(col("tok")))
+      val cells = streamToks.select(
+        explode(array((0 until Sketches.D).map(j =>
+          struct(lit(j).as("j"),
+            Sketches.bucket(col("h"), j).as("b"))): _*)).as("c"))
+      val sketch = runToTable(
+        cells.groupBy(col("c.j").as("j"), col("c.b").as("b"))
+          .agg(count(lit(1)).as("n")), "complete")
+      val toks = Tables.documents(s, d)
+        .select(explode(graft.ops.TextOps.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .withColumn("h", Sketches.polyHash(col("tok")))
+      val top = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("exact_n"), first(col("h")).as("h"))
+        .orderBy(col("exact_n").desc, col("tok"))
+        .limit(10)
+      val probes = top.select(col("tok"), col("exact_n"),
+        explode(array((0 until Sketches.D).map(j =>
+          struct(lit(j).as("j"),
+            Sketches.bucket(col("h"), j).as("b"))): _*)).as("c"))
+        .select(col("tok"), col("exact_n"), col("c.j"), col("c.b"))
+      probes.join(broadcast(sketch), Seq("j", "b"))
+        .groupBy(col("tok"), col("exact_n"))
+        .agg(min(col("n")).as("cms_est"))
+        .select(col("tok"), col("exact_n"), col("cms_est"),
+          (col("cms_est") - col("exact_n")).as("overestimate"))
+        .orderBy(col("exact_n").desc, col("tok"))
+    }),
+
     // ---- batch sessionization twin (gaps-and-islands; oracle-checked)
     "sessionize_batch" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -375,6 +417,10 @@ object EventStreams {
             AS contamination
         FROM hits h JOIN c ON h.doc_id = c.doc_id
         ORDER BY h.doc_id""",
+    // identical to the batch CMS oracle: the streaming sketch must be
+    // the same table
+    "stream_cms_heavyhitters" ->
+      graft.ops.Sketches.oracleSql("sketch_cms_heavyhitters"),
     "stream_stream_join" ->
       """SELECT v.user_id AS user_id, count(*) AS n_pairs
          FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v

@@ -176,4 +176,68 @@ class InferenceSpec extends AnyFunSuite {
     val diff = SparkEntry.queries("rdf_graph_diff")(spark, sf).collect()
     assert(diff.map(_.getString(0)).toSet == Set("add", "remove"))
   }
+  private val OwlInv = Inference.OwlInverseOf
+  private val OwlSym = Inference.OwlSymmetric
+  private val OwlTrans = Inference.OwlTransitive
+
+  private def owlSet(rows: Seq[(String, String, String, String)]) =
+    Inference.owlMaterialize(stmts(rows)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+  test("owl: inverseOf mirrors statements both ways") {
+    val got = owlSet(Seq(
+      ("p", OwlInv, "q", "iri"),
+      ("a", "p", "b", "iri"),
+      ("c", "q", "d", "iri")))
+    assert(got.contains(("b", "q", "a")))
+    assert(got.contains(("d", "p", "c")))
+  }
+
+  test("owl: symmetric adds the flipped edge; transitive closes chains") {
+    val got = owlSet(Seq(
+      ("conn", RdfType, OwlSym, "iri"),
+      ("part", RdfType, OwlTrans, "iri"),
+      ("a", "conn", "b", "iri"),
+      ("x", "part", "y", "iri"),
+      ("y", "part", "z", "iri"),
+      ("z", "part", "w", "iri")))
+    assert(got.contains(("b", "conn", "a")))
+    assert(got.contains(("x", "part", "z")))
+    assert(got.contains(("x", "part", "w")))
+    assert(got.contains(("y", "part", "w")))
+    assert(!got.contains(("y", "part", "x")), "transitive is not symmetric")
+  }
+
+  test("owl: a transitive predicate's inverse mirrors the closure") {
+    val got = owlSet(Seq(
+      ("part", RdfType, OwlTrans, "iri"),
+      ("part", OwlInv, "haspart", "iri"),
+      ("x", "part", "y", "iri"),
+      ("y", "part", "z", "iri")))
+    assert(got.contains(("x", "part", "z")))
+    assert(got.contains(("z", "haspart", "x")), "inverse of the CLOSED edge")
+  }
+
+  test("owl: symmetric+transitive on one predicate is rejected loudly") {
+    intercept[IllegalArgumentException] {
+      owlSet(Seq(
+        ("p", RdfType, OwlSym, "iri"),
+        ("p", RdfType, OwlTrans, "iri"),
+        ("a", "p", "b", "iri")))
+    }
+  }
+
+  test("rdfs incremental identity: base+delta union equals full materialization") {
+    val schema = Seq(
+      ("c1", SubClassOf, "c2", "iri"),
+      ("p1", SubPropertyOf, "p2", "iri"))
+    val base = Seq(("x", RdfType, "c1", "iri"), ("x", "p1", "y", "iri"))
+    val delta = Seq(("z", RdfType, "c1", "iri"), ("z", "p1", "w", "iri"))
+    val full = Inference.rdfsMaterialize(stmts(schema ++ base ++ delta))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val inc = Inference.rdfsMaterialize(stmts(schema ++ base))
+      .unionByName(Inference.rdfsMaterialize(stmts(schema ++ delta)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(inc == full)
+  }
 }
