@@ -298,7 +298,15 @@ object Inference {
       minCount: Option[Int] = None,
       maxCount: Option[Int] = None,
       inSet: Option[Seq[String]] = None,
-      minInclusive: Option[Double] = None)
+      minInclusive: Option[Double] = None,
+      // sh:nodeKind — required term kind of every value ("iri" /
+      // "literal" / "bnode")
+      nodeKind: Option[String] = None,
+      // sh:pattern — regex every value's lexical form must match
+      pattern: Option[String] = None,
+      // sh:datatype proxy on the untyped fixture frame: the value must
+      // CAST cleanly to this Spark/SQL type ("bigint", "double", ...)
+      castsTo: Option[String] = None)
 
   /** Validate `statements` against `shapes`, with the target set =
     * distinct statement subjects. Every constraint is one declarative
@@ -332,7 +340,25 @@ object Inference {
           .agg(count(lit(1)).as("n"))
           .select(col("focus"), lit(s"minInclusive(${short(sh.path)})").as("violation"),
             col("n")))
-      minV.toSeq ++ maxV ++ inV ++ minIncV
+      val kindV = sh.nodeKind.map(k =>
+        vals.filter(col("kind") =!= k)
+          .groupBy(col("s").as("focus"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("focus"), lit(s"nodeKind(${short(sh.path)})").as("violation"),
+            col("n")))
+      val patV = sh.pattern.map(re =>
+        vals.filter(!col("o").rlike(re))
+          .groupBy(col("s").as("focus"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("focus"), lit(s"pattern(${short(sh.path)})").as("violation"),
+            col("n")))
+      val castV = sh.castsTo.map(t =>
+        vals.filter(col("o").try_cast(t).isNull && col("o").isNotNull)
+          .groupBy(col("s").as("focus"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("focus"), lit(s"datatype(${short(sh.path)})").as("violation"),
+            col("n")))
+      minV.toSeq ++ maxV ++ inV ++ minIncV ++ kindV ++ patV ++ castV
     }
     reports.reduce(_ unionByName _)
   }
@@ -349,7 +375,9 @@ object Inference {
     val users = ev.filter(col("user_id").isNotNull && pmod(col("event_id"), lit(37)) =!= 0)
       .select(subj.as("s"), lit(ns + "user_id").as("p"),
         concat(lit("urn:user:"), col("user_id").cast("string")).as("o"),
-        lit("iri").as("kind"))
+        // planted nodeKind defect: every 61st user value is a literal
+        when(pmod(col("event_id"), lit(61)) === 0, "literal")
+          .otherwise("iri").as("kind"))
     val dupUsers = ev.filter(pmod(col("event_id"), lit(41)) === 0)
       .select(subj.as("s"), lit(ns + "user_id").as("p"),
         lit("urn:user:dup").as("o"), lit("iri").as("kind"))
@@ -358,11 +386,22 @@ object Inference {
         when(pmod(col("event_id"), lit(53)) === 0, -abs(col("value")) - 1)
           .otherwise(col("value")).cast("string").as("o"),
         lit("literal").as("kind"))
+    // %67 → UPPERCASED type (pattern + in-set defect, takes precedence),
+    // else %59 → out-of-set 'unknown_' prefix (in-set defect only)
     val types = ev.select(subj.as("s"), lit(ns + "etype").as("p"),
-      when(pmod(col("event_id"), lit(59)) === 0,
-        concat(lit("unknown_"), col("event_type"))).otherwise(col("event_type")).as("o"),
+      when(pmod(col("event_id"), lit(67)) === 0, upper(col("event_type")))
+        .when(pmod(col("event_id"), lit(59)) === 0,
+          concat(lit("unknown_"), col("event_type")))
+        .otherwise(col("event_type")).as("o"),
+      lit("literal").as("kind"))
+    // %71 → non-numeric code (datatype defect)
+    val codes = ev.select(subj.as("s"), lit(ns + "code").as("p"),
+      when(pmod(col("event_id"), lit(71)) === 0,
+        concat(lit("x"), col("event_id").cast("string")))
+        .otherwise(col("event_id").cast("string")).as("o"),
       lit("literal").as("kind"))
     users.unionByName(dupUsers).unionByName(values).unionByName(types)
+      .unionByName(codes)
   }
 
   // ---------------------------------------------------------------------
@@ -488,10 +527,13 @@ object Inference {
     // one row per (focus, violated constraint) with the observed count.
     "shacl_report" -> ((s, d) =>
       shaclValidate(defectiveStatements(s, d), Seq(
-        PropShape(ns + "user_id", minCount = Some(1), maxCount = Some(1)),
+        PropShape(ns + "user_id", minCount = Some(1), maxCount = Some(1),
+          nodeKind = Some("iri")),
         PropShape(ns + "value", minInclusive = Some(0.0)),
         PropShape(ns + "etype",
-          inSet = Some(Seq("click", "error", "purchase", "signup", "view")))))
+          inSet = Some(Seq("click", "error", "purchase", "signup", "view")),
+          pattern = Some("^[a-z_]+$")),
+        PropShape(ns + "code", castsTo = Some("bigint"))))
         .orderBy(col("focus"), col("violation"))),
 
     // Named-graph diff between two event-graph versions, aggregated per
@@ -665,7 +707,17 @@ object Inference {
                         ELSE value END) < 0
           UNION ALL
           SELECT focus, 'in(etype)', CAST(1 AS BIGINT)
-            FROM f WHERE event_id % 59 = 0
+            FROM f WHERE event_id % 67 = 0 OR event_id % 59 = 0
+          UNION ALL
+          SELECT focus, 'pattern(etype)', CAST(1 AS BIGINT)
+            FROM f WHERE event_id % 67 = 0
+          UNION ALL
+          SELECT focus, 'nodeKind(user_id)', CAST(1 AS BIGINT)
+            FROM f WHERE user_id IS NOT NULL AND event_id % 37 <> 0
+              AND event_id % 61 = 0
+          UNION ALL
+          SELECT focus, 'datatype(code)', CAST(1 AS BIGINT)
+            FROM f WHERE event_id % 71 = 0
           ORDER BY focus, violation""",
 
     "rdf_graph_diff" ->

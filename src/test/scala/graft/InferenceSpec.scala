@@ -171,7 +171,8 @@ class InferenceSpec extends AnyFunSuite {
     val shacl = SparkEntry.queries("shacl_report")(spark, sf).collect()
     val kinds = shacl.map(_.getString(1)).toSet
     assert(kinds == Set("minCount(user_id)", "maxCount(user_id)",
-      "minInclusive(value)", "in(etype)"))
+      "minInclusive(value)", "in(etype)", "pattern(etype)",
+      "nodeKind(user_id)", "datatype(code)"))
 
     val diff = SparkEntry.queries("rdf_graph_diff")(spark, sf).collect()
     assert(diff.map(_.getString(0)).toSet == Set("add", "remove"))
