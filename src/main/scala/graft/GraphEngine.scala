@@ -197,6 +197,14 @@ final class GraphEngine(val store: QuadStore) {
   def selectTsv(text: String): String =
     graft.sparql.SparqlResults.tsvDocument(selectTerms(text))
 
+  /** W3C SPARQL Query Results XML document for a SELECT. */
+  def selectXml(text: String): String =
+    graft.sparql.SparqlResults.xmlDocument(selectTerms(text))
+
+  /** W3C boolean results XML document for an ASK. */
+  def askXml(text: String): String =
+    graft.sparql.SparqlResults.askXmlDocument(ask(text))
+
   /** The GRAPH-pattern dataset (SPARQL 1.1 13.2): with no dataset clause
     * GRAPH ranges over the whole store (None = same as the default
     * scope); any FROM/FROM NAMED makes the dataset explicit, so GRAPH

@@ -107,4 +107,69 @@ object SparqlResults {
   def tsvDocument(terms: DataFrame): String =
     (terms.columns.map("?" + _).mkString("\t") +: tsvRows(terms).collect())
       .mkString("", "\n", "\n")
+
+  /** XML 1.0 content escaping for the XML results format: `&`, `<`,
+    * `>`, plus CR as a character reference — a literal CR in element
+    * content is LOST to the parser's line-ending normalization (§2.11),
+    * the one corruption XML inflicts silently. */
+  private def xmlEscape(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;"), "\r", "&#13;")
+
+  /** Attribute-value escaping: content escaping + double quotes. */
+  private def xmlAttrEscape(c: Column): Column =
+    regexp_replace(xmlEscape(c), "\"", "&quot;")
+
+  /** One W3C XML `<result>` element per row (§2.3.1 of the SPARQL
+    * Query Results XML Format): a `<binding name=...>` per BOUND
+    * variable wrapping `<uri>`, `<bnode>` or `<literal>` (with
+    * optional `xml:lang` / `datatype` attributes). Codegen'd column
+    * concat — serializes distributed like the other formats. */
+  private def xmlResult(vars: Seq[String]): Column = {
+    val bindings = vars.map { v =>
+      val c = col(v)
+      val term =
+        when(c.getField("k") === "iri",
+          concat(lit("<uri>"), xmlEscape(c.getField("v")), lit("</uri>")))
+          .when(c.getField("k") === "bnode",
+            concat(lit("<bnode>"),
+              regexp_replace(c.getField("v"), "^_:", ""), lit("</bnode>")))
+          .otherwise(concat(
+            lit("<literal"),
+            when(c.getField("lg").isNotNull,
+              concat(lit(" xml:lang=\""), c.getField("lg"), lit("\"")))
+              .otherwise(lit("")),
+            when(c.getField("dt").isNotNull,
+              concat(lit(" datatype=\""), xmlAttrEscape(c.getField("dt")),
+                lit("\""))).otherwise(lit("")),
+            lit(">"), xmlEscape(c.getField("v")), lit("</literal>")))
+      when(c.isNull, lit(""))
+        .otherwise(concat(lit(s"""<binding name="$v">"""), term,
+          lit("</binding>")))
+    }
+    concat(lit("<result>") +: bindings :+ lit("</result>"): _*)
+  }
+
+  /** Distributed XML `<result>` rows. */
+  def xmlRows(terms: DataFrame): Dataset[String] = {
+    import terms.sparkSession.implicits._
+    terms.select(xmlResult(terms.columns.toIndexedSeq).as("line")).as[String]
+  }
+
+  /** The complete XML results document (head + results). */
+  def xmlDocument(terms: DataFrame): String = {
+    val head = terms.columns
+      .map(v => s"""<variable name="$v"/>""").mkString
+    xmlRows(terms).collect().mkString(
+      "<?xml version=\"1.0\"?>\n" +
+        "<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">" +
+        s"<head>$head</head><results>",
+      "", "</results></sparql>")
+  }
+
+  /** The XML boolean results document (ASK). */
+  def askXmlDocument(result: Boolean): String =
+    "<?xml version=\"1.0\"?>\n" +
+      "<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">" +
+      s"<head/><boolean>$result</boolean></sparql>"
 }

@@ -152,4 +152,58 @@ class SparqlResultsPropertySpec extends AnyFunSuite {
       }
     }
   }
+  test("XML document round-trips arbitrary bindings through a DOM parser") {
+    val resNs = "http://www.w3.org/2005/sparql-results#"
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    forAllSamples(batchGen, 20) { rows =>
+      val doc = SparqlResults.xmlDocument(toDf(rows))
+      val dom = dbf.newDocumentBuilder().parse(
+        new java.io.ByteArrayInputStream(doc.getBytes("UTF-8")))
+      val results = dom.getElementsByTagNameNS(resNs, "result")
+      assert(results.getLength == rows.size)
+      rows.zipWithIndex.foreach { case (row, i) =>
+        val res = results.item(i).asInstanceOf[org.w3c.dom.Element]
+        val bs = res.getElementsByTagNameNS(resNs, "binding")
+        val bound = Seq("a", "b", "c").zip(row).flatMap {
+          case (v, t) => t.map(v -> _) }
+        assert(bs.getLength == bound.size)
+        val byName = (0 until bs.getLength)
+          .map(bs.item(_).asInstanceOf[org.w3c.dom.Element])
+          .map(e => e.getAttribute("name") -> e).toMap
+        bound.foreach { case (v, (value, kind, dt, lg)) =>
+          val child = byName(v).getFirstChild.asInstanceOf[org.w3c.dom.Element]
+          kind match {
+            case "iri" =>
+              assert(child.getLocalName == "uri")
+              assert(child.getTextContent == value)
+            case "bnode" =>
+              assert(child.getLocalName == "bnode")
+              assert("_:" + child.getTextContent == value)
+            case _ =>
+              assert(child.getLocalName == "literal")
+              assert(child.getTextContent == value,
+                s"content round-trip for ${value.toSeq.map(_.toInt)}")
+              Option(dt).foreach(d =>
+                assert(child.getAttribute("datatype") == d))
+              Option(lg).foreach(l => assert(child.getAttributeNS(
+                "http://www.w3.org/XML/1998/namespace", "lang") == l))
+          }
+        }
+      }
+    }
+  }
+
+  test("ASK XML documents parse and carry the boolean") {
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    Seq(true, false).foreach { b =>
+      val dom = dbf.newDocumentBuilder().parse(
+        new java.io.ByteArrayInputStream(
+          SparqlResults.askXmlDocument(b).getBytes("UTF-8")))
+      val bools = dom.getElementsByTagNameNS(
+        "http://www.w3.org/2005/sparql-results#", "boolean")
+      assert(bools.getLength == 1 && bools.item(0).getTextContent == b.toString)
+    }
+  }
 }
