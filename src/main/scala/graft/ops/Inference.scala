@@ -69,6 +69,37 @@ object Inference {
     paths
   }
 
+  /** Incremental transitive closure: `closure(base ∪ delta)` from a
+    * PRECOMPUTED `closure(base)` without re-closing the base — the
+    * semi-naive shape that keeps hierarchy maintenance O(delta·reach)
+    * when a batch of edges arrives. Every new path alternates base
+    * segments and delta edges, i.e. is in `(C? Δ)+ C?` — so D₁ =
+    * C?·Δ·C? (one-delta paths, three broadcast-friendly joins against
+    * the small delta) seeds a path-doubling loop whose composition
+    * absorbs the shared middle C? (C?∘C? = C? by transitivity), and the
+    * answer is C ∪ D⁺. The base closure is never iterated over. */
+  def incrementalClosure(baseClosure: DataFrame, delta: DataFrame): DataFrame = {
+    def compose(x: DataFrame, y: DataFrame): DataFrame =
+      x.as("l").join(y.as("r"), col("l.b") === col("r.a"))
+        .select(col("l.a").as("a"), col("r.b").as("b"))
+    val c = baseClosure.select(col("a"), col("b"))
+    val d0 = delta.select(col("a"), col("b")).distinct()
+    // D1 = Δ ∪ CΔ ∪ ΔC ∪ CΔC (C? = C ∪ identity, expanded)
+    var d = d0.union(compose(c, d0)).union(compose(d0, c))
+      .union(compose(compose(c, d0), c))
+      .distinct().localCheckpoint()
+    var n = d.count()
+    var growing = true
+    var rounds = 0
+    while (growing && rounds < 8) {
+      val next = d.union(compose(d, d)).distinct().localCheckpoint()
+      val m = next.count()
+      if (m == n) growing = false
+      else { d = next; n = m; rounds += 1 }
+    }
+    c.union(d).distinct()
+  }
+
   /** One-pass stratified RDFS materialization over a statement frame
     * `(s, p, o, kind)` that carries both schema triples (subClassOf /
     * subPropertyOf / domain / range) and instance triples.
@@ -488,6 +519,31 @@ object Inference {
         .orderBy(col("p"))
     }),
 
+    // Incremental hierarchy maintenance: close the base org hierarchy
+    // once, then absorb a delta batch of new membership edges via the
+    // semi-naive loop — the result must equal the full closure over
+    // ALL edges (the oracle), with the base closure never re-derived.
+    "owl_incremental_closure" -> ((s, d) => {
+      val third = pmod(col("c_custkey"), lit(3))
+      def custEdges(keep: Column) = Tables.customer(s, d).filter(keep)
+        .select(concat(lit("urn:c:"), col("c_custkey").cast("string")).as("a"),
+          concat(lit("urn:n:"), col("c_nationkey").cast("string")).as("b"))
+      val natEdges = Tables.nation(s, d)
+        .select(concat(lit("urn:n:"), col("n_nationkey").cast("string")).as("a"),
+          concat(lit("urn:r:"), col("n_regionkey").cast("string")).as("b"))
+      val regEdges = Tables.region(s, d)
+        .select(concat(lit("urn:r:"), col("r_regionkey").cast("string")).as("a"),
+          lit("urn:world").as("b"))
+      val base = custEdges(third =!= 0).unionByName(natEdges)
+        .unionByName(regEdges)
+      val full = incrementalClosure(transitiveClosure(base),
+        custEdges(third === 0))
+      full.groupBy(substring(col("b"), 1, 6).as("target_kind"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("a")).as("n_sources"))
+        .orderBy(col("target_kind"))
+    }),
+
     // OWL property rules over the TPC-H hierarchy: transitive
     // parent_org closure (customer→nation→region→world), inverse
     // manages edges mirrored from reports_to, symmetric same-region
@@ -642,6 +698,26 @@ object Inference {
               FROM types))
           SELECT p, count(*) AS n, count(DISTINCT s) AS n_subj
           FROM stmts GROUP BY p ORDER BY p""",
+
+    // full closure over ALL edges — the incremental path must match
+    "owl_incremental_closure" ->
+      """WITH RECURSIVE
+          e(a, b) AS (
+            SELECT 'urn:c:' || CAST(c_custkey AS VARCHAR),
+                   'urn:n:' || CAST(c_nationkey AS VARCHAR) FROM customer
+            UNION ALL
+            SELECT 'urn:n:' || CAST(n_nationkey AS VARCHAR),
+                   'urn:r:' || CAST(n_regionkey AS VARCHAR) FROM nation
+            UNION ALL
+            SELECT 'urn:r:' || CAST(r_regionkey AS VARCHAR), 'urn:world'
+            FROM region),
+          c(a, b) AS (
+            SELECT a, b FROM e
+            UNION
+            SELECT c.a, e.b FROM c JOIN e ON c.b = e.a)
+          SELECT substr(b, 1, 6) AS target_kind,
+                 count(*) AS n_pairs, count(DISTINCT a) AS n_sources
+          FROM c GROUP BY 1 ORDER BY target_kind""",
 
     "owl_entailment" ->
       s"""WITH RECURSIVE

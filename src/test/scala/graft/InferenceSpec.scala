@@ -241,4 +241,31 @@ class InferenceSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     assert(inc == full)
   }
+  test("incremental closure chains multiple delta edges through base segments") {
+    import spark.implicits._
+    // base: b->c (closed); delta: a->b and c->d — the path a->d uses
+    // TWO delta edges bridged by a base segment, exercising the
+    // doubling loop, not just the one-delta seed
+    val baseC = Inference.transitiveClosure(Seq(("b", "c")).toDF("a", "b"))
+    val delta = Seq(("a", "b"), ("c", "d")).toDF("a", "b")
+    val got = Inference.incrementalClosure(baseC, delta).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("b", "c"), ("a", "b"), ("c", "d"),
+      ("a", "c"), ("b", "d"), ("a", "d")))
+  }
+
+  test("incremental closure equals full closure on a random-ish edge batch") {
+    import spark.implicits._
+    val all = (0 until 30).map(i => (s"n${i % 10}", s"n${(i * 7 + 3) % 10}"))
+      .distinct.filter(e => e._1 != e._2)
+    val (base, delta) = all.partition(_._1.hashCode % 3 != 0)
+    val full = Inference.transitiveClosure(all.toDF("a", "b")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val inc = Inference.incrementalClosure(
+      Inference.transitiveClosure(base.toDF("a", "b")),
+      delta.toDF("a", "b")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(inc == full)
+  }
 }
