@@ -47,6 +47,27 @@ object Relational3 {
     // pruned to one event_type per pass. Timestamp gaps average exact
     // integer micros before the single double division (deterministic
     // across engines).
+    // ---- q34: salted join on a pathologically skewed key — 70% of
+    // the fact side lands on ONE key, the case AQE's skew splitting
+    // cannot fix when the hot key is hot on BOTH sides of a shuffle
+    // join. Skew.saltedJoin fans the fact side over 16 deterministic
+    // salt buckets and replicates the (small) dim side per bucket, so
+    // no single task owns the hot key; the oracle is the plain join —
+    // salting must be semantically invisible.
+    "q34_skew_salted_join" -> ((s, d) => {
+      val fact = graft.util.Tables.events(s, d)
+        .select(when(pmod(col("user_id"), lit(10)) < 7, lit(0L))
+          .otherwise(col("user_id")).as("k"), col("event_type"))
+      val dim = fact.select(col("k")).distinct()
+        .withColumn("label",
+          when(col("k") === 0, lit("hot")).otherwise(lit("cold")))
+      graft.util.Skew.saltedJoin(fact, dim.withColumnRenamed("k", "dk"),
+          "k", "dk", saltBuckets = 16)
+        .groupBy(col("label"), col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("k")).as("n_keys"))
+        .orderBy(col("label"), col("event_type"))
+    }),
+
     "q30_events_funnel" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("event_type"), col("ts"))
@@ -130,6 +151,20 @@ object Relational3 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "q34_skew_salted_join" ->
+      """WITH fact AS (
+           SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k,
+                  event_type
+           FROM events),
+         dim AS (
+           SELECT DISTINCT k,
+             CASE WHEN k = 0 THEN 'hot' ELSE 'cold' END AS label
+           FROM fact)
+         SELECT d.label, f.event_type, count(*) AS n,
+                count(DISTINCT f.k) AS n_keys
+         FROM fact f JOIN dim d USING (k)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q33_retention_cohorts" ->
       """WITH ev AS (SELECT DISTINCT user_id,
              CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events),
