@@ -201,7 +201,21 @@ object Plans {
         "only the per-document DISTINCT-term rows (|classes| x doc " +
         "vocab, never the corpus token stream); priors/vocab join as " +
         "1-row broadcasts; the argmax is a per-doc window, partitioned " +
-        "on doc_id — no global sort."))
+        "on doc_id — no global sort."),
+    "owl_incremental_closure" ->
+      ("semi-naive incremental closure: the base closure appears only " +
+        "as a join INPUT (the C?·delta·C? seed — three joins whose " +
+        "build side is the batch-sized delta), never inside the " +
+        "doubling loop; the loop iterates on the delta-path set alone, " +
+        "so absorbing a batch costs O(delta·reach) while the full " +
+        "closure is only ever computed once."),
+    "q34_skew_salted_join" ->
+      ("salted skew join: the exchange keys are (k, _salt), so the 70%-" +
+        "hot key spreads over 16 sub-partitions instead of one " +
+        "straggler task; the replicated dim side stays " +
+        "keys-x-16 rows — at cluster scale this is the difference " +
+        "between one executor owning 70% of the shuffle and even " +
+        "distribution."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
