@@ -367,6 +367,31 @@ final class MergeOnReadStore(val spark: SparkSession, val path: String)
   }
 }
 
+/** Read-only SPARQL surface over a merge-on-read SNAPSHOT: the engine
+  * queries history exactly like the live state (`GraphEngine(new
+  * SnapshotStore(store, v))`), with the batch filter pushed into the
+  * delta scan — no per-version copy. Mutations are rejected loudly:
+  * rewriting history is a different feature (branching), not an
+  * accidental write path.
+  */
+final class SnapshotStore(underlying: MergeOnReadStore, asOf: Long)
+    extends QuadStore {
+  def spark: SparkSession = underlying.spark
+  def read(): DataFrame = underlying.readAsOf(asOf)
+  def readGraphs(graphs: Seq[String]): DataFrame =
+    read().where(col("graph").isin(graphs: _*))
+  def graphNames(): Seq[String] = underlying.graphNames()
+  private def readOnly = throw new UnsupportedOperationException(
+    s"snapshot as-of batch $asOf is read-only")
+  def appendDistinct(quads: DataFrame, knownGraphs: Option[Seq[String]]): Unit = readOnly
+  def insertData(quads: Seq[Quad]): Unit = readOnly
+  def deleteQuads(quads: DataFrame, knownGraphs: Option[Seq[String]]): Unit = readOnly
+  def deleteData(quads: Seq[Quad]): Unit = readOnly
+  def clearGraph(graph: String): Unit = readOnly
+  def dropGraph(graph: String): Unit = readOnly
+  def compact(graph: String, numFiles: Int): Unit = readOnly
+}
+
 object MergeOnReadStore {
   /** Reserved batch id marking compacted (already-merged, insert-only,
     * distinct) rows — writer batches are required non-negative, so the

@@ -170,7 +170,6 @@ object Inference {
     * transitive (that combination is an equivalence closure — use
     * [[fuseSameAs]]'s component machinery instead) — asserted loudly. */
   def owlMaterialize(statements: DataFrame): DataFrame = {
-    val spark = statements.sparkSession
     val schemaRows = statements
       .filter(col("p") === OwlInverseOf ||
         (col("p") === RdfType && col("o").isin(OwlSymmetric, OwlTransitive)))

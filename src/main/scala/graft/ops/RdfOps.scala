@@ -1301,6 +1301,43 @@ object RdfOps {
         .orderBy(col("version"), col("s"), col("o_value"))
     }),
 
+    // SPARQL over a SNAPSHOT: the same MOR history, queried through
+    // the full engine (parser→compiler) against SnapshotStore views —
+    // a FILTER/ORDER SELECT evaluated as-of batch 1 (pre-tombstone)
+    // and as-of batch 3 (tombstones + updates), versions tagged. Time
+    // travel composes with the whole SPARQL surface, not just raw
+    // reads; the snapshot rejects updates loudly (spec).
+    "rdf_sparql_asof" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-sasof-${System.nanoTime()}"
+      val store = new graft.model.MergeOnReadStore(s, dir)
+      val g = "http://ex/nations"
+      def quads(df: DataFrame, value: Column) = df.select(
+        lit(g).as("graph"),
+        concat(lit("http://ex/nation/"), col("n_nationkey").cast("string")).as("s"),
+        lit("http://ex/name").as("p"), value.as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      val nation = Tables.nation(s, d)
+      val key = col("n_nationkey")
+      store.appendDelta(quads(nation, col("n_name")), 1L)
+      store.appendDelta(quads(nation.filter(key % 5 === 0), col("n_name")), 2L, op = "d")
+      store.appendDelta(quads(nation.filter(key % 10 === 0),
+        concat(col("n_name"), lit("#v2"))), 3L)
+      val select = s"""
+        PREFIX ex: <http://ex/>
+        SELECT ?s ?name
+        FROM <$g>
+        WHERE { ?s ex:name ?name . FILTER (STRLEN(?name) >= 5) }
+        ORDER BY ?s ?name"""
+      Seq(1L, 3L).map { v =>
+        new graft.GraphEngine(new graft.model.SnapshotStore(store, v))
+          .select(select)
+          .select(lit(v).as("version"), col("s"), col("name"))
+      }.reduce(_ unionAll _)
+        .orderBy(col("version"), col("s"), col("name"))
+    }),
+
     // S6/S9/Q13: store lifecycle — append, clear, re-append, scoped read
     "rdf_store_lifecycle" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-store-${System.nanoTime()}"
@@ -2061,6 +2098,26 @@ ORDER BY s, p, o_value""",
     // %4=0 re-inserts collapse into their live b1 rows (no extra rows).
     // three expected snapshot states: v1 = full load; v2 = tombstones
     // applied (%5=0 gone); v4 = current (the rdf_store_mor set)
+    // both snapshot states recomputed from nation; FILTER mirrors
+    // STRLEN >= 5 on the value
+    "rdf_sparql_asof" ->
+      """WITH v1 AS (
+           SELECT 'http://ex/nation/' || CAST(n_nationkey AS VARCHAR) AS s,
+                  n_name AS name
+           FROM nation),
+         v3 AS (
+           SELECT 'http://ex/nation/' || CAST(n_nationkey AS VARCHAR) AS s,
+                  n_name AS name
+           FROM nation WHERE n_nationkey % 5 <> 0
+           UNION ALL
+           SELECT 'http://ex/nation/' || CAST(n_nationkey AS VARCHAR),
+                  n_name || '#v2'
+           FROM nation WHERE n_nationkey % 10 = 0)
+         SELECT version, s, name FROM (
+           SELECT 1 AS version, s, name FROM v1 WHERE len(name) >= 5
+           UNION ALL
+           SELECT 3, s, name FROM v3 WHERE len(name) >= 5)
+         ORDER BY version, s, name""",
     "rdf_store_timetravel" ->
       """SELECT version, s, o_value FROM (
            SELECT CAST(1 AS BIGINT) AS version,

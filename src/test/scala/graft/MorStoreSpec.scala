@@ -127,4 +127,23 @@ class MorStoreSpec extends AnyFunSuite {
     val left = st.readMerged().collect()
     assert(left.length == 1 && left.head.getAs[String]("o_type") == Quad.xsd.integer)
   }
+  test("snapshot store serves SPARQL read-only; mutations rejected") {
+    import spark.implicits._
+    val st = store()
+    st.appendDelta(Seq(q("a", "1"), q("b", "2")).toDF(), 1L)
+    st.appendDelta(Seq(q("a", "1")).toDF(), 2L, op = "d")
+    val snap1 = new graft.model.SnapshotStore(st, 1L)
+    val snap2 = new graft.model.SnapshotStore(st, 2L)
+    val engine1 = new GraphEngine(snap1)
+    val engine2 = new GraphEngine(snap2)
+    val sel =
+      """SELECT ?s WHERE { GRAPH <g> { ?s <http://ex/p> ?o } } ORDER BY ?s"""
+    assert(engine1.select(sel).collect().map(_.getString(0)).toSeq ==
+      Seq("a", "b"))
+    assert(engine2.select(sel).collect().map(_.getString(0)).toSeq ==
+      Seq("b"))
+    intercept[UnsupportedOperationException] {
+      engine1.update("""INSERT DATA { GRAPH <g> { <x> <p> "v" } }""")
+    }
+  }
 }
