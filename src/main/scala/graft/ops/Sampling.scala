@@ -75,6 +75,32 @@ object Sampling {
         .orderBy(col("lang"), col("rk"))
     }),
 
+    // ---- WEIGHTED reservoir (Efraimidis & Spirakis 2006, public
+    // literature): keep the per-language top-k by key u^(1/w) — here
+    // ranked by the monotone-equivalent ln(u)/w — so longer documents
+    // (w = n_chars) are proportionally likelier to survive, the
+    // one-pass weighted-sampling shape a streaming curation pipeline
+    // uses. Deterministic across engines: u comes from the doc's
+    // 48-bit md5 prefix, ln(u) is quantized to an exact 1e-6 integer
+    // grid BEFORE the division (integer/integer division is
+    // IEEE-identical everywhere; the grid absorbs libm's 1-ulp ln
+    // differences), ties break on doc_id.
+    "sample_weighted_reservoir" -> ((s, d) => {
+      val u48 = conv(substring(md5(col("doc_id").cast("string")), 1, 12),
+        16, 10).cast("long")
+      val u = (u48 + 1).cast("double") / lit(281474976710656.0) // 2^48
+      val qln = floor(log(u) * 1e6).cast("long")
+      val key = qln.cast("double") / greatest(col("n_chars"), lit(1L)).cast("double")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(key.desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // ---- temperature-based mixture resampling (the multilingual-mix
     // move: source shares follow p^tau, tau=0.5, flattening head
     // sources and boosting the tail). Per-source keep rate =
@@ -128,6 +154,17 @@ object Sampling {
            SELECT doc_id, lang,
              row_number() OVER (PARTITION BY lang
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents) t
+         WHERE rk <= 10 ORDER BY lang, rk""",
+    "sample_weighted_reservoir" ->
+      """SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY
+               CAST(floor(ln(
+                 (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                  + 1) / 281474976710656.0) * 1000000.0) AS BIGINT)
+               * 1.0 / greatest(n_chars, 1) DESC,
+               doc_id) AS rk
            FROM documents) t
          WHERE rk <= 10 ORDER BY lang, rk""",
     "sample_temperature" ->
