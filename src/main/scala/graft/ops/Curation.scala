@@ -21,6 +21,34 @@ object Curation {
     // ---- the full curation funnel: quality gate -> length gate ->
     // exact-dup collapse (keep lowest doc_id per normalized-text md5)
     // -> per-language corpus stats
+    // ---- the dataset card: one per-source summary row a corpus ships
+    // with — documents, token mass, exact-dup rate (md5 fingerprints),
+    // mean length, language count. Pure composition of the curation
+    // primitives in one aggregation pass over the corpus plus one
+    // fingerprint aggregation; at 100 TB this is the nightly corpus
+    // report, not a query someone waits on.
+    "corpus_report" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(toks).as("n_tokens"),
+          md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fp"))
+      val dups = docs.groupBy(col("source"), col("fp"))
+        .agg(count(lit(1)).as("k"))
+        .groupBy(col("source"))
+        .agg(sum(col("k") - 1).as("n_dups"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"),
+          TextOps.round4(avg(col("n_tokens"))).as("avg_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+        .join(dups, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("avg_tokens"), col("n_langs"),
+          col("n_dups").cast("long").as("n_exact_dups"))
+        .orderBy(col("source"))
+    }),
+
     "curation_pipeline" -> ((s, d) => {
       val toks = TextOps.tokens(col("text"))
       val n = size(toks).cast("double")
@@ -237,6 +265,24 @@ object Curation {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "corpus_report" ->
+      """WITH docs AS (
+           SELECT doc_id, source, lang,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+           FROM documents),
+         dups AS (
+           SELECT source, CAST(sum(k - 1) AS BIGINT) AS n_exact_dups
+           FROM (SELECT source, fp, count(*) AS k
+                 FROM docs GROUP BY source, fp) t
+           GROUP BY source)
+         SELECT d.source, count(*) AS n_docs,
+           CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens,
+           floor(avg(d.n_tokens) * 10000 + 0.5) / 10000 AS avg_tokens,
+           count(DISTINCT d.lang) AS n_langs,
+           p.n_exact_dups
+         FROM docs d JOIN dups p ON p.source = d.source
+         GROUP BY d.source, p.n_exact_dups ORDER BY d.source""",
     "curation_pipeline" ->
       """WITH scored AS (
            SELECT doc_id, lang,
