@@ -273,7 +273,14 @@ final class MergeOnReadStore(val spark: SparkSession, val path: String)
     val tailInserts = tailMerged.filter(col("last_op") === "i")
       .select(keys.map(col): _*)
     val tailKeys = tailMerged.select(keys.map(col): _*)
-    base.join(tailKeys, keys, "left_anti").unionByName(tailInserts)
+    // Null-safe anti-join: o_type/o_lang are null for IRIs and plain
+    // literals — plain equality never matches a null key, so a tombstone
+    // for the dominant quad shape would silently miss the compacted base.
+    val b = base.alias("mor_base")
+    val t = tailKeys.alias("mor_tail")
+    val cond = keys.map(k => col(s"mor_base.$k") <=> col(s"mor_tail.$k"))
+      .reduce(_ && _)
+    b.join(t, cond, "left_anti").unionByName(tailInserts)
   }
 
   def readGraphs(graphs: Seq[String]): DataFrame =
@@ -284,17 +291,50 @@ final class MergeOnReadStore(val spark: SparkSession, val path: String)
     * aggregation. A snapshot read is a FILTER, not a copy: no data is
     * duplicated per version, exactly the Iceberg/Hudi snapshot-read
     * trade on this plain parquet layout. (The filter lands on the
-    * parquet scan as a pushed predicate; `compact` collapses history
-    * to batch 0 and therefore truncates how far back a snapshot can
-    * reach — the compaction-vs-retention trade every MOR table has.) */
+    * parquet scan as a pushed predicate; `compact` folds a graph's
+    * history into the reserved pseudo-batch and therefore truncates how
+    * far back a snapshot can reach — the compaction-vs-retention trade
+    * every MOR table has. Snapshots older than the recorded compaction
+    * horizon are REJECTED, not silently served the compacted state.) */
   def readAsOf(asOf: Long): DataFrame = {
+    val h = compactionHorizon()
+    require(h.forall(asOf >= _),
+      s"snapshot as-of batch $asOf is unreachable: compaction folded " +
+        s"history up to batch ${h.get} into the base (retention trade); " +
+        "read a version >= the horizon or stop compacting this store")
     val keys = GraphStore.schema.fieldNames.toIndexedSeq
     readDeltas()
-      .filter(col("batch_id") <= asOf)
+      .filter(col("batch_id") <= asOf
+        || col("batch_id") === MergeOnReadStore.CompactedBatchId)
       .groupBy(keys.map(col): _*)
       .agg(max_by(col("op"), col("batch_id")).as("last_op"))
       .filter(col("last_op") === "i")
       .select(keys.map(col): _*)
+  }
+
+  /** Max batch id folded into a compacted base by any [[compact]] run, if
+    * one exists — the oldest reachable snapshot. Metadata files live under
+    * `_compaction/` (underscore-prefixed, so Spark's parquet file index
+    * skips them); one tiny file per compacted graph, read driver-side. */
+  def compactionHorizon(): Option[Long] = {
+    val dir = new Path(path, "_compaction")
+    if (!fs.exists(dir)) None
+    else {
+      val hs = fs.listStatus(dir).toSeq.map { st =>
+        val in = fs.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+      if (hs.isEmpty) None else Some(hs.max)
+    }
+  }
+
+  private def writeHorizon(graph: String, horizon: Long): Unit = {
+    val dir = new Path(path, "_compaction")
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val f = new Path(dir, ExternalCatalogUtils.escapePathName(graph))
+    val out = fs.create(f, true)
+    try out.write(horizon.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Distinct batch ids present (the version history; the reserved
@@ -352,7 +392,31 @@ final class MergeOnReadStore(val spark: SparkSession, val path: String)
     * reserved compacted pseudo-batch (distinct inserts, no history) and
     * drop the masked deltas. Post-compaction reads skip the latest-wins
     * aggregation for these rows — see [[readMerged]]. */
+  /** Auto-compaction policy: fold when the post-compaction delta TAIL of
+    * `graph` exceeds `maxTailBatches` distinct batches. The tail is what
+    * every [[readMerged]] must aggregate and anti-join, so at 100 TB the
+    * tail length IS the read cost — a bounded-tail policy keeps read
+    * amplification O(maxTailBatches) regardless of ingest history. The
+    * trigger itself is a batch_id-only distinct over one graph partition
+    * (column-stats cheap). Returns true when a compaction ran. */
+  def compactIfNeeded(graph: String, maxTailBatches: Int = 8,
+      numFiles: Int = 1): Boolean = {
+    val tailBatches = readDeltas().where(col("graph") === graph)
+      .filter(col("batch_id") =!= MergeOnReadStore.CompactedBatchId)
+      .select(col("batch_id")).distinct().count()
+    if (tailBatches > maxTailBatches) { compact(graph, numFiles); true }
+    else false
+  }
+
   def compact(graph: String, numFiles: Int = 1): Unit = {
+    // Record how far history is being folded BEFORE rewriting: max real
+    // batch id among this graph's deltas = the oldest snapshot that
+    // stays reachable afterwards (readAsOf rejects anything older).
+    // A batch_id-only aggregation — parquet column stats, no row work.
+    val maxBatch = readDeltas().where(col("graph") === graph)
+      .filter(col("batch_id") =!= MergeOnReadStore.CompactedBatchId)
+      .agg(max(col("batch_id"))).collect().head
+    if (!maxBatch.isNullAt(0)) writeHorizon(graph, maxBatch.getLong(0))
     val merged = readGraphs(Seq(graph)).coalesce(numFiles)
       .withColumn("batch_id", lit(MergeOnReadStore.CompactedBatchId))
       .withColumn("op", lit("i"))

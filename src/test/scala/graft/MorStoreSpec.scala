@@ -127,6 +127,54 @@ class MorStoreSpec extends AnyFunSuite {
     val left = st.readMerged().collect()
     assert(left.length == 1 && left.head.getAs[String]("o_type") == Quad.xsd.integer)
   }
+  test("delete + re-insert AFTER compaction (null-key anti-join regression)") {
+    // Plain literals have null o_type/o_lang — the dominant quad shape.
+    // A null-unsafe base-vs-tail anti-join never matches those keys, so
+    // a post-compaction tombstone would be silently ignored and a
+    // re-insert would duplicate the base row.
+    val st = store()
+    st.appendDelta(Seq(q("a", "1"), q("b", "1"), q("c", "1")).toDF(), 1L)
+    st.compact("g")
+    st.appendDelta(Seq(q("a", "1")).toDF(), 2L, op = "d")
+    assert(merged(st) == Set(("b", "1"), ("c", "1")), "post-compact tombstone must take effect")
+    st.appendDelta(Seq(q("b", "1")).toDF(), 3L) // re-insert an existing base quad
+    assert(st.readMerged().count() == 2, "re-insert must not duplicate the base row")
+    assert(merged(st) == Set(("b", "1"), ("c", "1")))
+    st.appendDelta(Seq(q("a", "1")).toDF(), 4L) // revive the tombstoned quad
+    assert(merged(st) == Set(("a", "1"), ("b", "1"), ("c", "1")))
+  }
+
+  test("readAsOf rejects snapshots older than the compaction horizon") {
+    val st = store()
+    st.appendDelta(Seq(q("a", "1")).toDF(), 1L)
+    st.appendDelta(Seq(q("b", "1")).toDF(), 2L)
+    st.compact("g")
+    st.appendDelta(Seq(q("c", "1")).toDF(), 3L)
+    assert(st.compactionHorizon().contains(2L))
+    // at/after the horizon: base + tail replay correctly
+    assert(st.readAsOf(2L).count() == 2)
+    assert(st.readAsOf(3L).count() == 3)
+    // before the horizon: loud rejection, never silently-stale data
+    intercept[IllegalArgumentException] { st.readAsOf(1L) }
+    intercept[IllegalArgumentException] {
+      new graft.model.SnapshotStore(st, 1L).read().count()
+    }
+  }
+
+  test("compactIfNeeded fires only past the tail-batch threshold") {
+    val st = store()
+    st.appendDelta(Seq(q("a", "1")).toDF(), 1L)
+    st.appendDelta(Seq(q("b", "1")).toDF(), 2L)
+    assert(!st.compactIfNeeded("g", maxTailBatches = 2))
+    st.appendDelta(Seq(q("a", "1")).toDF(), 3L, op = "d")
+    val before = merged(st)
+    assert(st.compactIfNeeded("g", maxTailBatches = 2))
+    assert(merged(st) == before, "auto-compaction preserves the merged view")
+    val deltas = st.readDeltas().collect()
+    assert(deltas.forall(_.getAs[Long]("batch_id") ==
+      graft.model.MergeOnReadStore.CompactedBatchId))
+  }
+
   test("snapshot store serves SPARQL read-only; mutations rejected") {
     import spark.implicits._
     val st = store()
