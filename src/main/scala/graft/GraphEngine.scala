@@ -205,6 +205,24 @@ final class GraphEngine(val store: QuadStore) {
   def askXml(text: String): String =
     graft.sparql.SparqlResults.askXmlDocument(ask(text))
 
+  /** File-streaming exports of the same four result documents: per-row
+    * serialization runs distributed and the document streams to ONE
+    * file with constant driver memory — the form a billion-row SELECT
+    * export takes, where the in-memory `select*` documents above are
+    * protocol-response-sized by definition. Byte-identical to their
+    * collect()-based twins (SparqlResultsSpec proves it per format). */
+  def selectJsonToFile(text: String, path: String): Unit =
+    graft.sparql.SparqlResults.writeJsonDocument(selectTerms(text), path)
+
+  def selectCsvToFile(text: String, path: String): Unit =
+    graft.sparql.SparqlResults.writeCsvDocument(selectTerms(text), path)
+
+  def selectTsvToFile(text: String, path: String): Unit =
+    graft.sparql.SparqlResults.writeTsvDocument(selectTerms(text), path)
+
+  def selectXmlToFile(text: String, path: String): Unit =
+    graft.sparql.SparqlResults.writeXmlDocument(selectTerms(text), path)
+
   /** The GRAPH-pattern dataset (SPARQL 1.1 13.2): with no dataset clause
     * GRAPH ranges over the whole store (None = same as the default
     * scope); any FROM/FROM NAMED makes the dataset explicit, so GRAPH

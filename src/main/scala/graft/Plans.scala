@@ -215,7 +215,24 @@ object Plans {
         "straggler task; the replicated dim side stays " +
         "keys-x-16 rows — at cluster scale this is the difference " +
         "between one executor owning 70% of the shuffle and even " +
-        "distribution."))
+        "distribution."),
+    "retrieval_bm25_topk" ->
+      ("df via groupBy(term)+join, NOT a count-over-term window: the " +
+        "plan shows partial_count before the term exchange (hot " +
+        "stop-terms collapse map-side) and no per-term sort; the " +
+        "df>0.9N stop-term prune lands as a Filter under the " +
+        "query-term join, so everywhere-words never enter the scoring " +
+        "join (RetrievalScaleProbe: capped join rows grow linearly " +
+        "under a planted stop word, uncapped quadratically)."),
+    "retrieval_hybrid_rrf" ->
+      ("the dense side is SERVED FROM THE PERSISTED IVFADC INDEX: the " +
+        "scan reads the cell-partitioned code files with the probe " +
+        "cells as a partition filter (cell IN ...: probes/cells of the " +
+        "directories, 8-byte codes not raw vectors) — the former " +
+        "broadcast-NLJ exact-cosine pass over the whole corpus is now " +
+        "only the retrieval_dense_recall audit; fusion joins two " +
+        "top-20 lists, bounded by queries x 2k rows at any corpus " +
+        "size."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -73,6 +73,21 @@ object RdfOps {
           countDistinct(col("s")).as("n_subjects"))
     }),
 
+    // S4/S5 HexTuples (rdflib's `hext` NDJSON format): serialize the
+    // flattened event quads and parse them back — both directions pure
+    // column expressions (to_json / from_json), no per-line parser.
+    // n_typed proves the datatype survives the xsd-marker roundtrip.
+    "rdf_hextuples_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-hext-${System.nanoTime()}.hext"
+      graft.util.TempDirs.deleteOnExit(dir)
+      graft.rdf.RdfIO.write(propQuads(s, d).toDF(), dir)
+      graft.rdf.RdfIO.read(s, dir).toDF()
+        .agg(count(lit(1)).as("n_quads"),
+          countDistinct(col("s")).as("n_subjects"),
+          count(col("o_type")).as("n_typed"))
+    }),
+
     // S7/Q1-Q15: the full reference pipeline — ingest fixture sources,
     // run all 16 mapping queries, return the merged organizations graph.
     // Entry-point-B fidelity: when the reference checkout is present the
@@ -1210,6 +1225,49 @@ object RdfOps {
         .orderBy(col("s"))
     }),
 
+    // SPARQL DESCRIBE (the last read-side verb to carry a driver
+    // oracle): concise bounded description of every subject the WHERE
+    // group binds — own triples plus the blank-node closure through
+    // object position (bnodes have no addressable name, so their
+    // triples belong to the description; each closure round is one
+    // subject equi-join). The fixture threads each nation through an
+    // anonymous address node so the closure edge is actually exercised.
+    "rdf_sparql_describe" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-desc-${System.nanoTime()}"
+      val g = "http://ex/nations"
+      val store = new graft.model.GraphStore(s, dir)
+      val n = Tables.nation(s, d)
+      val name = n.select(
+        lit(g).as("graph"),
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+        lit("name").as("p"), col("n_name").as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      val addr = n.select(
+        lit(g).as("graph"),
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+        lit("addr").as("p"),
+        concat(lit("_:b"), col("n_nationkey").cast("string")).as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("bnode").as("o_kind"))
+      val region = n.select(
+        lit(g).as("graph"),
+        concat(lit("_:b"), col("n_nationkey").cast("string")).as("s"),
+        lit("region").as("p"), col("n_regionkey").cast("string").as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      store.append(name.unionByName(addr).unionByName(region))
+      val engine = new graft.GraphEngine(store)
+      engine.describe(s"""
+        DESCRIBE ?v FROM <$g>
+        WHERE { ?v <name> ?n . FILTER (STRSTARTS(?n, 'NATION_1')) }""")
+        .select(col("s"), col("p"), col("o_value"), col("o_kind"))
+        .orderBy(col("s"), col("p"), col("o_value"))
+    }),
+
     // Backend parity: the SAME SPARQL delete scenario on the
     // merge-on-read store — DELETE lands as tombstone deltas (no
     // partition rewrite) yet the observable graph state, and so the
@@ -1797,6 +1855,12 @@ ORDER BY s, p, o_value""",
     "rdf_ntriples_roundtrip" ->
       """SELECT count(*) AS n_quads, count(*) AS n_subjects FROM events
          WHERE props IS NOT NULL""",
+    // one typed-integer quad per event doc; the write/read roundtrip
+    // must preserve count, subject identity AND the xsd datatype
+    "rdf_hextuples_roundtrip" ->
+      """SELECT count(*) AS n_quads, count(*) AS n_subjects,
+            count(*) AS n_typed FROM events
+         WHERE props IS NOT NULL""",
     "rdf_store_lifecycle" ->
       s"""SELECT '$graph' AS graph, count(*) AS n FROM events
           WHERE props IS NOT NULL""",
@@ -1949,6 +2013,23 @@ ORDER BY s, p, o_value""",
          ORDER BY graph""",
     "rdf_sparql_ask" ->
       "SELECT 1 AS positive, 0 AS negative",
+    // the selected subjects' own triples (name + addr-bnode edges) plus
+    // the described blank nodes' triples (region), exactly the bounded
+    // closure the engine walks
+    "rdf_sparql_describe" ->
+      """WITH sel AS (SELECT n_nationkey AS k, n_name, n_regionkey
+                      FROM nation WHERE n_name LIKE 'NATION\_1%' ESCAPE '\'),
+          described AS (
+            SELECT 'nation:' || CAST(k AS VARCHAR) AS s, 'name' AS p,
+                   n_name AS o_value, 'literal' AS o_kind FROM sel
+            UNION ALL
+            SELECT 'nation:' || CAST(k AS VARCHAR), 'addr',
+                   '_:b' || CAST(k AS VARCHAR), 'bnode' FROM sel
+            UNION ALL
+            SELECT '_:b' || CAST(k AS VARCHAR), 'region',
+                   CAST(n_regionkey AS VARCHAR), 'literal' FROM sel)
+         SELECT s, p, o_value, o_kind FROM described
+         ORDER BY s, p, o_value""",
     "rdf_sparql_exists" ->
       """SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS c
          FROM customer

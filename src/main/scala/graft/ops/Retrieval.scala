@@ -42,28 +42,57 @@ object Retrieval {
 
   private def round4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
 
+  /** Stop-term prune: query terms contained in more than 90% of the
+    * corpus are dropped from scoring. Their idf
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))` is ≈ 0.1 — they cannot move
+    * the ranking — but each one matches df ≈ N postings rows PER QUERY,
+    * so at 100 TB a single "the" in a query batch turns the scoring
+    * join quadratic (queries × corpus). The integer predicate
+    * `10·df <= 9·N` is mirrored exactly by the oracle;
+    * RetrievalScaleProbe measures the candidate-volume difference under
+    * a planted everywhere-word. (90%, not 50%: this synthetic corpus
+    * has a 31-term vocabulary with median df ≈ 0.78·N — a natural-text
+    * stop-list fraction would prune ordinary content terms here.) */
+  private val StopNum = 9
+  private val StopDen = 10
+
   /** (doc_id, term, tf, dl, df) postings with per-doc length and
     * per-term document frequency — one corpus pass: tf aggregates on
-    * (doc, term) carrying dl through; df is a count-over-term window on
-    * the aggregated postings (each row is one distinct containing doc). */
-  private def postings(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+    * (doc, term) carrying dl through; df is a `groupBy(term).count` over
+    * the aggregated postings (each row is one distinct containing doc)
+    * joined back. NOT a count-over-term window: a window shuffles AND
+    * sorts full postings rows per term, so at 100 TB the "the"/"a"
+    * partitions become giant single-partition sorts. The aggregation
+    * gets map-side partial counts (hot terms collapse per-partition
+    * before the shuffle), the df table is |vocab| narrow rows (AQE
+    * broadcasts it when it fits, and AQE skew-join splits the hot-term
+    * join partitions when it does not), and the join-back rides the
+    * same term exchange the query-terms join needs anyway. */
+  private[ops] def postingsOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-    toks.select(col("doc_id"), size(col("tk")).as("dl"),
+    val tf = toks.select(col("doc_id"), size(col("tk")).as("dl"),
         explode(col("tk")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
   }
+
+  private def postings(s: SparkSession, d: String): DataFrame =
+    postingsOf(Tables.documents(s, d))
 
   /** (query_id, term) — the distinct first-[[QueryTerms]] tokens of
     * each query document. */
-  private def queryTerms(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private[ops] def queryTermsOf(docs: DataFrame): DataFrame =
+    docs
       .filter(col("doc_id") % QueryMod === 0)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(slice(TextOps.tokens(col("text")), 1, QueryTerms)))
           .as("term"))
+
+  private def queryTerms(s: SparkSession, d: String): DataFrame =
+    queryTermsOf(Tables.documents(s, d))
 
   /** BM25-ranked (query_id, rank, doc_id, score) down to `depth`.
     * idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (the always-positive
@@ -76,9 +105,12 @@ object Retrieval {
       .agg(count(lit(1)).as("n_docs"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val contrib = postings(s, d)
+      .crossJoin(broadcast(stats))
+      // stop-term prune BEFORE the query-term join: the pruned postings
+      // rows never enter the scoring join (see [[StopNum]]/[[StopDen]])
+      .where(col("df") * StopDen <= col("n_docs") * StopNum)
       .join(queryTerms(s, d), "term")
       .where(col("doc_id") =!= col("query_id"))
-      .crossJoin(broadcast(stats))
       .withColumn("ci",
         floor(log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
           * col("tf") * (lit(K1) + 1)
@@ -92,9 +124,23 @@ object Retrieval {
       .filter(col("rank") <= depth)
   }
 
-  /** Exact-cosine dense ranks for the same query ids over `embeddings`
-    * (vec_id ≡ doc_id in this corpus), down to `depth`. */
-  private[ops] def denseRanks(s: SparkSession, d: String, depth: Int): DataFrame = {
+  /** Dense ranks for the same query ids over `embeddings` (vec_id ≡
+    * doc_id in this corpus), down to `depth` — SERVED FROM THE PERSISTED
+    * IVFADC INDEX (cell-pruned partition scan over 8-byte PQ codes, ADC
+    * top-250, exact re-rank; [[Similarity.ivfadcServedRanks]]). The old
+    * broadcast-NLJ exact-cosine scan was O(corpus × queries) full-vector
+    * work per batch — correct, but the one hybrid-retrieval stage that
+    * could not survive a 100x corpus. It survives below as the recall
+    * audit baseline ([[denseRanksExact]] / `retrieval_dense_recall`). */
+  private[ops] def denseRanks(s: SparkSession, d: String, depth: Int): DataFrame =
+    Similarity.ivfadcServedRanks(s, d, _ % QueryMod === 0,
+        adcDepth = 250, finalDepth = depth)
+      .select(col("query_id"), col("rn").as("rank"),
+        col("neighbor").as("doc_id"))
+
+  /** The exact brute-force dense top-`depth` — the recall yardstick the
+    * index-served ranks are audited against (never the serving path). */
+  private[ops] def denseRanksExact(s: SparkSession, d: String, depth: Int): DataFrame = {
     val vecs = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -145,6 +191,23 @@ object Retrieval {
         .select(col("query_id"), col("rank").cast("int").as("rank"),
           col("doc_id"), col("rrf"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- recall audit for the index-served dense side (mirror of the
+    // ann_*_recall twins): |served top-20 ∩ exact top-20| / |exact|
+    // must clear the 0.7 floor — a deterministic property of the fixed
+    // trained centroids/codebooks on this corpus, so the one-row
+    // summary is oracle-checkable. Runs BOTH pipelines by design.
+    "retrieval_dense_recall" -> ((s, d) => {
+      val exact = denseRanksExact(s, d, FuseDepth)
+        .select(col("query_id"), col("doc_id"))
+      val served = denseRanks(s, d, FuseDepth)
+        .select(col("query_id"), col("doc_id"))
+      val hits = exact.join(served, Seq("query_id", "doc_id"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"),
+          (col("n_hit") >= col("n_exact") * 0.7).cast("int").as("recall_ok"))
     }))
 
   /** Shared BM25 CTE block: postings, corpus stats, query terms, and
@@ -174,7 +237,8 @@ object Retrieval {
           FROM q JOIN tf USING (term) JOIN dfreq USING (term)
           JOIN dl ON dl.doc_id = tf.doc_id
           CROSS JOIN stats
-          WHERE tf.doc_id <> q.query_id),
+          WHERE tf.doc_id <> q.query_id
+            AND df * $StopDen <= n_docs * $StopNum),
         bmscored AS (
           SELECT query_id, doc_id,
             floor((sum(ci) / 1000000.0) * 10000 + 0.5) / 10000 AS score
@@ -190,16 +254,18 @@ object Retrieval {
       s"""WITH ${bm25Ctes(5)}
          SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
          FROM bmranked ORDER BY query_id, rank""",
+    // dense side = the full IVFADC index search recomputed end-to-end
+    // (training CTEs included — the same block ann_ivfpq_bucketed's
+    // oracle runs), ranked exactly as the served pipeline ranks
     "retrieval_hybrid_rrf" ->
       s"""WITH ${bm25Ctes(FuseDepth)},
+          ${Similarity.ivfadcSearchCtes("TRUE", s"vec_id % $QueryMod = 0", 250)},
           dsranked AS (
-            SELECT query_id, doc_id, rank FROM (
-              SELECT q.vec_id AS query_id, b.vec_id AS doc_id,
-                row_number() OVER (PARTITION BY q.vec_id
-                  ORDER BY round(CAST(list_cosine_similarity(q.embedding, b.embedding) AS DOUBLE), 4) DESC,
-                           b.vec_id) AS rank
-              FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
-              WHERE q.vec_id % $QueryMod = 0) t
+            SELECT query_id, neighbor AS doc_id, rank FROM (
+              SELECT query_id, neighbor,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor) AS rank
+              FROM rer) t
             WHERE rank <= $FuseDepth),
           fused AS (
             SELECT COALESCE(s.query_id, d.query_id) AS query_id,
@@ -214,5 +280,12 @@ object Retrieval {
              row_number() OVER (PARTITION BY query_id
                ORDER BY rrf DESC, doc_id) AS rank
            FROM fused) t
-         WHERE rank <= 5 ORDER BY query_id, rank""")
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    // query-point count is SQL, depth is 20, and the 0.7 recall floor
+    // is a deterministic property of the fixed trained model on this
+    // corpus — the audit row is fully checkable
+    "retrieval_dense_recall" ->
+      s"""SELECT CAST($FuseDepth * count(*) AS BIGINT) AS n_exact,
+            1 AS recall_ok
+          FROM embeddings WHERE vec_id % $QueryMod = 0""")
 }

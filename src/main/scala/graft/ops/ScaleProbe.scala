@@ -292,6 +292,125 @@ object StreamStateProbe {
   *
   * Prints one JSON line per factor; BENCH_NOTES.md records the table.
   */
+/** Retrieval-family scale probe (round-9 verdict item 7 — the analog
+  * of [[ScaleProbe]]'s dedup candidate-volume proof): measures BM25
+  * scoring-join volume and IVF probe volume at 1×/3×/10× corpus with a
+  * PLANTED STOP WORD ("the" prepended to every document, so it lands in
+  * every doc AND every query's first-8-token prefix with df = N).
+  *
+  * Scaling model: suffix-perturbed copies (disjoint vocabularies, so
+  * per-copy df stays constant) — normal query terms match only their
+  * own copy and the matched-postings volume grows LINEARLY; the planted
+  * stop term matches EVERY copy, so without the [[Retrieval]] stop-term
+  * prune its contribution alone is queries × corpus = QUADRATIC in the
+  * factor. Volumes are computed analytically (Σ df over query terms) —
+  * materializing the uncapped join at 10× would BE the blow-up being
+  * probed. Prints one JSON line per factor; BENCH_NOTES.md records the
+  * table.
+  */
+object RetrievalScaleProbe {
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+      else Seq(1, 3, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName("graft-retrieval-scale-probe")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.storage.StorageLevel
+
+    val docs0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+
+    factors.foreach { f =>
+      // doc_id stays LONG (query selection is doc_id % 50): copies get
+      // disjoint id ranges; the planted stop word leads every text so
+      // it enters each query's first-8-token prefix
+      val docs = (0 until f).map { rep =>
+        docs0.select(
+          (col("doc_id") + lit(rep * 1000000000L)).as("doc_id"),
+          concat(lit("the "),
+            regexp_replace(col("text"), "(\\S+)", s"$$1zz$rep")).as("text"))
+      }.reduce(_ unionAll _)
+
+      val post = Retrieval.postingsOf(docs)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nDocs = docs.count()
+      val nPost = post.count()
+      val qt = Retrieval.queryTermsOf(docs)
+      val nQueries = qt.select(col("query_id")).distinct().count()
+
+      // vocabulary stats + the planted skew's footprint
+      val dfreq = post.select(col("term"), col("df")).distinct()
+      val Array(vocab, maxDf, stopTerms) = dfreq.agg(
+        count(lit(1)), max(col("df")),
+        sum(when(col("df") * 10 > nDocs * 9, 1L).otherwise(0L)))
+        .collect().head.toSeq.map(x => x.toString.toDouble.toLong).toArray
+
+      // scoring-join volume, analytically: Σ over (query, term) of df —
+      // the exact row count the postings⨝query join materializes
+      val qdf = qt.join(dfreq, "term")
+      val Array(uncapped, capped) = qdf.agg(
+        sum(col("df")),
+        sum(when(col("df") * 10 <= nDocs * 9, col("df")).otherwise(0L)))
+        .collect().head.toSeq.map(x => x.toString.toDouble.toLong).toArray
+
+      // the shipped capped path, end to end (top-5 per query)
+      val (nRanked, tBm25) = timed {
+        val stats = docs
+          .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("dl"))
+          .agg(count(lit(1)).as("n_docs"),
+            (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        val contrib = post
+          .crossJoin(broadcast(stats))
+          .where(col("df") * 10 <= col("n_docs") * 9)
+          .join(qt, "term")
+          .where(col("doc_id") =!= col("query_id"))
+        contrib.groupBy(col("query_id"), col("doc_id"))
+          .agg(sum(col("tf")).as("s"))
+          .count()
+      }
+      post.unpersist()
+
+      // IVF probe volume at the same factor: candidates = Σ over
+      // (query, probed cell) of cell size, vs brute = queries × corpus.
+      // Copies shift one dimension so cells separate per copy.
+      val emb0 = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      val dim = Similarity.embDim(spark, sfDir)
+      val emb = (0 until f).map { rep =>
+        emb0.select(
+          (col("vec_id") + lit(rep * 1000000000L)).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(rep * 1e-3f)).otherwise(x))
+            .as("embedding"))
+      }.reduce(_ unionAll _)
+      val ((ivfCand, nEmbQ, nVecs), tIvf) = timed {
+        Similarity.ivfProbeVolume(emb, dim)
+      }
+
+      println(s"""{"factor":$f,"docs":$nDocs,"posting_rows":$nPost,""" +
+        s""""vocab":$vocab,"max_df":$maxDf,"stop_terms":$stopTerms,""" +
+        s""""queries":$nQueries,"uncapped_join_rows":$uncapped,""" +
+        s""""capped_join_rows":$capped,"bm25_scored_pairs":$nRanked,""" +
+        s""""bm25_sec":${f"$tBm25%.2f"},"ivf_candidates":$ivfCand,""" +
+        s""""ivf_brute_pairs":${nEmbQ * nVecs},""" +
+        s""""ivf_sec":${f"$tIvf%.2f"}}""")
+    }
+    spark.stop()
+  }
+}
+
 object DictShuffleProbe {
 
   private final class ShuffleBytes

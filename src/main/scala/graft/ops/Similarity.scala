@@ -56,6 +56,7 @@ object Similarity {
     pqCodedCache.clear()
     pqCbCache.clear()
     ivfCbCache.clear()
+    servedIndexCache.clear()
   }
 
   private[ops] def lshVerifiedPairs(s: SparkSession, d: String): DataFrame =
@@ -170,7 +171,8 @@ object Similarity {
     // candidate set is deduped as (query_id, vec_id) ID pairs BEFORE the
     // vectors are joined back — at scale the wide embedding arrays never
     // enter the dedup shuffle.
-    // Rows-only check (recall vs brute force pinned in TrainingOpsSpec).
+    // Fully oracle-checked: the seeded-PRNG planes are a java.util.Random
+    // LCG the SQL replays exactly (see the ann_lsh_bucketed oracle).
     "ann_lsh_bucketed" -> ((s, d) => {
       // signature width from corpus size: expected bucket ~125 docs
       val rows = lshRowsFor(vecs(s, d).count())
@@ -602,11 +604,11 @@ object Similarity {
   }
 
   /** ADC ranking + exact re-rank shared by the PQ variants: `adc` holds
-    * (vec_id, r, rr, query_id, qv, qn) candidate rows; keep the top-50
+    * (vec_id, r, rr, query_id, qv, qn) candidate rows; keep the top-`depth`
     * by approximate distance per query, join the true vectors back,
-    * exact-cosine top-5. */
+    * exact-cosine top-`finalDepth`. */
   private def adcTop5(s: SparkSession, d: String, adc: DataFrame,
-      depth: Int = 50): DataFrame = {
+      depth: Int = 50, finalDepth: Int = 5): DataFrame = {
     val scored = adc.withColumn("adist",
       round(col("rr") - lit(2.0) * dot(col("r"), col("qv")), 6))
     val wAdc = Window.partitionBy(col("query_id"))
@@ -620,10 +622,54 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     rer.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+      .filter(col("rn") <= finalDepth)
       .select(col("query_id"), col("rn"), col("vec_id").as("neighbor"),
         col("cos"))
       .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** INDEX-SERVED ANN for other operators (hybrid retrieval's dense
+    * side): top-`finalDepth` exact-reranked neighbors for an arbitrary
+    * query population, searched through the memoized PERSISTED
+    * cell-partitioned IVFADC index — the scan a probe pays is
+    * `probes`/`cells` partition directories of 8-byte codes, never the
+    * corpus (the plan shows the cell partition filter; PLANS.md). The
+    * index is built once per (session, corpus) and reused across
+    * queries — the production build-once/serve-many lifecycle, and the
+    * reason hybrid retrieval survives a 100x corpus where a broadcast
+    * nested-loop exact-cosine scan does not. */
+  private val servedIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
+  private[ops] def ivfadcServedRanks(s: SparkSession, d: String,
+      queryPred: Column => Column, adcDepth: Int,
+      finalDepth: Int): DataFrame = {
+    val base = vecsN(s, d)
+    val cells = ivfCellsFor(base.count())
+    val probes = ivfProbesFor(cells)
+    val centroids = ivfCentroids(s, d, cells)
+    val (sd, cb) = pqCodebook(s, d)
+    val dir = servedIndexCache.computeIfAbsent((s, d), { _ =>
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft-ivfserve-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(p)
+      base
+        .withColumn("cell",
+          element_at(ivfCellsOf(centroids, keep = 1), 1).cast("int"))
+        .select(col("vec_id") +: col("cell") +: pqCodeCols(cb, sd): _*)
+        .write.mode("overwrite").partitionBy("cell").parquet(p)
+      p
+    })
+    val coded = s.read.parquet(dir)
+      .withColumn("r", pqReconOf(cb, sd))
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        col("r"), dot(col("r"), col("r")).as("rr"))
+    val qvecs = base.filter(queryPred(col("vec_id")))
+      .withColumn("cell", explode(ivfCellsOf(centroids, keep = probes)))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell").cast("int").as("cell"))
+    val adc = coded.join(broadcast(qvecs), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+    adcTop5(s, d, adc, adcDepth, finalDepth)
   }
 
   /** IVF cells: deterministic coarse centroids TRAINED by the same
@@ -659,6 +705,37 @@ object Similarity {
       finally subs.unpersist()
     })
 
+  /** Probe-only IVF candidate-volume measurement over an ARBITRARY
+    * vector frame (RetrievalScaleProbe's synthetic scaled corpora —
+    * trained fresh, never memoized): returns (Σ probed-cell sizes over
+    * queries, query count, corpus size). The first number is the ADC
+    * scan volume an IVFADC search pays; queries × corpus is the brute
+    * baseline it replaces. */
+  private[ops] def ivfProbeVolume(emb: DataFrame, dim: Int): (Long, Long, Long) = {
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val n = base.count()
+    val cells = ivfCellsFor(n)
+    val probes = ivfProbesFor(cells)
+    val init = base.filter(col("vec_id") % lit(31) === 7)
+      .orderBy(col("vec_id")).limit(cells)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    val subs = base.select(col("vec_id"), lit(0).as("m"), col("v").as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents =
+      try trainSubspaceKmeans(subs, Array(init), PqRounds)(0)
+      finally subs.unpersist()
+    val assigned = base.withColumn("cell",
+      element_at(ivfCellsOf(cents, keep = 1), 1))
+    val cellSizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val qprobes = base.filter(col("vec_id") % 250 === 0)
+      .withColumn("cell", explode(ivfCellsOf(cents, keep = probes)))
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val vol = qprobes.join(cellSizes, "cell")
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    val nq = base.filter(col("vec_id") % 250 === 0).count()
+    (vol, nq, n)
+  }
+
   /** Corpus-adaptive bucket parameters (round-6 scale fix, validated by
     * [[ScaleProbe]]): FIXED bucket counts make candidate volume
     * Θ(n²/buckets) — fine at one scale, quadratic at the next. The
@@ -676,9 +753,12 @@ object Similarity {
     math.max(IvfCells, math.ceil(math.sqrt(n / 8.0)).toInt)
   private[ops] def ivfProbesFor(cells: Int): Int =
     math.max(IvfProbes, cells / 4)
+  /** Integer form of ceil(log2(n/125)) — the smallest r with
+    * 125·2^r >= n. Exact integer arithmetic instead of fp logs so the
+    * SQL oracle (`ann_lsh_bucketed`) computes the identical width with
+    * no ulp ambiguity at exact-power boundaries. */
   private[ops] def lshRowsFor(n: Long): Int =
-    math.max(LshRows,
-      math.ceil(math.log(math.max(1.0, n / 125.0)) / math.log(2.0)).toInt)
+    math.max(LshRows, (0 to 40).find(r => (125L << r) >= n).getOrElse(40))
 
   /** Cell assignment as a pure projection: the centroid set is a plan
     * LITERAL (cells × dim doubles), so per-vector scoring is `cells`
@@ -921,9 +1001,14 @@ object Similarity {
   /** The full IVFADC search recomputed in SQL, parameterized by the
     * TRAINING population (the append lifecycle trains on the base
     * corpus only and freezes the model): both training CTE blocks take
-    * `trainPred`; the encode/search population stays the whole corpus. */
-  private def ivfadcOracle(trainPred: String): String =
-      s"""WITH ${pqTrainCtes(trainPred)},
+    * `trainPred`; the encode/search population stays the whole corpus.
+    * `queryPred` picks the query points (a predicate over `vec_id`);
+    * the block's final CTE `rer` holds (query_id, neighbor, cos) exact
+    * re-ranked candidates — callers rank/cut it themselves, so hybrid
+    * retrieval can reuse the whole search at a different depth. */
+  private[ops] def ivfadcSearchCtes(trainPred: String,
+      queryPred: String, adcDepth: Int): String =
+      s"""${pqTrainCtes(trainPred)},
           ${ivfTrainCtes(trainPred)},
           scored AS (
             SELECT x.vec_id, c.k AS cell,
@@ -939,7 +1024,7 @@ object Similarity {
           cells AS (SELECT vec_id, cell FROM ranked WHERE rnk = 1),
           qprobes AS (
             SELECT vec_id AS query_id, cell FROM ranked
-            WHERE vec_id % 250 = 0
+            WHERE ($queryPred)
               AND rnk <= (SELECT greatest(8, k // 4) FROM kk)),
           recon AS (
             SELECT co.vec_id, flatten(list(c.cv ORDER BY co.m)) AS r
@@ -962,14 +1047,17 @@ object Similarity {
                 row_number() OVER (PARTITION BY query_id
                   ORDER BY adist, vec_id) AS arn
               FROM adc) t
-            WHERE arn <= 250),
+            WHERE arn <= $adcDepth),
           rer AS (
             SELECT t.query_id, t.vec_id AS neighbor,
               round(CAST(list_cosine_similarity(qe.embedding, be.embedding)
                 AS DOUBLE), 4) AS cos
             FROM top t
             JOIN embeddings qe ON qe.vec_id = t.query_id
-            JOIN embeddings be ON be.vec_id = t.vec_id)
+            JOIN embeddings be ON be.vec_id = t.vec_id)"""
+
+  private def ivfadcOracle(trainPred: String): String =
+      s"""WITH ${ivfadcSearchCtes(trainPred, "vec_id % 250 = 0", 250)}
          SELECT query_id, CAST(rn AS INT) AS rn, neighbor, cos FROM (
            SELECT query_id, neighbor, cos,
              row_number() OVER (PARTITION BY query_id
@@ -999,6 +1087,72 @@ object Similarity {
                         b.vec_id) AS rn
            FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
            WHERE q.vec_id % 250 = 0) t
+         WHERE rn <= 5 ORDER BY query_id, rn""",
+    // the WHOLE LSH search recomputed: the ±1 hyperplanes are
+    // java.util.Random(0x9E3779B97F4A7C15·(p+1)) nextBoolean streams —
+    // a 48-bit LCG the recursive CTE replays exactly (HUGEINT for the
+    // 83-bit intermediate product, top-of-48-bits sign per draw; the
+    // bit-for-bit match is pinned in TrainingOpsSpec). Signature width
+    // uses the integer 125·2^r >= n rule shared with lshRowsFor, bands
+    // are fixed at 16, candidates collide on any (band, sig) key, and
+    // the exact-cosine re-rank mirrors ann_bruteforce_topk's contract.
+    "ann_lsh_bucketed" ->
+      """WITH RECURSIVE
+          lshn AS (SELECT count(*) AS n FROM embeddings),
+          lshr AS (SELECT greatest(4,
+              (SELECT min(r) FROM (SELECT unnest(range(0, 41)) AS r) t, lshn
+               WHERE 125 * (CAST(1 AS BIGINT) << r) >= lshn.n)) AS rws),
+          lshd AS (SELECT least(CAST(max(len(embedding)) AS INT), 1024) AS dm
+                   FROM embeddings),
+          lshp AS (SELECT unnest(range(0,
+              16 * (SELECT rws FROM lshr))) AS p),
+          lshgen(p, i, seed, w) AS (
+            SELECT p, 0,
+              xor(CAST((CAST(11400714819323198485 AS HUGEINT) * (p + 1))
+                    % CAST(281474976710656 AS HUGEINT) AS BIGINT),
+                  25214903917),
+              CAST(NULL AS DOUBLE)
+            FROM lshp
+            UNION ALL
+            SELECT p, i + 1,
+              CAST((CAST(seed AS HUGEINT) * 25214903917 + 11)
+                % CAST(281474976710656 AS HUGEINT) AS BIGINT),
+              CASE WHEN CAST((CAST(seed AS HUGEINT) * 25214903917 + 11)
+                  % CAST(281474976710656 AS HUGEINT) AS BIGINT)
+                  >= 140737488355328 THEN 1.0 ELSE -1.0 END
+            FROM lshgen WHERE i < (SELECT dm FROM lshd)),
+          lshw AS (SELECT p, list(w ORDER BY i) AS w
+                   FROM lshgen WHERE i >= 1 GROUP BY p),
+          lshbits AS (
+            SELECT e.vec_id,
+              CAST(w.p // lshr.rws AS INT) AS band,
+              CAST(w.p % lshr.rws AS INT) AS r,
+              CASE WHEN list_sum(list_transform(
+                  range(1, least(len(e.embedding), 1024) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * w.w[i])) > 0
+                THEN 1 ELSE 0 END AS bit
+            FROM embeddings e CROSS JOIN lshw w CROSS JOIN lshr),
+          lshsig AS (
+            SELECT vec_id, band,
+              CAST(sum(bit * (1 << r)) AS BIGINT) AS sig
+            FROM lshbits GROUP BY vec_id, band),
+          lshcand AS (
+            SELECT DISTINCT q.vec_id AS query_id, b.vec_id
+            FROM lshsig q JOIN lshsig b
+              ON b.band = q.band AND b.sig = q.sig
+            WHERE q.vec_id % 250 = 0 AND b.vec_id <> q.vec_id),
+          lshrer AS (
+            SELECT c.query_id, c.vec_id AS neighbor,
+              round(CAST(list_cosine_similarity(qe.embedding, be.embedding)
+                AS DOUBLE), 4) AS cos
+            FROM lshcand c
+            JOIN embeddings qe ON qe.vec_id = c.query_id
+            JOIN embeddings be ON be.vec_id = c.vec_id)
+         SELECT query_id, CAST(rn AS INT) AS rn, neighbor, cos FROM (
+           SELECT query_id, neighbor, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor) AS rn
+           FROM lshrer) t
          WHERE rn <= 5 ORDER BY query_id, rn""",
     // query-point count is SQL (vec_id % 250 = 0), top-k depth is 5,
     // and the recall floor is a deterministic property of the fixed

@@ -156,7 +156,9 @@ object SparqlResults {
     terms.select(xmlResult(terms.columns.toIndexedSeq).as("line")).as[String]
   }
 
-  /** The complete XML results document (head + results). */
+  /** The complete XML results document (head + results); `<result>`
+    * elements newline-joined (insignificant whitespace — keeps the
+    * document diffable and matches [[writeXmlDocument]] byte-for-byte). */
   def xmlDocument(terms: DataFrame): String = {
     val head = terms.columns
       .map(v => s"""<variable name="$v"/>""").mkString
@@ -164,7 +166,7 @@ object SparqlResults {
       "<?xml version=\"1.0\"?>\n" +
         "<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">" +
         s"<head>$head</head><results>",
-      "", "</results></sparql>")
+      "\n", "</results></sparql>")
   }
 
   /** The XML boolean results document (ASK). */
@@ -172,4 +174,99 @@ object SparqlResults {
     "<?xml version=\"1.0\"?>\n" +
       "<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">" +
       s"<head/><boolean>$result</boolean></sparql>"
+
+  // ------------------------------------------------- distributed sink
+
+  /** Stream a row Dataset into ONE results document file at `path`.
+    *
+    * The `*Document` assemblers above `collect()` — right for a
+    * protocol response, wrong for a 10⁹-row SELECT export. Here the
+    * EXPENSIVE half (per-row serialization, escaping) runs distributed,
+    * landing as text part files whose `lineSep` is the row TERMINATOR
+    * the document needs; the epilogue then streams the parts RAW
+    * (byte-for-byte — never re-split into lines, so values carrying
+    * embedded newlines, e.g. CSV-quoted fields, survive) into the
+    * single output file: header, parts in name order, footer. Driver
+    * memory is CONSTANT regardless of result size — a small carry
+    * buffer withholds the last `lineSep.length` bytes so formats whose
+    * rows are SEPARATED (JSON's commas) can drop the final terminator.
+    * (A single document file is inherently a single sequential writer;
+    * what must never be result-sized is the MEMORY, not the final byte
+    * stream.) */
+  private def writeDocument(rows: Dataset[String], path: String,
+      header: String, footer: String, lineSep: String,
+      dropTrailingSep: Boolean): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = rows.sparkSession
+    val tmp = path + s".rows-${System.nanoTime()}"
+    rows.write.option("lineSep", lineSep).text(tmp)
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.BufferedOutputStream(
+      fs.create(new Path(path), true), 1 << 20)
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val sepBytes = lineSep.getBytes(utf8)
+    try {
+      out.write(header.getBytes(utf8))
+      // carry = the last lineSep.length bytes seen so far, not yet
+      // written; at EOF it is exactly the trailing terminator (when any
+      // row was written) and is dropped or flushed per the format
+      var carry = Array.emptyByteArray
+      val parts = fs.listStatus(new Path(tmp)).toSeq
+        .filter(_.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
+      val buf = new Array[Byte](1 << 20)
+      parts.foreach { p =>
+        val in = fs.open(p.getPath)
+        try {
+          var n = in.read(buf)
+          while (n > 0) {
+            val all = carry ++ buf.take(n)
+            val keep = math.min(sepBytes.length, all.length)
+            out.write(all, 0, all.length - keep)
+            carry = all.takeRight(keep)
+            n = in.read(buf)
+          }
+        } finally in.close()
+      }
+      if (!(dropTrailingSep && carry.sameElements(sepBytes)))
+        out.write(carry)
+      out.write(footer.getBytes(utf8))
+    } finally out.close()
+    fs.delete(new Path(tmp), true)
+  }
+
+  /** File-streaming twin of [[jsonDocument]]: byte-identical output
+    * (rows are comma-SEPARATED, so the trailing terminator drops). */
+  def writeJsonDocument(terms: DataFrame, path: String): Unit = {
+    val vars = terms.columns.map(v => "\"" + v + "\"").mkString(",")
+    writeDocument(jsonBindings(terms), path,
+      s"""{"head":{"vars":[$vars]},"results":{"bindings":[""", "]}}",
+      ",", dropTrailingSep = true)
+  }
+
+  /** File-streaming twin of [[csvDocument]]: byte-identical output
+    * (every row ends with CRLF per §4.1, the header line included). */
+  def writeCsvDocument(terms: DataFrame, path: String): Unit =
+    writeDocument(csvRows(terms), path,
+      terms.columns.mkString(",") + "\r\n", "",
+      "\r\n", dropTrailingSep = false)
+
+  /** File-streaming twin of [[tsvDocument]]: byte-identical output. */
+  def writeTsvDocument(terms: DataFrame, path: String): Unit =
+    writeDocument(tsvRows(terms), path,
+      terms.columns.map("?" + _).mkString("\t") + "\n", "",
+      "\n", dropTrailingSep = false)
+
+  /** File-streaming twin of [[xmlDocument]]: byte-identical output
+    * (`<result>` elements are newline-joined in both). */
+  def writeXmlDocument(terms: DataFrame, path: String): Unit = {
+    val head = terms.columns
+      .map(v => s"""<variable name="$v"/>""").mkString
+    writeDocument(xmlRows(terms), path,
+      "<?xml version=\"1.0\"?>\n" +
+        "<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">" +
+        s"<head>$head</head><results>",
+      "</results></sparql>", "\n", dropTrailingSep = true)
+  }
 }

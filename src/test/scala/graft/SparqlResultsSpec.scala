@@ -65,4 +65,40 @@ class SparqlResultsSpec extends AnyFunSuite {
       SELECT ?o WHERE { <http://ex/a> <http://ex/link> ?o }""") ==
       "?o\n<http://ex/b>\n")
   }
+
+  test("file-streaming exports are byte-identical to the driver documents") {
+    val e = engine()
+    // multi-row + quoting + lang + datatype + unbound all in one result
+    val q = """
+      SELECT ?s ?n ?v WHERE {
+        ?s <http://ex/t> <http://ex/T> .
+        OPTIONAL { ?s <http://ex/name> ?n }
+        OPTIONAL { ?s <http://ex/note> ?v }
+      } ORDER BY ?s ?n"""
+    val dir = java.nio.file.Files.createTempDirectory("results-sink")
+    def fileBytes(p: String): String = {
+      val f = new java.io.File(p)
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    }
+    val json = s"$dir/out.srj"
+    e.selectJsonToFile(q, json)
+    assert(fileBytes(json) == e.selectJson(q))
+    val csv = s"$dir/out.csv"
+    e.selectCsvToFile(q, csv)
+    assert(fileBytes(csv) == e.selectCsv(q))
+    val tsv = s"$dir/out.tsv"
+    e.selectTsvToFile(q, tsv)
+    assert(fileBytes(tsv) == e.selectTsv(q))
+    val xml = s"$dir/out.srx"
+    e.selectXmlToFile(q, xml)
+    assert(fileBytes(xml) == e.selectXml(q))
+    // empty result: header/footer-only documents still match
+    val empty = """SELECT ?x WHERE { ?x <http://ex/none> ?y }"""
+    e.selectJsonToFile(empty, json)
+    assert(fileBytes(json) == e.selectJson(empty))
+    e.selectCsvToFile(empty, csv)
+    assert(fileBytes(csv) == e.selectCsv(empty))
+    e.selectXmlToFile(empty, xml)
+    assert(fileBytes(xml) == e.selectXml(empty))
+  }
 }
