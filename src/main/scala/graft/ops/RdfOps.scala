@@ -1325,6 +1325,59 @@ object RdfOps {
         .orderBy(col("s"), col("o_value"))
     }),
 
+    // S6 AUTO-COMPACTION: the bounded-tail policy end to end. A batch
+    // load plus a chain of single-quad revision batches (insert r_i,
+    // tombstone r_{i-1}) grows the delta tail past the policy threshold;
+    // `compactIfNeeded` must FIRE, and the compacted store must (a) read
+    // the SAME merged state as before — both phases are emitted and the
+    // oracle expects them identical — and (b) read FEWER FILES: the
+    // `files_reduced` column compares the delta scan's inputFiles before
+    // (one-plus per batch) and after (the single-file compacted base),
+    // which at 100 TB is the read-amplification the policy bounds (every
+    // readMerged aggregates + anti-joins the whole tail).
+    "rdf_store_compact" -> ((s, d) => {
+      import s.implicits._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-morcompact-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
+      val store = new graft.model.MergeOnReadStore(s, dir)
+      val g = "http://ex/nations"
+      def quads(df: DataFrame, value: Column) = df.select(
+        lit(g).as("graph"),
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+        lit("name").as("p"), value.as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      def rev(v: String) = s.range(1).select(
+        lit(g).as("graph"), lit("nation:0").as("s"), lit("rev").as("p"),
+        lit(v).as("o_value"), lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"), lit("literal").as("o_kind"))
+      store.appendDelta(quads(Tables.nation(s, d), col("n_name")), 1L)
+      var b = 1L
+      (2 to 6).foreach { i =>
+        b += 1; store.appendDelta(rev(s"r$i"), b)
+        if (i > 2) { b += 1; store.appendDelta(rev(s"r${i - 1}"), b, op = "d") }
+      }
+      val filesBefore = store.readDeltas().inputFiles.length
+      // pre-state must be MATERIALIZED before compacting: the merged view
+      // is lazy over delta files the compaction is about to rewrite
+      val pre = store.readGraphs(Seq(g))
+        .select(col("s"), col("p"), col("o_value")).collect().toSeq
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      val fired = store.compactIfNeeded(g, maxTailBatches = 4)
+      val filesAfter = store.readDeltas().inputFiles.length
+      val post = store.readGraphs(Seq(g))
+        .select(col("s"), col("p"), col("o_value"))
+      pre.toDF("s", "p", "o_value").withColumn("phase", lit("pre"))
+        .unionByName(post.withColumn("phase", lit("post")))
+        .withColumn("compacted", lit(if (fired) 1 else 0).cast("int"))
+        .withColumn("files_reduced",
+          lit(if (filesAfter < filesBefore) 1 else 0).cast("int"))
+        .select(col("phase"), col("s"), col("p"), col("o_value"),
+          col("compacted"), col("files_reduced"))
+        .orderBy(col("phase"), col("s"), col("p"), col("o_value"))
+    }),
+
     // S6b TIME TRAVEL: snapshot reads of the merge-on-read store as-of
     // historical batches — the same 4-batch history as rdf_store_mor,
     // then three snapshot reads tagged by version: as-of batch 1 (the
@@ -2229,5 +2282,18 @@ ORDER BY s, p, o_value""",
            SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), 'name',
              n_name || '#v2'
            FROM nation WHERE n_nationkey % 10 = 0) t
-         ORDER BY s, o_value""")
+         ORDER BY s, o_value""",
+    // identical state in BOTH phases (read-equivalence across
+    // compaction) and the two policy gates as checked constants:
+    // compacted = the trigger fired, files_reduced = the post-compaction
+    // delta scan reads fewer files than the pre-compaction tail
+    "rdf_store_compact" ->
+      """WITH state AS (
+           SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS s,
+             'name' AS p, n_name AS o_value FROM nation
+           UNION ALL SELECT 'nation:0', 'rev', 'r6'),
+          phases AS (SELECT 'pre' AS phase UNION ALL SELECT 'post')
+         SELECT phase, s, p, o_value, 1 AS compacted, 1 AS files_reduced
+         FROM phases, state
+         ORDER BY phase, s, p, o_value""")
 }

@@ -168,8 +168,14 @@ class MorStoreSpec extends AnyFunSuite {
     assert(!st.compactIfNeeded("g", maxTailBatches = 2))
     st.appendDelta(Seq(q("a", "1")).toDF(), 3L, op = "d")
     val before = merged(st)
+    // the read-amplification measurement the policy exists for: the
+    // pre-compaction scan reads one-plus files per tail batch, the
+    // post-compaction scan reads the single-file base
+    val filesBefore = st.readDeltas().inputFiles.length
     assert(st.compactIfNeeded("g", maxTailBatches = 2))
     assert(merged(st) == before, "auto-compaction preserves the merged view")
+    assert(st.readDeltas().inputFiles.length < filesBefore,
+      "compaction must shrink the file count the merged read scans")
     val deltas = st.readDeltas().collect()
     assert(deltas.forall(_.getAs[Long]("batch_id") ==
       graft.model.MergeOnReadStore.CompactedBatchId))
