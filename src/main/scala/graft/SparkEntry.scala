@@ -24,7 +24,8 @@ object SparkEntry {
       ops.Sampling.queries ++ ops.Contamination.queries ++
       ops.Retrieval.queries ++ ops.Inference.queries ++ ops.Classify.queries ++
       ops.Incremental.queries ++ ops.RdfStats.queries ++ ops.Bpe.queries ++ ops.Sketches.queries ++
-      ops.GraphAlgos.queries ++ streaming.EventStreams.queries
+      ops.GraphAlgos.queries ++ ops.Layout.queries ++
+      streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       ops.Sampling.oracleSql ++ ops.Contamination.oracleSql ++
       ops.Retrieval.oracleSql ++ ops.Inference.oracleSql ++ ops.Classify.oracleSql ++
       ops.Incremental.oracleSql ++ ops.RdfStats.oracleSql ++ ops.Bpe.oracleSql ++ ops.Sketches.oracleSql ++
-      ops.GraphAlgos.oracleSql ++ streaming.EventStreams.oracleSql
+      ops.GraphAlgos.oracleSql ++ ops.Layout.oracleSql ++
+      streaming.EventStreams.oracleSql
 }
