@@ -394,6 +394,60 @@ object Similarity {
       adcTop5(s, d, adc, depth = 250)
     }),
 
+    // ---- STREAMING index ingest: the embedding-firehose shape of the
+    // append lifecycle. The base corpus trains the model and builds the
+    // cell-partitioned index in batch; later arrivals then flow through
+    // Structured Streaming — spooled as 4 files, 1 file per micro-batch
+    // — and each micro-batch is encoded with the FROZEN base model
+    // (same centroids/codebooks, no retraining) and parquet-appended
+    // into the cell layout inside foreachBatch. Exactly-once comes from
+    // the checkpoint (a restart re-delivers no spooled file), and the
+    // frozen model is what makes the append O(batch): nothing keyed by
+    // an old code is rewritten. The final search over the streamed-in
+    // index must equal ann_ivfpq_append's batch-built one — the oracle
+    // IS the same full IVFADC recomputation.
+    "stream_ann_ingest" -> ((s, d) => {
+      val all = vecsN(s, d)
+      val basePred = col("vec_id") % 5 =!= 0
+      val trainPop = vecs(s, d).filter(basePred)
+      val cells = ivfCellsFor(trainPop.count())
+      val probes = ivfProbesFor(cells)
+      val centroids = ivfCentroidsOn(s, d, trainPop, cells, tag = "base")
+      val (sd, cb) = pqCodebookOn(s, d, trainPop, tag = "base")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-annstream-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
+      def coded(pop: DataFrame) = pop
+        .withColumn("cell",
+          element_at(ivfCellsOf(centroids, keep = 1), 1).cast("int"))
+        .select(col("vec_id") +: col("cell") +: pqCodeCols(cb, sd): _*)
+      coded(all.filter(basePred))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/index")
+      val late = all.filter(!basePred)
+      late.repartition(4).write.parquet(s"$dir/spool")
+      val stream = s.readStream.schema(late.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/spool")
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          coded(batch)
+            .write.mode("append").partitionBy("cell").parquet(s"$dir/index")
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val codedAll2 = s.read.parquet(s"$dir/index")
+        .withColumn("r", pqReconOf(cb, sd))
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          col("r"), dot(col("r"), col("r")).as("rr"))
+      val qvecs2 = all.filter(col("vec_id") % 250 === 0)
+        .withColumn("cell", explode(ivfCellsOf(centroids, keep = probes)))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell").cast("int").as("cell"))
+      val adc2 = codedAll2.join(broadcast(qvecs2), Seq("cell"))
+        .where(col("vec_id") =!= col("query_id"))
+      adcTop5(s, d, adc2, depth = 250)
+    }),
+
     // ---- the IVF index LAYOUT itself: vec_id → coarse cell. At 100 TB
     // this mapping IS the index — the cell column is the partition key
     // every probe prunes on — so it deserves a direct oracle, not just
@@ -1309,5 +1363,8 @@ object Similarity {
   def oracleSql: Map[String, String] =
     baseOracleSql +
       ("ann_ivfpq_persisted" -> baseOracleSql("ann_ivfpq_bucketed")) +
-      ("ann_ivfpq_append" -> ivfadcOracle("vec_id % 5 <> 0"))
+      ("ann_ivfpq_append" -> ivfadcOracle("vec_id % 5 <> 0")) +
+      // streaming ingest ends in the SAME index state as the batch
+      // append — micro-batch boundaries must be invisible in the search
+      ("stream_ann_ingest" -> ivfadcOracle("vec_id % 5 <> 0"))
 }
