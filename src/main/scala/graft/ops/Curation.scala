@@ -230,6 +230,46 @@ object Curation {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // ---- shard assignment by cumulative token budget — the training-
+    // file writer's problem: pack documents, in a stable global order,
+    // into shards of ~`budget` tokens each. The global running sum is
+    // computed SCALE-SAFELY: a window over the whole ordered corpus is
+    // ONE sorted partition (the hot-term-window mistake in reverse), so
+    // instead docs get order-aligned coarse buckets on doc_id, the
+    // per-bucket token sums (a `buckets`-row aggregate) cumulate into
+    // exclusive per-bucket OFFSETS driver-side, and the window cumsum
+    // runs per bucket — every sort is bucket-sized, never corpus-sized,
+    // and the offsets table broadcasts. Same two-phase prefix sum a
+    // 1000-executor shard writer needs.
+    "corpus_shards" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 4096L
+      val buckets = 64
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      val ext = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        .collect().head
+      val (lo, hi) = (ext.getLong(0), ext.getLong(1))
+      val bucketed = docs.withColumn("bk",
+        ((col("doc_id") - lit(lo)) * buckets / lit(hi - lo + 1)).cast("int"))
+      val sums = bucketed.groupBy(col("bk")).agg(sum(col("n_tok")).as("bsum"))
+        .orderBy(col("bk")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+      val offsets = sums.scanLeft((0, 0L, 0L)) { case ((_, _, acc), (bk, bs)) =>
+        (bk, acc, acc + bs)
+      }.drop(1).map { case (bk, off, _) => (bk, off) }
+      import s.implicits._
+      val offDf = offsets.toSeq.toDF("bk", "off")
+      val wb = Window.partitionBy(col("bk")).orderBy(col("doc_id"))
+      bucketed.join(broadcast(offDf), "bk")
+        .withColumn("cumb",
+          col("off") + sum(col("n_tok")).over(wb) - col("n_tok"))
+        .select(col("doc_id"), col("n_tok"),
+          floor(col("cumb") / budget).cast("long").as("shard"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- DSIR-shaped importance weighting: score each doc by how much
     // its hashed-bigram distribution looks like the target slice
     // (lang = 'en') vs the raw corpus — sum of per-occurrence
@@ -358,6 +398,19 @@ object Curation {
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
            FROM documents) t
          WHERE rk <= 10 ORDER BY source, doc_id""",
+    // the plain global-window running sum — the two-phase bucketed
+    // prefix sum must assign the identical shards
+    "corpus_shards" ->
+      """SELECT doc_id, n_tok, CAST(cumb // 4096 AS BIGINT) AS shard
+         FROM (
+           SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS cumb
+           FROM (
+             SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS n_tok
+             FROM documents) t1) t2
+         ORDER BY doc_id""",
     "quality_importance_weights" ->
       """WITH toks AS (SELECT doc_id, lang,
                string_split_regex(trim(text), '\s+') AS t FROM documents),

@@ -448,6 +448,23 @@ object Similarity {
       adcTop5(s, d, adc2, depth = 250)
     }),
 
+    // ---- index DELETION without rebuild (the opt-out/right-to-erasure
+    // path a production corpus index needs): removal requests land as a
+    // `_tombstones` file BESIDE the cell partitions — no code file is
+    // rewritten, no model retrained — and serving anti-joins the
+    // broadcast tombstone set over the cell-pruned scan before ADC.
+    // Removed vectors must be unfindable: the oracle recomputes the
+    // full IVFADC search with the candidates excluded, so a single
+    // tombstoned id surviving in any top-5 is a hash mismatch.
+    "ann_index_delete" -> ((s, d) => {
+      val dir = servedIndexDir(s, d)
+      vecsN(s, d).filter(col("vec_id") % 17 === 3).select(col("vec_id"))
+        .write.mode("overwrite").parquet(s"$dir/_tombstones")
+      ivfadcServedRanks(s, d, _ % 250 === 0, adcDepth = 250,
+        finalDepth = 5,
+        tombstones = Some(s.read.parquet(s"$dir/_tombstones")))
+    }),
+
     // ---- the IVF index LAYOUT itself: vec_id → coarse cell. At 100 TB
     // this mapping IS the index — the cell column is the partition key
     // every probe prunes on — so it deserves a direct oracle, not just
@@ -695,15 +712,15 @@ object Similarity {
   private val servedIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
 
-  private[ops] def ivfadcServedRanks(s: SparkSession, d: String,
-      queryPred: Column => Column, adcDepth: Int,
-      finalDepth: Int): DataFrame = {
+  /** Build-or-reuse the memoized persisted index; returns its directory
+    * (callers may drop auxiliary underscore-prefixed files — e.g.
+    * `_tombstones` — beside the cell partitions; the parquet file index
+    * skips them). */
+  private def servedIndexDir(s: SparkSession, d: String): String = {
     val base = vecsN(s, d)
-    val cells = ivfCellsFor(base.count())
-    val probes = ivfProbesFor(cells)
-    val centroids = ivfCentroids(s, d, cells)
+    val centroids = ivfCentroids(s, d, ivfCellsFor(base.count()))
     val (sd, cb) = pqCodebook(s, d)
-    val dir = servedIndexCache.computeIfAbsent((s, d), { _ =>
+    servedIndexCache.computeIfAbsent((s, d), { _ =>
       val p = s"${System.getProperty("java.io.tmpdir")}/graft-ivfserve-${System.nanoTime()}"
       graft.util.TempDirs.deleteOnExit(p)
       base
@@ -713,7 +730,25 @@ object Similarity {
         .write.mode("overwrite").partitionBy("cell").parquet(p)
       p
     })
-    val coded = s.read.parquet(dir)
+  }
+
+  private[ops] def ivfadcServedRanks(s: SparkSession, d: String,
+      queryPred: Column => Column, adcDepth: Int,
+      finalDepth: Int, tombstones: Option[DataFrame] = None): DataFrame = {
+    val base = vecsN(s, d)
+    val cells = ivfCellsFor(base.count())
+    val probes = ivfProbesFor(cells)
+    val centroids = ivfCentroids(s, d, cells)
+    val (sd, cb) = pqCodebook(s, d)
+    val dir = servedIndexDir(s, d)
+    val codedRaw = s.read.parquet(dir)
+    // removal requests never rewrite a code file: the tombstone set
+    // (tiny — it is the opt-out list) broadcasts into an anti-join over
+    // the cell-pruned scan, and compaction can fold it in later
+    val codedLive = tombstones.fold(codedRaw)(t =>
+      codedRaw.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"),
+        "left_anti"))
+    val coded = codedLive
       .withColumn("r", pqReconOf(cb, sd))
       .select(col("vec_id"), col("cell").cast("int").as("cell"),
         col("r"), dot(col("r"), col("r")).as("rr"))
@@ -1061,7 +1096,8 @@ object Similarity {
     * re-ranked candidates — callers rank/cut it themselves, so hybrid
     * retrieval can reuse the whole search at a different depth. */
   private[ops] def ivfadcSearchCtes(trainPred: String,
-      queryPred: String, adcDepth: Int): String =
+      queryPred: String, adcDepth: Int,
+      candPred: String = "TRUE"): String =
       s"""${pqTrainCtes(trainPred)},
           ${ivfTrainCtes(trainPred)},
           scored AS (
@@ -1094,7 +1130,8 @@ object Similarity {
             JOIN recon r ON r.vec_id = b.vec_id
             JOIN vv q ON q.vec_id = q2.query_id
             CROSS JOIN vp
-            WHERE b.vec_id <> q2.query_id),
+            WHERE b.vec_id <> q2.query_id
+              AND (${candPred.replace("vec_id", "b.vec_id")})),
           top AS (
             SELECT query_id, vec_id FROM (
               SELECT query_id, vec_id,
@@ -1110,8 +1147,9 @@ object Similarity {
             JOIN embeddings qe ON qe.vec_id = t.query_id
             JOIN embeddings be ON be.vec_id = t.vec_id)"""
 
-  private def ivfadcOracle(trainPred: String): String =
-      s"""WITH ${ivfadcSearchCtes(trainPred, "vec_id % 250 = 0", 250)}
+  private def ivfadcOracle(trainPred: String,
+      candPred: String = "TRUE"): String =
+      s"""WITH ${ivfadcSearchCtes(trainPred, "vec_id % 250 = 0", 250, candPred)}
          SELECT query_id, CAST(rn AS INT) AS rn, neighbor, cos FROM (
            SELECT query_id, neighbor, cos,
              row_number() OVER (PARTITION BY query_id
@@ -1366,5 +1404,7 @@ object Similarity {
       ("ann_ivfpq_append" -> ivfadcOracle("vec_id % 5 <> 0")) +
       // streaming ingest ends in the SAME index state as the batch
       // append — micro-batch boundaries must be invisible in the search
-      ("stream_ann_ingest" -> ivfadcOracle("vec_id % 5 <> 0"))
+      ("stream_ann_ingest" -> ivfadcOracle("vec_id % 5 <> 0")) +
+      // full-corpus model, tombstoned candidates excluded from ADC
+      ("ann_index_delete" -> ivfadcOracle("TRUE", "vec_id % 17 <> 3"))
 }
