@@ -232,7 +232,19 @@ object Plans {
         "broadcast-NLJ exact-cosine pass over the whole corpus is now " +
         "only the retrieval_dense_recall audit; fusion joins two " +
         "top-20 lists, bounded by queries x 2k rows at any corpus " +
-        "size."))
+        "size."),
+    "corpus_shards" ->
+      ("two-phase distributed prefix sum: the window's partitioning " +
+        "column is the order-aligned coarse bucket, so the Sort under " +
+        "the Window is bucket-sized (64 partitions), never one global " +
+        "sorted partition; the offsets side enters as a " +
+        "BroadcastHashJoin of a 64-row table."),
+    "layout_zorder" ->
+      ("the z-key is pure shift/mask projection inside one codegen " +
+        "span; the only exchange is the RangePartitioning on z that IS " +
+        "the layout write; the read-back scan shows PushedFilters on " +
+        "tsu — at lakehouse scale the per-file min/max boxes this " +
+        "query measures are what the table format would prune with."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
