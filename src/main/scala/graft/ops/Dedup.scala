@@ -425,7 +425,7 @@ object Dedup {
     s"WITH $pairsCtes SELECT i, j, jac FROM pairs ORDER BY i, j"
 
   // transitive closure over the near-dup graph; rep = min reachable id
-  private val clustersOracle =
+  private[ops] val clustersOracle =
     s"""WITH RECURSIVE $pairsCtes,
         bi AS (SELECT i AS a, j AS b FROM pairs
                UNION SELECT j, i FROM pairs),

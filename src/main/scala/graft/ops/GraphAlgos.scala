@@ -114,7 +114,69 @@ object GraphAlgos {
       tri.agg(count(lit(1)).as("n_triangles"))
         .join(e.agg(count(lit(1)).as("n_edges")))
         .join(nodes.agg(count(lit(1)).as("n_nodes")))
-    }))
+    }),
+
+    // ---- connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    // (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    // SoCC 2014) over the same near-dup pair graph dedup_clusters
+    // labels with min-label propagation. Why carry a second CC
+    // algorithm: propagation converges in O(diameter) rounds — right
+    // for dup-clusters (near-cliques), wrong for the path-shaped
+    // graphs CC meets at 100 TB (link chains, citation chains), where
+    // diameter is thousands. Large/small-star re-points edges at
+    // ever-smaller labels and converges in O(log² n) rounds regardless
+    // of diameter; each half-round is one groupBy-min + one join, both
+    // shuffling on node id. The two algorithms must label identically
+    // — the oracle is dedup_clusters' verbatim.
+    "graph_components_ls" -> ((s, d) =>
+      componentsLargeSmallStar(
+        Dedup.neardupPairs(s, d).select(col("i"), col("j")))
+        .orderBy(col("doc_id"))))
+
+  /** Alternating large-star/small-star CC: returns (doc_id,
+    * cluster_rep) for every node appearing in `pairs`. Both phases emit
+    * only canonical (node > label) edges, so the convergence check is a
+    * plain set comparison (at cluster scale: a count + hash-sum pair
+    * instead of the distinct-union count below). */
+  def componentsLargeSmallStar(pairs: DataFrame): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val m = or.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val joined = or.join(m, "u")
+      joined.select(col("v").as("u"), col("m").as("v"))
+        .union(joined.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    var e = pairs
+      .select(greatest(col("i"), col("j")).as("u"),
+        least(col("i"), col("j")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 32) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nCur = e.count()
+      val nNext = next.count()
+      converged = nCur == nNext &&
+        next.union(e).distinct().count() == nCur
+      e = next
+      rounds += 1
+    }
+    val reps = e.select(col("v").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_rep"))
+    e.select(col("u").as("doc_id"), col("v").as("cluster_rep"))
+      .union(reps).distinct()
+  }
 
   // 3 supersteps unrolled as chained CTEs (SQL can't express the
   // driver loop); same 0.15/0.85 literals for double parity
@@ -124,6 +186,9 @@ object GraphAlgos {
         FROM e JOIN $prev ON e.src = $prev.node GROUP BY dst)"""
 
   def oracleSql: Map[String, String] = Map(
+    // two CC algorithms, one truth: the large/small-star labels must
+    // hash-match the same recursive-closure oracle dedup_clusters uses
+    "graph_components_ls" -> Dedup.clustersOracle,
     // recursive-CTE walk bounded at 3 hops; UNION (distinct) keeps the
     // recursion finite, min(dist) recovers the BFS level
     "graph_bfs_hops" ->

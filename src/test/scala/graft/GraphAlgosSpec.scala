@@ -32,6 +32,25 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(math.abs(r2("l1") - (0.15 + 0.85 * (0.15 + 0.85 * 3.0) / 3.0)) < 1e-12)
   }
 
+  test("large/small-star CC labels a 300-node chain in the 32-round cap") {
+    // a path graph is the adversarial case: min-label propagation needs
+    // O(diameter)=300 rounds here; large/small-star must finish inside
+    // its 32-round cap (O(log² n)) with every node labeled by the min
+    import spark.implicits._
+    val chain = (0L until 299L).map(i => (i + 1, i)).toDF("i", "j")
+    val labels = graft.ops.GraphAlgos.componentsLargeSmallStar(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size == 300)
+    assert(labels.values.forall(_ == 0L), "whole chain is one component")
+    // two disjoint components stay separate
+    val two = (Seq((1L, 2L), (2L, 3L)) ++ Seq((10L, 11L), (11L, 12L)))
+      .toDF("i", "j")
+    val l2 = graft.ops.GraphAlgos.componentsLargeSmallStar(two)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(l2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("bench graph: type hubs outrank user nodes") {
     val rows = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
     val (types, users) = rows.partition(_.getString(0).startsWith("t:"))

@@ -87,7 +87,7 @@ class JsonLdPropertySpec extends AnyFunSuite {
         null, null, Quad.KindIri))
     def k(q: Quad) = (q.s, q.p, q.o_value, Option(q.o_type),
       Option(q.o_lang), q.o_kind)
-    for (e <- Seq("nt", "nq", "ttl", "trig", "rdf", "jsonld")) {
+    for (e <- Seq("nt", "nq", "ttl", "trig", "rdf", "jsonld", "hext")) {
       val dir = java.nio.file.Files
         .createTempDirectory("graft-rdfio").toString + s"/out.$e"
       RdfIO.write(quads.toDS().toDF(), dir)
@@ -95,7 +95,7 @@ class JsonLdPropertySpec extends AnyFunSuite {
       assert(back.map(k).toSet == quads.map(k).toSet, s"format .$e")
       // quad-scoped formats keep the graph labels; triple-scoped collapse
       val graphs = back.map(_.graph).toSet
-      if (Set("nq", "trig", "jsonld")(e))
+      if (Set("nq", "trig", "jsonld", "hext")(e))
         assert(graphs == Set(Quad.DefaultGraph, "http://g/x"), s".$e graphs")
       else assert(graphs == Set(Quad.DefaultGraph), s".$e graphs")
     }
@@ -114,6 +114,21 @@ class JsonLdPropertySpec extends AnyFunSuite {
           .as[String].collect()
         val back = lines.map(NTriples.parseQuadLine(_, Quad.DefaultGraph))
         assert(back.map(key).toSet == quads.map(key).toSet)
+    }
+  }
+
+  test("arbitrary quad batches roundtrip through the HexTuples sink (quad-scoped)") {
+    import graft.rdf.HexTuples
+    forAllSamples(Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, quadGen)), 25) {
+      quads0 =>
+        import spark.implicits._
+        val quads = quads0.distinct
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-hext-fuzz").toString + "/out.hext"
+        HexTuples.write(quads.toDS().toDF(), dir)
+        val back = HexTuples.read(spark, dir).collect()
+        assert(back.map(key).toSet == quads.map(key).toSet,
+          s"roundtrip mismatch in $dir")
     }
   }
 
