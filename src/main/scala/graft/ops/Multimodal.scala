@@ -231,6 +231,69 @@ object Multimodal {
       decodeImages(media).toDF().orderBy(col("doc_id"))
     }),
 
+    // ---- PERCEPTUAL near-dup over the DECODED images: an 8-block
+    // row-profile average hash (aHash family) — block b covers rows
+    // {y : y*8/h = b}, bit b set iff the block's mean gray (band sum)
+    // exceeds the image mean, compared in exact integer cross-products
+    // (sum_blk * n_total > sum_total * n_blk — no division, no fp).
+    // Same-hash images are near-dup candidates; the grouping is a plain
+    // hash groupBy, so at corpus scale this is exact-dedup cost, not
+    // pairwise. The hash is computed from the ImageIO-decoded raster
+    // (real decode path) and the oracle recomputes it from the
+    // generator's closed form — codec, raster indexing, and block
+    // arithmetic all land in the hash-exact check.
+    "multimodal_phash_neardup" -> ((s, d) => {
+      import s.implicits._
+      val hashes = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false) // see decodeImages
+          it.map { id =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(syntheticPng(id)))
+            val raster = img.getRaster
+            val (w, h, bands) = (img.getWidth, img.getHeight,
+              raster.getNumBands)
+            val blkSum = new Array[Long](8)
+            val blkN = new Array[Long](8)
+            var tot = 0L
+            var y = 0
+            while (y < h) {
+              val blk = y * 8 / h
+              var x = 0
+              while (x < w) {
+                var g = 0L
+                var c = 0
+                while (c < bands) { g += raster.getSample(x, y, c); c += 1 }
+                blkSum(blk) += g; blkN(blk) += 1; tot += g
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            // bits 0-7: row-profile shape; bits 8+: quantized global
+            // mean (gray/16 buckets) — shape alone is too coarse on
+            // low-texture images, brightness alone on gradients; the
+            // concatenation is the discriminating key
+            var phash = (tot / n / 16L) << 8
+            var b = 0
+            while (b < 8) {
+              if (blkSum(b) * n > tot * blkN(b)) phash |= (1L << b)
+              b += 1
+            }
+            (id, phash)
+          }
+        }
+        .toDF("doc_id", "phash")
+      val groups = hashes.groupBy(col("phash"))
+        .agg(count(lit(1)).as("n"))
+      hashes.join(broadcast(groups), "phash")
+        .select(col("doc_id"), col("phash"),
+          (col("n") > 1).cast("int").as("dup"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- REAL audio decode: the audio-kind rows carry actual RIFF/WAV
     // bytes (deterministic synthetic PCM), parsed back through
     // javax.sound.sampled in mapPartitions; frame count, rate, channel
@@ -329,6 +392,35 @@ object Multimodal {
            CAST((doc_id % 13 + 4) * (doc_id % 7 + 3) * ((doc_id * 31) % 256)
              AS BIGINT) AS sum_b
          FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""",
+    // w cancels from both sides of every bit inequality (each row
+    // contributes w equal-gray pixels), so the SQL works per-row
+    "multimodal_phash_neardup" ->
+      """WITH imgs AS (
+           SELECT doc_id, doc_id % 7 + 3 AS h, doc_id % 256 AS r,
+             (doc_id * 31) % 256 AS bb
+           FROM documents WHERE doc_id % 3 = 0),
+          rws AS (SELECT doc_id, h, r, bb, unnest(range(0, h)) AS y
+                  FROM imgs),
+          gr AS (SELECT doc_id, CAST(y * 8 // h AS INT) AS blk,
+                   r + bb + (doc_id + y) % 256 AS gray
+                 FROM rws),
+          tot AS (SELECT doc_id, sum(gray) AS sg, count(*) AS n
+                  FROM gr GROUP BY doc_id),
+          blks AS (SELECT doc_id, blk, sum(gray) AS sb, count(*) AS nb
+                   FROM gr GROUP BY doc_id, blk),
+          bits AS (SELECT b.doc_id, b.blk
+                   FROM blks b JOIN tot t USING (doc_id)
+                   WHERE b.sb * t.n > t.sg * b.nb),
+          ph AS (SELECT i.doc_id,
+                   COALESCE(sum(CAST(1 AS BIGINT) << bits.blk), 0)
+                     + ((t.sg // t.n // 16) << 8) AS phash
+                 FROM imgs i JOIN tot t USING (doc_id)
+                 LEFT JOIN bits ON bits.doc_id = i.doc_id
+                 GROUP BY i.doc_id, t.sg, t.n)
+         SELECT doc_id, CAST(phash AS BIGINT) AS phash,
+           CASE WHEN count(*) OVER (PARTITION BY phash) > 1
+             THEN 1 ELSE 0 END AS dup
+         FROM ph ORDER BY doc_id""",
     "multimodal_audio_decode" ->
       """SELECT doc_id,
            CAST(doc_id % 50 + 20 AS INT) AS n_samples,
