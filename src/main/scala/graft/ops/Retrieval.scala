@@ -193,6 +193,37 @@ object Retrieval {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- positional phrase search: the inverted index extended with
+    // token POSITIONS — the "exact phrase" query bag-of-words BM25
+    // cannot answer. Each query doc's first two tokens form its
+    // phrase; a hit is adjacent positions (p, p+1) in another doc.
+    // Scale shape: positional postings are pruned to the PHRASE
+    // VOCABULARY first (broadcast semi-join on the distinct query
+    // terms), so the adjacency self-join runs over candidate rows
+    // only, shuffled on (doc, term, pos) — never the whole postings
+    // table, and never doc × query.
+    "retrieval_phrase" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val posting = docs.select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
+      val phrases = docs.filter(col("doc_id") % QueryMod === 0)
+        .select(col("doc_id").as("query_id"),
+          element_at(TextOps.tokens(col("text")), 1).as("t1"),
+          element_at(TextOps.tokens(col("text")), 2).as("t2"))
+      val vocab = phrases.select(col("t1").as("term"))
+        .union(phrases.select(col("t2"))).distinct()
+      val pruned = posting.join(broadcast(vocab), Seq("term"), "left_semi")
+      val p1 = pruned.select(col("doc_id"), col("term").as("t1"), col("pos"))
+      val p2 = pruned.select(col("doc_id"), col("term").as("t2"),
+        (col("pos") - 1).as("pos"))
+      p1.join(broadcast(phrases), Seq("t1"))
+        .join(p2, Seq("doc_id", "t2", "pos"))
+        .where(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_occur"))
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+
     // ---- recall audit for the index-served dense side (mirror of the
     // ann_*_recall twins): |served top-20 ∩ exact top-20| / |exact|
     // must clear the 0.7 floor — a deterministic property of the fixed
@@ -281,6 +312,24 @@ object Retrieval {
                ORDER BY rrf DESC, doc_id) AS rank
            FROM fused) t
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // phrase = the query doc's first two tokens; adjacency replayed on
+    // 1-based list positions (only counts cross the engine boundary)
+    "retrieval_phrase" ->
+      s"""WITH toks AS (SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS t FROM documents),
+          posting AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, t
+                      FROM toks),
+          post AS (SELECT doc_id, pos, t[pos] AS term FROM posting),
+          phr AS (SELECT doc_id AS query_id, t[1] AS t1, t[2] AS t2
+                  FROM toks WHERE doc_id % $QueryMod = 0),
+          hits AS (SELECT p.query_id, a.doc_id
+                   FROM phr p
+                   JOIN post a ON a.term = p.t1
+                   JOIN post b ON b.doc_id = a.doc_id
+                     AND b.pos = a.pos + 1 AND b.term = p.t2
+                   WHERE a.doc_id <> p.query_id)
+         SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_occur
+         FROM hits GROUP BY query_id, doc_id ORDER BY query_id, doc_id""",
     // query-point count is SQL, depth is 20, and the 0.7 recall floor
     // is a deterministic property of the fixed trained model on this
     // corpus — the audit row is fully checkable
