@@ -317,6 +317,65 @@ object Multimodal {
     // (real code reads the JPEG/PNG header bytes — header-only, never
     // a full decode); the arithmetic is all integer, so the oracle is
     // bit-exact. Map-side only: no shuffle, no UDF.
+    // ---- acoustic fingerprint near-dup over the DECODED samples —
+    // the audio twin of multimodal_phash_neardup, completing
+    // cross-modality dedup (text: minhash/simhash; embeddings:
+    // semdedup; images: phash; audio: this). 8 energy-envelope bits
+    // (block mean |sample| vs track mean, exact integer
+    // cross-products) concatenated with quantized-mean-energy bits;
+    // same-fingerprint tracks group by a plain hash groupBy. Decoded
+    // through javax.sound.sampled; the oracle recomputes the
+    // fingerprint from the generator's closed form.
+    "multimodal_audio_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      val prints = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 1) // the audio-kind rows of asMedia
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val bytes = syntheticWav(id)
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = in.getFormat
+          val frames = in.getFrameLength.toInt
+          val buf = new Array[Byte](frames * fmt.getFrameSize)
+          var off = 0
+          while (off < buf.length) {
+            val r = in.read(buf, off, buf.length - off)
+            require(r > 0, s"short WAV read for doc $id")
+            off += r
+          }
+          val blkSum = new Array[Long](8)
+          val blkN = new Array[Long](8)
+          var tot = 0L
+          var i = 0
+          while (i < frames) {
+            val v = ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort
+            val a = math.abs(v.toLong)
+            val blk = i * 8 / frames
+            blkSum(blk) += a; blkN(blk) += 1; tot += a
+            i += 1
+          }
+          // duration is part of every practical audio fingerprint
+          // (two tracks of different length are never dups); the
+          // envelope of this synthetic corpus is near-flat, so without
+          // the length bits the print degenerates to ~16 buckets
+          var fp = (frames.toLong << 24) | ((tot / frames / 256L) << 8)
+          var b = 0
+          while (b < 8) {
+            if (blkSum(b) * frames > tot * blkN(b)) fp |= (1L << b)
+            b += 1
+          }
+          (id, fp)
+        })
+        .toDF("doc_id", "fingerprint")
+      val groups = prints.groupBy(col("fingerprint"))
+        .agg(count(lit(1)).as("n"))
+      prints.join(broadcast(groups), "fingerprint")
+        .select(col("doc_id"), col("fingerprint"),
+          (col("n") > 1).cast("int").as("dup"))
+        .orderBy(col("doc_id"))
+    }),
+
     "multimodal_resize_plan" -> ((s, d) => {
       val target = 224
       val media = asMedia(Tables.documents(s, d))
@@ -430,6 +489,34 @@ object Multimodal {
              i -> (doc_id * 7 + i * 13) % 65536 - 32768))
              AS BIGINT) AS sum_samples
          FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""",
+    // sample i = (id*7 + i*13) % 65536 - 32768; 8 abs-energy blocks
+    // via i*8//n, quantized mean energy in the high bits
+    "multimodal_audio_fingerprint" ->
+      """WITH trk AS (
+           SELECT doc_id, CAST(doc_id % 50 + 20 AS BIGINT) AS n
+           FROM documents WHERE doc_id % 3 = 1),
+          smp AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM trk),
+          en AS (SELECT doc_id, n, CAST(i * 8 // n AS INT) AS blk,
+                   abs((doc_id * 7 + i * 13) % 65536 - 32768) AS a
+                 FROM smp),
+          tot AS (SELECT doc_id, sum(a) AS sa, count(*) AS cnt
+                  FROM en GROUP BY doc_id),
+          blks AS (SELECT doc_id, blk, sum(a) AS sb, count(*) AS nb
+                   FROM en GROUP BY doc_id, blk),
+          bits AS (SELECT b.doc_id, b.blk
+                   FROM blks b JOIN tot t USING (doc_id)
+                   WHERE b.sb * t.cnt > t.sa * b.nb),
+          fp AS (SELECT k.doc_id,
+                   COALESCE(sum(CAST(1 AS BIGINT) << bits.blk), 0)
+                     + ((t.sa // t.cnt // 256) << 8)
+                     + (k.n << 24) AS fingerprint
+                 FROM trk k JOIN tot t USING (doc_id)
+                 LEFT JOIN bits ON bits.doc_id = k.doc_id
+                 GROUP BY k.doc_id, t.sa, t.cnt, k.n)
+         SELECT doc_id, CAST(fingerprint AS BIGINT) AS fingerprint,
+           CASE WHEN count(*) OVER (PARTITION BY fingerprint) > 1
+             THEN 1 ELSE 0 END AS dup
+         FROM fp ORDER BY doc_id""",
     "multimodal_resize_plan" ->
       """SELECT doc_id, src_w, src_h,
            CAST(greatest(floor(src_w * 224.0 / greatest(src_w, src_h)), 1)
