@@ -242,32 +242,34 @@ object Curation {
     // and the offsets table broadcasts. Same two-phase prefix sum a
     // 1000-executor shard writer needs.
     "corpus_shards" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val budget = 4096L
-      val buckets = 64
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),
           size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
-      val ext = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
-        .collect().head
-      val (lo, hi) = (ext.getLong(0), ext.getLong(1))
-      val bucketed = docs.withColumn("bk",
-        ((col("doc_id") - lit(lo)) * buckets / lit(hi - lo + 1)).cast("int"))
-      val sums = bucketed.groupBy(col("bk")).agg(sum(col("n_tok")).as("bsum"))
-        .orderBy(col("bk")).collect()
-        .map(r => (r.getInt(0), r.getLong(1)))
-      val offsets = sums.scanLeft((0, 0L, 0L)) { case ((_, _, acc), (bk, bs)) =>
-        (bk, acc, acc + bs)
-      }.drop(1).map { case (bk, off, _) => (bk, off) }
-      import s.implicits._
-      val offDf = offsets.toSeq.toDF("bk", "off")
-      val wb = Window.partitionBy(col("bk")).orderBy(col("doc_id"))
-      bucketed.join(broadcast(offDf), "bk")
-        .withColumn("cumb",
-          col("off") + sum(col("n_tok")).over(wb) - col("n_tok"))
-        .select(col("doc_id"), col("n_tok"),
-          floor(col("cumb") / budget).cast("long").as("shard"))
+      shardByBudget(docs, budget = 4096L, offset = 0L)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- APPEND-STABLE incremental sharding: the production contract
+    // behind corpus_shards. Training shards, once written, are
+    // immutable; a crawl batch arrives append-only (every new doc_id >
+    // every base doc_id), so the base prefix sums are FROZEN — the
+    // increment needs only the base's total token count (one number)
+    // as its offset, never a re-scan or re-shard of the base. The
+    // result must be byte-identical to re-sharding the whole corpus
+    // from scratch, which is exactly what the oracle computes.
+    "corpus_shards_incremental" -> ((s, d) => {
+      val budget = 4096L
+      val cut = 400L // ids < cut are the base snapshot, >= cut the batch
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      val base = shardByBudget(toks.filter(col("doc_id") < cut),
+        budget, offset = 0L)
+      val baseTotal = toks.filter(col("doc_id") < cut)
+        .agg(sum(col("n_tok"))).collect().head.getLong(0)
+      val inc = shardByBudget(toks.filter(col("doc_id") >= cut),
+        budget, offset = baseTotal)
+      base.unionByName(inc).orderBy(col("doc_id"))
     }),
 
     // ---- DSIR-shaped importance weighting: score each doc by how much
@@ -303,6 +305,39 @@ object Curation {
           .as("importance"))
         .orderBy(col("doc_id"))
     }))
+
+  /** The two-phase distributed prefix-sum sharder shared by
+    * `corpus_shards` and its append-only increment: order-aligned
+    * coarse buckets on doc_id, a `buckets`-row sum aggregate cumulated
+    * into exclusive per-bucket offsets driver-side (seeded with
+    * `offset` — the frozen base total in the incremental case), and a
+    * bucket-partitioned window cumsum. Every sort is bucket-sized;
+    * the offsets table broadcasts. */
+  private def shardByBudget(docs: DataFrame, budget: Long,
+      offset: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = 64
+    val ext = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .collect().head
+    val (lo, hi) = (ext.getLong(0), ext.getLong(1))
+    val bucketed = docs.withColumn("bk",
+      ((col("doc_id") - lit(lo)) * buckets / lit(hi - lo + 1)).cast("int"))
+    val sums = bucketed.groupBy(col("bk")).agg(sum(col("n_tok")).as("bsum"))
+      .orderBy(col("bk")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val offsets = sums.scanLeft((0, offset, offset)) {
+      case ((_, _, acc), (bk, bs)) => (bk, acc, acc + bs)
+    }.drop(1).map { case (bk, off, _) => (bk, off) }
+    val s = docs.sparkSession
+    import s.implicits._
+    val offDf = offsets.toSeq.toDF("bk", "off")
+    val wb = Window.partitionBy(col("bk")).orderBy(col("doc_id"))
+    bucketed.join(broadcast(offDf), "bk")
+      .withColumn("cumb",
+        col("off") + sum(col("n_tok")).over(wb) - col("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        floor(col("cumb") / budget).cast("long").as("shard"))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "corpus_report" ->
@@ -401,6 +436,19 @@ object Curation {
     // the plain global-window running sum — the two-phase bucketed
     // prefix sum must assign the identical shards
     "corpus_shards" ->
+      """SELECT doc_id, n_tok, CAST(cumb // 4096 AS BIGINT) AS shard
+         FROM (
+           SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS cumb
+           FROM (
+             SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS n_tok
+             FROM documents) t1) t2
+         ORDER BY doc_id""",
+    // the increment must be INVISIBLE: frozen base + offset-seeded
+    // batch ≡ one from-scratch global running sum over the union
+    "corpus_shards_incremental" ->
       """SELECT doc_id, n_tok, CAST(cumb // 4096 AS BIGINT) AS shard
          FROM (
            SELECT doc_id, n_tok,
