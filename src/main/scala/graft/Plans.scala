@@ -233,6 +233,12 @@ object Plans {
         "only the retrieval_dense_recall audit; fusion joins two " +
         "top-20 lists, bounded by queries x 2k rows at any corpus " +
         "size."),
+    "q35_bucketed_join" ->
+      ("both fact tables are bucketed+sorted on the join key, so the " +
+        "SortMergeJoin reads the bucket layout directly — NO Exchange " +
+        "on either join side (the only exchange is the final tiny " +
+        "groupBy); the bucket write paid the shuffle once, every " +
+        "subsequent orders-lineitem join rides it."),
     "corpus_shards" ->
       ("two-phase distributed prefix sum: the window's partitioning " +
         "column is the order-aligned coarse bucket, so the Sort under " +

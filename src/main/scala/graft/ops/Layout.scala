@@ -131,6 +131,35 @@ object Layout {
         .withColumn("zorder_prunes",
           lit(if (zWorst < lWorst) 1 else 0).cast("int"))
         .orderBy(col("event_id"))
+    }),
+
+    // ---- small-file compaction (the OPTIMIZE bin-packing half of
+    // lakehouse table maintenance; the MOR store has its own in
+    // rdf_store_compact — this is the raw-table twin). A fragmented
+    // ingest layout (64 tiny files, the streaming-sink failure mode)
+    // is rewritten through coalesce — a NARROW dependency, so the
+    // compaction moves bytes without a single shuffle; at 100 TB
+    // that is the difference between an OPTIMIZE that re-shuffles the
+    // table and one that only concatenates partitions. Gates: fewer
+    // files after, content identical (the oracle recomputes the
+    // aggregate from the raw table).
+    "layout_compact_files" -> ((s, d) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-compactf-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(tmp)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      ev.repartition(64).write.parquet(s"$tmp/fragmented")
+      val frag = s.read.parquet(s"$tmp/fragmented")
+      val filesBefore = frag.inputFiles.length
+      frag.coalesce(4).write.parquet(s"$tmp/compacted")
+      val compacted = s.read.parquet(s"$tmp/compacted")
+      val filesAfter = compacted.inputFiles.length
+      compacted.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (floor(sum(col("value")) * 100 + lit(0.5)) / 100).as("sum_value"))
+        .withColumn("files_reduced",
+          lit(if (filesAfter < filesBefore) 1 else 0).cast("int"))
+        .orderBy(col("event_type"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -149,5 +178,12 @@ object Layout {
            1 AS zorder_prunes
          FROM events, box
          WHERE epoch_us(ts) >= tlo AND epoch_us(ts) <= thi
-         ORDER BY event_id""")
+         ORDER BY event_id""",
+    // compaction is content-invisible: the aggregate over the
+    // compacted files must equal the raw table's
+    "layout_compact_files" ->
+      """SELECT event_type, count(*) AS n,
+           floor(sum(value) * 100 + 0.5) / 100 AS sum_value,
+           1 AS files_reduced
+         FROM events GROUP BY event_type ORDER BY event_type""")
 }

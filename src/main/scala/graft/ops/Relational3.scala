@@ -68,6 +68,46 @@ object Relational3 {
         .orderBy(col("label"), col("event_type"))
     }),
 
+    // ---- q35: SHUFFLE-FREE bucketed fact-fact join, driver-visible
+    // (the layout strategy BucketingSpec proves plan-level, now with an
+    // oracle on the result): both fact tables are pre-bucketed + sorted
+    // on the join key into 8 buckets, so the SortMergeJoin consumes the
+    // bucket layout directly — ZERO Exchange on either join side (the
+    // one shuffle left is the final small groupBy). At 100 TB this is
+    // the amortize-once trade: the bucket write pays the shuffle one
+    // time, every subsequent orders⋈lineitem query rides it for free.
+    "q35_bucketed_join" -> ((s, d) => {
+      // stale managed-table dirs survive across JVMs while the
+      // in-memory catalog does not — clean both (BucketingSpec's lesson)
+      Seq("q35_orders_b", "q35_lineitem_b").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(s"spark-warehouse/$t"))
+      }
+      graft.util.Bucketing.writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        "q35_orders_b", "o_orderkey", 8)
+      graft.util.Bucketing.writeBucketed(
+        Tables.lineitem(s, d).select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev")),
+        "q35_lineitem_b", "l_orderkey", 8)
+      // at verification SF the orders side fits a broadcast, which
+      // would bypass (and hide) the bucket layout; at the design-point
+      // SF both sides are fact-sized and broadcast is impossible — the
+      // MERGE hint pins the SortMergeJoin path query-scoped (no session
+      // conf mutation), so the plan exercised IS the 100 TB plan
+      s.table("q35_orders_b").hint("merge")
+        .join(s.table("q35_lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("rev")), 2).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q30_events_funnel" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("event_type"), col("ts"))
@@ -151,6 +191,12 @@ object Relational3 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // the bucket layout is oracle-invisible: same join, same numbers
+    "q35_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q34_skew_salted_join" ->
       """WITH fact AS (
            SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k,
