@@ -409,14 +409,17 @@ final class MergeOnReadStore(val spark: SparkSession, val path: String)
   }
 
   def compact(graph: String, numFiles: Int = 1): Unit = {
-    // Record how far history is being folded BEFORE rewriting: max real
-    // batch id among this graph's deltas = the oldest snapshot that
-    // stays reachable afterwards (readAsOf rejects anything older).
-    // A batch_id-only aggregation — parquet column stats, no row work.
+    // Capture how far history is being folded: max real batch id among
+    // this graph's deltas = the oldest snapshot that stays reachable
+    // afterwards (readAsOf rejects anything older). A batch_id-only
+    // aggregation — parquet column stats, no row work. The horizon is
+    // PERSISTED only after the partition swap succeeds below: if the
+    // rewrite fails midway, still-reachable snapshots stay readable
+    // (the horizon file is consulted only by readAsOf, so writing it
+    // last is safe).
     val maxBatch = readDeltas().where(col("graph") === graph)
       .filter(col("batch_id") =!= MergeOnReadStore.CompactedBatchId)
       .agg(max(col("batch_id"))).collect().head
-    if (!maxBatch.isNullAt(0)) writeHorizon(graph, maxBatch.getLong(0))
     val merged = readGraphs(Seq(graph)).coalesce(numFiles)
       .withColumn("batch_id", lit(MergeOnReadStore.CompactedBatchId))
       .withColumn("op", lit("i"))
@@ -428,6 +431,7 @@ final class MergeOnReadStore(val spark: SparkSession, val path: String)
     val src = new Path(tmp, part)
     if (fs.exists(src)) fs.rename(src, dst)
     fs.delete(tmp, true)
+    if (!maxBatch.isNullAt(0)) writeHorizon(graph, maxBatch.getLong(0))
   }
 }
 

@@ -265,8 +265,9 @@ object Curation {
           size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
       val base = shardByBudget(toks.filter(col("doc_id") < cut),
         budget, offset = 0L)
-      val baseTotal = toks.filter(col("doc_id") < cut)
-        .agg(sum(col("n_tok"))).collect().head.getLong(0)
+      val baseRow = toks.filter(col("doc_id") < cut)
+        .agg(sum(col("n_tok"))).collect().head
+      val baseTotal = if (baseRow.isNullAt(0)) 0L else baseRow.getLong(0)
       val inc = shardByBudget(toks.filter(col("doc_id") >= cut),
         budget, offset = baseTotal)
       base.unionByName(inc).orderBy(col("doc_id"))
@@ -319,6 +320,12 @@ object Curation {
     val buckets = 64
     val ext = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
       .collect().head
+    // Empty input: min/max come back null — return the empty sharding
+    // rather than NPE (the incremental path hits this at tiny SFs
+    // where one side of the snapshot cut has no rows).
+    if (ext.isNullAt(0))
+      return docs.select(col("doc_id"), col("n_tok"))
+        .withColumn("shard", lit(0L)).limit(0)
     val (lo, hi) = (ext.getLong(0), ext.getLong(1))
     val bucketed = docs.withColumn("bk",
       ((col("doc_id") - lit(lo)) * buckets / lit(hi - lo + 1)).cast("int"))

@@ -172,6 +172,11 @@ object GraphAlgos {
       e = next
       rounds += 1
     }
+    // Fail loudly rather than return unconverged (wrong) labels: the
+    // O(log² n) bound is probabilistic over the graph shape, and a
+    // silent cap-hit would hand the caller bogus cluster_reps.
+    require(converged,
+      s"componentsLargeSmallStar: not converged after $rounds rounds")
     val reps = e.select(col("v").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_rep"))
     e.select(col("u").as("doc_id"), col("v").as("cluster_rep"))

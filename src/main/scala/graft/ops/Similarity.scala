@@ -399,13 +399,17 @@ object Similarity {
     // cell-partitioned index in batch; later arrivals then flow through
     // Structured Streaming — spooled as 4 files, 1 file per micro-batch
     // — and each micro-batch is encoded with the FROZEN base model
-    // (same centroids/codebooks, no retraining) and parquet-appended
-    // into the cell layout inside foreachBatch. Exactly-once comes from
-    // the checkpoint (a restart re-delivers no spooled file), and the
-    // frozen model is what makes the append O(batch): nothing keyed by
-    // an old code is rewritten. The final search over the streamed-in
-    // index must equal ann_ivfpq_append's batch-built one — the oracle
-    // IS the same full IVFADC recomputation.
+    // (same centroids/codebooks, no retraining) and written into the
+    // cell layout inside foreachBatch. foreachBatch alone is
+    // at-least-once (a crash between the write and the checkpoint
+    // commit re-delivers the batch), so the sink is made IDEMPOTENT:
+    // each micro-batch overwrites its own deterministic
+    // `ingest_batch=b<id>` subdirectory — a re-delivered batch lands on
+    // the same path with the same bytes, never duplicating vectors.
+    // The frozen model is what makes the append O(batch): nothing
+    // keyed by an old code is rewritten. The final search over the
+    // streamed-in index must equal ann_ivfpq_append's batch-built one
+    // — the oracle IS the same full IVFADC recomputation.
     "stream_ann_ingest" -> ((s, d) => {
       val all = vecsN(s, d)
       val basePred = col("vec_id") % 5 =!= 0
@@ -421,15 +425,17 @@ object Similarity {
           element_at(ivfCellsOf(centroids, keep = 1), 1).cast("int"))
         .select(col("vec_id") +: col("cell") +: pqCodeCols(cb, sd): _*)
       coded(all.filter(basePred))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/index")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/index/ingest_batch=base")
       val late = all.filter(!basePred)
       late.repartition(4).write.parquet(s"$dir/spool")
       val stream = s.readStream.schema(late.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$dir/spool")
       val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           coded(batch)
-            .write.mode("append").partitionBy("cell").parquet(s"$dir/index")
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$dir/index/ingest_batch=b$batchId")
         }
         .option("checkpointLocation", s"$dir/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

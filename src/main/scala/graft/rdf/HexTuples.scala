@@ -51,7 +51,13 @@ object HexTuples {
   def read(spark: SparkSession, path: String,
       defaultGraph: String = Quad.DefaultGraph): Dataset[Quad] = {
     import spark.implicits._
-    val t = from_json(col("value"), ArrayType(StringType))
+    // Fail loudly on malformed lines (module convention): a line that
+    // is not a 6-element JSON array raises with the offending text,
+    // instead of silently becoming an all-null quad.
+    val parsed = from_json(col("value"), ArrayType(StringType))
+    val t = when(parsed.isNotNull && size(parsed) === 6, parsed)
+      .otherwise(raise_error(
+        concat(lit("HexTuples: malformed line: "), col("value"))))
     spark.read.text(path)
       .where(length(trim(col("value"))) > 0)
       .select(t.as("t"))
