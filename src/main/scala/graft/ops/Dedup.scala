@@ -370,8 +370,15 @@ object Dedup {
     labels.select(col("doc_id"), col("lbl").as("cluster_rep"))
   }
 
-  /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes;
-    * bit i of the fingerprint = sign of the +-1 vote sum on bit i).
+  /** 62-bit SimHash over whitespace tokens (bit i of the fingerprint =
+    * sign of the +-1 vote sum on hash bit i). Token hashes are two
+    * independent base-257/263 polynomial hashes mod 2^31-1 packed into
+    * disjoint bit ranges (h1 -> bits 0..30, h2 -> bits 31..61) — pure
+    * integer column expressions, so the DuckDB oracle replays every
+    * fingerprint bit-for-bit (the CMS sketch technique,
+    * [[Sketches.polyHash]]). Hash bits 62-63 are structurally zero;
+    * the 8x8 chunk banding below tolerates that (the top chunk simply
+    * carries 6 live bits) and the hamming threshold is unaffected.
     *
     * The per-bit set-counts are packed 4-per-long into 16 agg buffers
     * (lane g of buffer k counts bit k+16g at bit position 16g) instead
@@ -383,7 +390,9 @@ object Dedup {
   def simhash(documents: DataFrame): DataFrame = {
     val toks = Tables.fanOut(documents)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", Sketches.polyHash(col("tok"))
+        .bitwiseOR(shiftleft(Sketches.polyHash(col("tok"), 263L), 31)))
     val packed = (0 until 16).map { k =>
       val contrib = (0 until 4).map { g =>
         shiftleft(
@@ -491,6 +500,44 @@ object Dedup {
                THEN 'train' ELSE 'held_out' END AS split
         FROM documents d LEFT JOIN reps r ON r.doc_id = d.doc_id
         ORDER BY d.doc_id""",
+    // full bit-for-bit SimHash replay: the same two polynomial token
+    // hashes (base 257/263 mod 2^31-1) packed into 62 bits, the same
+    // majority-vote fingerprint, the same 8x8 chunk banding and
+    // hamming<=6 filter — one wrong fingerprint bit anywhere is a
+    // hash mismatch
+    "dedup_simhash" -> {
+      def poly(base: Int) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+              [CAST(ord(c) AS BIGINT) for c in
+               string_split(trim(regexp_replace(tok, '(.)', ' \\1', 'g')), ' ')]),
+              (acc, x) -> (acc * $base + x) % 2147483647)"""
+      s"""WITH toks AS (
+            SELECT doc_id, ${poly(257)} + 2147483648 * ${poly(263)} AS h
+            FROM (SELECT doc_id,
+                    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                  FROM documents) t
+            WHERE len(tok) > 0),
+          bits AS (
+            SELECT doc_id, i,
+              CASE WHEN 2 * sum((h >> i) & 1) > count(*)
+                   THEN (CAST(1 AS BIGINT) << i)
+                   ELSE CAST(0 AS BIGINT) END AS contrib
+            FROM toks CROSS JOIN (SELECT unnest(range(0, 62)) AS i) ii
+            GROUP BY doc_id, i),
+          fp AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS simhash
+                 FROM bits GROUP BY doc_id),
+          chunks AS (
+            SELECT doc_id, simhash, c,
+              (simhash >> CAST(c * 8 AS INTEGER)) & 255 AS cv
+            FROM fp CROSS JOIN (SELECT unnest(range(0, 8)) AS c) cc),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+              bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM chunks a JOIN chunks b
+              ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+        SELECT i, j, CAST(hamming AS INTEGER) AS hamming
+        FROM cand WHERE hamming <= 6 ORDER BY i, j"""
+    },
     // the exact-pair COUNT comes from SQL; the recall bound is the
     // deterministic sketch property the audit asserts
     "dedup_simhash_recall" ->

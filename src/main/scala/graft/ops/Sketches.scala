@@ -35,13 +35,15 @@ object Sketches {
   private val B = Seq(0L, 7L, 101L, 9973L)
 
   /** Polynomial rolling hash of a token over character codes:
-    * fold(acc -> (acc * 257 + code) mod P). acc < 2^31, so the
-    * intermediate stays below 2^39 — no overflow anywhere. */
-  private[graft] def polyHash(tok: Column): Column =
+    * fold(acc -> (acc * base + code) mod P). acc < 2^31, so the
+    * intermediate stays below 2^41 — no overflow anywhere. The base
+    * parameter yields independent hash functions (SimHash packs two
+    * into one 62-bit fingerprint hash). */
+  private[graft] def polyHash(tok: Column, base: Long = 257L): Column =
     aggregate(
       split(trim(regexp_replace(tok, "(.)", " $1")), " "),
       lit(0L),
-      (acc, c) => (acc * 257 + ascii(c)) % P)
+      (acc, c) => (acc * base + ascii(c)) % P)
 
   /** Bucket of hash `h` in sketch row `j` (affine map mod P mod W). */
   private[graft] def bucket(h: Column, j: Int): Column =

@@ -126,7 +126,10 @@ object TextOps {
     }),
 
     // ---- rolling-hash (winnowing) fingerprint — mapPartitions scalar
-    // work per document; rows-only (hash not reproducible in SQL)
+    // work per document; the polynomial mod 2^61-1 is replayed
+    // bit-for-bit by the DuckDB oracle (HUGEINT arithmetic over
+    // per-window direct hashes — the rolling update is just the fast
+    // evaluation of the same polynomial)
     "text_rolling_fingerprint" -> ((s, d) => {
       import s.implicits._
       Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -328,7 +331,14 @@ object TextOps {
     val M = (1L << 61) - 1
     val B = 257L
     def mulmod(a: Long, b: Long): Long = mulmod61(a, b)
-    if (text.length < k) return Seq(text.hashCode.toLong & Long.MaxValue)
+    // shorter than one window: hash the whole text with the same
+    // polynomial (cross-engine, unlike the String.hashCode it replaced
+    // — the DuckDB oracle replays this branch too)
+    if (text.length < k) {
+      var h = 0L
+      text.foreach(c => h = (mulmod61(h, B) + c) % M)
+      return Seq(h)
+    }
     var pow = 1L
     (1 until k).foreach(_ => pow = mulmod(pow, B))
     var h = 0L
@@ -362,6 +372,33 @@ object TextOps {
            CAST(len(raw) - len(norm) AS BIGINT) AS chars_composed,
            md5(norm) AS norm_md5
          FROM n ORDER BY doc_id""",
+    // direct replay of the winnowing fingerprint: every 8-char window
+    // hashed with the same base-257 polynomial mod 2^61-1 (HUGEINT
+    // keeps the 2^69 intermediate exact; the engine's rolling update
+    // is just the O(1) evaluation of the identical polynomial), then
+    // the 4 smallest distinct window hashes joined with '-'. One wrong
+    // window hash anywhere in any document is a hash mismatch.
+    "text_rolling_fingerprint" ->
+      """WITH codes AS (
+           SELECT doc_id, len(text) AS n,
+             [CAST(ord(text[j]) AS HUGEINT)
+              for j in range(1, len(text) + 1)] AS cs
+           FROM documents),
+         hs AS (
+           SELECT doc_id,
+             CASE WHEN n < 8 THEN
+               [list_reduce(list_prepend(CAST(0 AS HUGEINT), cs),
+                  (acc, x) -> (acc * 257 + x) % 2305843009213693951)]
+             ELSE
+               [list_reduce(list_prepend(CAST(0 AS HUGEINT), cs[i:i+7]),
+                  (acc, x) -> (acc * 257 + x) % 2305843009213693951)
+                for i in range(1, n - 6)]
+             END AS hlist
+           FROM codes)
+         SELECT doc_id,
+           array_to_string(list_sort(list_distinct(hlist))[1:4], '-')
+             AS rolling_fp
+         FROM hs ORDER BY doc_id""",
     // exact-pair count recomputed in SQL; the winnow-collision recall
     // floor is the deterministic sketch property the audit asserts
     "dedup_winnow_recall" ->
