@@ -352,7 +352,18 @@ object Compiler {
         // matching how a remote endpoint evaluates the pattern. The
         // result joins back on shared vars like any sub-group, as one
         // distributed (broadcastable) join.
-        Services.lookup(iri) match {
+        // registry first (the scale path); an unregistered http(s) IRI
+        // degrades to a live federated fetch of the endpoint's dataset,
+        // evaluated with the same local-join plan. SILENT unchanged:
+        // any failure (unreachable host, non-200, bad JSON) = unit table.
+        val svcData = Services.lookup(iri).orElse {
+          if (!iri.startsWith("http://") && !iri.startsWith("https://")) None
+          else if (silent)
+            scala.util.Try(HttpService.fetchQuads(quads.sparkSession, iri))
+              .toOption
+          else Some(HttpService.fetchQuads(quads.sparkSession, iri))
+        }
+        svcData match {
           case Some(svcQuads) =>
             val (innerDf, innerNullable) =
               compileGroupTracked(svcQuads, inner, None, None, None)

@@ -1,0 +1,104 @@
+package graft.sparql
+
+import java.net.URI
+import java.net.URLEncoder
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.Quad
+
+/** Live-HTTP fallback for `SERVICE <http(s)://…>` endpoints that are
+  * not in the [[Services]] registry (SPARQL 1.1 Federated Query §2.4;
+  * the reference itself POSTs queries to a live SPARQL endpoint —
+  * `/root/reference/airflow_files/dags/sparql_update.py:77-106`).
+  *
+  * The client fetches the endpoint's dataset as quads with ONE
+  * results-JSON SELECT (default graph + named graphs via UNION) and
+  * hands them to the compiler exactly like a registered dataset — the
+  * inner group then evaluates as ordinary distributed joins over the
+  * fetched quads, identical planning to the registry path. This is the
+  * right shape for the engine's federation model (registered datasets
+  * remain the scale path; a live endpoint is a convenience edge), and
+  * it deliberately avoids the per-binding request loop a literal
+  * federation client would serialize through the driver.
+  *
+  * Driver-side boundedness: the whole remote dataset lands on the
+  * driver before parallelize. That is inherent to a live SPARQL
+  * endpoint (results documents are single HTTP responses, not
+  * splittable files) — for anything big, register the endpoint's data
+  * as a parquet-backed DataFrame instead.
+  */
+object HttpService {
+
+  /** The one fetch query: default-graph triples tagged with the
+    * reserved default-graph name, plus every named-graph quad. */
+  private[sparql] val FetchQuery =
+    """SELECT ?g ?s ?p ?o WHERE {
+      |  { ?s ?p ?o }
+      |  UNION
+      |  { GRAPH ?g { ?s ?p ?o } }
+      |}""".stripMargin
+
+  private val mapper = new ObjectMapper()
+
+  private def client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(10)).build()
+
+  /** POST `query` form-encoded (SPARQL 1.1 Protocol §2.1.2 — the most
+    * widely accepted operation shape) and return the raw
+    * `application/sparql-results+json` body. Non-200 fails loudly;
+    * SERVICE SILENT catches at the call site. */
+  private[sparql] def fetchResultsJson(
+      endpoint: String, query: String): String = {
+    val body = "query=" + URLEncoder.encode(query, StandardCharsets.UTF_8)
+    val req = HttpRequest.newBuilder(URI.create(endpoint))
+      .timeout(Duration.ofSeconds(60))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .header("Accept", "application/sparql-results+json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new IllegalStateException(
+        s"SERVICE <$endpoint>: HTTP ${resp.statusCode()}")
+    resp.body()
+  }
+
+  /** One results-JSON binding term → the engine's term encoding:
+    * bnodes get the `_:` prefix, xsd:string datatypes normalize to
+    * plain literals (RDF 1.1), language tags pass through. */
+  private def termOf(n: JsonNode): (String, String, String, String) = {
+    val v = n.get("value").asText()
+    n.get("type").asText() match {
+      case "uri" => (v, null, null, Quad.KindIri)
+      case "bnode" => (Quad.BnodePrefix + v, null, null, Quad.KindBnode)
+      case _ => // "literal" | legacy "typed-literal"
+        val dt = Option(n.get("datatype")).map(_.asText())
+          .filter(_ != Quad.xsd.string).orNull
+        val lang = Option(n.get("xml:lang")).map(_.asText()).orNull
+        (v, dt, lang, Quad.KindLiteral)
+    }
+  }
+
+  /** Fetch the endpoint's full dataset as the engine's quad schema. */
+  def fetchQuads(spark: SparkSession, endpoint: String): DataFrame = {
+    val root = mapper.readTree(fetchResultsJson(endpoint, FetchQuery))
+    val rows = root.path("results").path("bindings").elements().asScala
+      .map { b =>
+        val g = Option(b.get("g")).map(_.get("value").asText())
+          .getOrElse(Quad.DefaultGraph)
+        val s = termOf(b.get("s"))._1 // subjects carry kind in the value (_:)
+        val p = b.get("p").get("value").asText()
+        val (o, dt, lang, kind) = termOf(b.get("o"))
+        Quad(g, s, p, o, dt, lang, kind)
+      }.toSeq
+    import spark.implicits._
+    spark.createDataset(rows).toDF()
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Quad
+
+/** SERVICE against a LIVE local SPARQL endpoint (SPARQL 1.1 Federated
+  * Query + Protocol): an unregistered http(s) IRI degrades to a real
+  * results-JSON fetch instead of an error, evaluated with the same
+  * local-join plan as a registered dataset. The reference's own remote
+  * store is exactly such an endpoint (`sparql_update.py:77-106`).
+  */
+class HttpServiceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val ex = "http://ex/"
+
+  private def withServer(f: (HttpServer, Int) => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    try { server.start(); f(server, server.getAddress.getPort) }
+    finally server.stop(0)
+  }
+
+  private def freshEngine(): GraphEngine = {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-httpsvc-${System.nanoTime()}"
+    graft.util.TempDirs.deleteOnExit(dir)
+    val store = new graft.model.GraphStore(spark, dir)
+    store.append(Seq(
+      Quad.lit("http://g/main", ex + "x", ex + "type", "view"),
+      Quad.lit("http://g/main", ex + "y", ex + "type", "error")).toDF())
+    new GraphEngine(store)
+  }
+
+  private val resultsJson =
+    """{"head": {"vars": ["g", "s", "p", "o"]},
+      | "results": {"bindings": [
+      |  {"s": {"type": "uri", "value": "urn:m1"},
+      |   "p": {"type": "uri", "value": "http://ex/etype"},
+      |   "o": {"type": "literal", "value": "view"}},
+      |  {"s": {"type": "uri", "value": "urn:m1"},
+      |   "p": {"type": "uri", "value": "http://ex/stage"},
+      |   "o": {"type": "literal", "value": "browse"}},
+      |  {"s": {"type": "bnode", "value": "b0"},
+      |   "p": {"type": "uri", "value": "http://ex/size"},
+      |   "o": {"type": "literal", "value": "10",
+      |         "datatype": "http://www.w3.org/2001/XMLSchema#integer"}},
+      |  {"s": {"type": "uri", "value": "urn:m2"},
+      |   "p": {"type": "uri", "value": "http://ex/label"},
+      |   "o": {"type": "literal", "value": "hoi", "xml:lang": "nl"}},
+      |  {"g": {"type": "uri", "value": "http://g/other"},
+      |   "s": {"type": "uri", "value": "urn:named"},
+      |   "p": {"type": "uri", "value": "http://ex/etype"},
+      |   "o": {"type": "literal", "value": "hidden"}}
+      | ]}}""".stripMargin
+
+  test("SERVICE <http://…> falls back to a live endpoint fetch and joins") {
+    withServer { (server, port) =>
+      @volatile var posted: String = null
+      @volatile var accept: String = null
+      server.createContext("/sparql", (exch: HttpExchange) => {
+        posted = new String(exch.getRequestBody.readAllBytes(), "UTF-8")
+        accept = exch.getRequestHeaders.getFirst("Accept")
+        val bytes = resultsJson.getBytes("UTF-8")
+        exch.getResponseHeaders.set(
+          "Content-Type", "application/sparql-results+json")
+        exch.sendResponseHeaders(200, bytes.length)
+        exch.getResponseBody.write(bytes); exch.close()
+      })
+      val engine = freshEngine()
+      val got = engine.select(s"""
+        SELECT ?s ?stage FROM <http://g/main>
+        WHERE { ?s <${ex}type> ?t .
+                SERVICE <http://127.0.0.1:$port/sparql> {
+                  ?m <${ex}etype> ?t ; <${ex}stage> ?stage } }""").collect()
+      assert(got.length == 1)
+      assert(got.head.getString(0) == ex + "x")
+      assert(got.head.getString(1) == "browse")
+      // protocol shape: form-encoded POST, results-JSON accept
+      assert(posted != null && posted.startsWith("query="))
+      assert(accept == "application/sparql-results+json")
+      // engine convention (same as the registry path): the WHOLE
+      // fetched dataset is the service's data — named-graph rows
+      // participate in plain inner patterns, with provenance kept in
+      // the graph column
+      val named = engine.select(s"""
+        SELECT ?m WHERE {
+          SERVICE <http://127.0.0.1:$port/sparql> {
+            ?m <${ex}etype> "hidden" } }""").collect()
+      assert(named.length == 1 && named.head.getString(0) == "urn:named")
+      // typed + lang literals and bnode subjects arrive intact
+      val typed = engine.select(s"""
+        SELECT ?m ?v WHERE {
+          SERVICE <http://127.0.0.1:$port/sparql> {
+            ?m <${ex}size> ?v } }""").collect()
+      assert(typed.length == 1 && typed.head.getString(0).startsWith("_:"))
+    }
+  }
+
+  test("SILENT swallows dead endpoints; non-SILENT HTTP errors are loud") {
+    // grab a port, then stop the server: connection refused
+    val deadPort = {
+      val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      val p = s.getAddress.getPort; s.stop(0); p
+    }
+    val engine = freshEngine()
+    val silent = engine.select(s"""
+      SELECT ?s FROM <http://g/main>
+      WHERE { ?s <${ex}type> ?t .
+              SERVICE SILENT <http://127.0.0.1:$deadPort/sparql> {
+                ?m <${ex}etype> ?t } }""").collect()
+    assert(silent.length == 2) // unit table: outer rows survive
+    intercept[Exception] {
+      engine.select(s"""
+        SELECT ?s WHERE {
+          SERVICE <http://127.0.0.1:$deadPort/sparql> {
+            ?s <${ex}p> ?o } }""").collect()
+    }
+    // non-http schemes keep the registry-only error message
+    val e = intercept[IllegalArgumentException] {
+      engine.select(
+        s"SELECT ?s WHERE { SERVICE <urn:svc:nope> { ?s <${ex}p> ?o } }")
+        .collect()
+    }
+    assert(e.getMessage.contains("unregistered SERVICE"))
+  }
+}
