@@ -111,6 +111,29 @@ object RdfOps {
         .orderBy(col("s"), col("p"), col("o_value"))
     }),
 
+    // The SAME reference pipeline on the merge-on-read backend: every
+    // mapping INSERT lands as an O(delta) tombstone/insert batch append
+    // instead of a merge-on-write partition rewrite — the write shape a
+    // 100 TB store needs for a many-step update sequence. The output
+    // graph must be quad-identical (shared oracle); MorStoreSpec pins
+    // engine parity, this makes it driver-visible.
+    "rdf_mapping_pipeline_mor" -> ((s, _) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-kgmor-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
+      val store = graft.queries.Fixtures.ingestAllInto(
+        new graft.model.MergeOnReadStore(s, dir))
+      val p = new graft.pipeline.Pipeline(store)
+      graft.pipeline.ReferenceTexts.loadMappingTexts() match {
+        case Some(texts) => p.runMappingsFromTexts(texts ++ Seq(
+          "add_logo" -> graft.pipeline.ReferenceTexts.tlCompaniesLogoText(),
+          "add_ldap_logo" -> graft.pipeline.ReferenceTexts.ldapLogoText()))
+        case None => p.runMappings()
+      }
+      p.addProvenance("bench-run", "2026-01-01T00:00:00")
+      store.readGraphs(Seq(graft.queries.ReferenceMappings.gOrganizations))
+        .orderBy(col("s"), col("p"), col("o_value"))
+    }),
+
     // Data-scale SPARQL mapping benchmark: flatten one JSON doc per
     // event (3 attributes) into a staging graph, then run a parsed
     // 3-pattern BGP + BIND + INSERT over it — mapping-path throughput
@@ -1569,7 +1592,12 @@ object RdfOps {
     |}
     |""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleBase +
+    // the merge-on-read twin must reproduce the pipeline's constructed
+    // state quad-for-quad — same oracle, different storage backend
+    ("rdf_mapping_pipeline_mor" -> oracleBase("rdf_mapping_pipeline"))
+
+  private val oracleBase: Map[String, String] = Map(
     // constructed-state oracle: the flattener's expected output on the
     // one-document mamDoc fixture (bnode label normalized on both sides)
     "rdf_json_file_source" ->
