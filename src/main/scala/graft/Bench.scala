@@ -124,6 +124,7 @@ object Bench {
         graft.ops.Dedup.clearCaches()
         graft.ops.Similarity.clearCaches()
         graft.ops.SemanticOps.clearCaches()
+        graft.ops.Retrieval.clearCaches()
         spark.catalog.clearCache()
       }
       prevFamily = family(name)

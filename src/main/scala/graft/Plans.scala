@@ -217,13 +217,21 @@ object Plans {
         "between one executor owning 70% of the shuffle and even " +
         "distribution."),
     "retrieval_bm25_topk" ->
-      ("df via groupBy(term)+join, NOT a count-over-term window: the " +
-        "plan shows partial_count before the term exchange (hot " +
-        "stop-terms collapse map-side) and no per-term sort; the " +
-        "df>0.9N stop-term prune lands as a Filter under the " +
-        "query-term join, so everywhere-words never enter the scoring " +
-        "join (RetrievalScaleProbe: capped join rows grow linearly " +
-        "under a planted stop word, uncapped quadratically)."),
+      ("SERVED FROM THE PERSISTED POSTINGS INDEX: the scan reads the " +
+        "term-bucketed parquet layout (bucket partition column in the " +
+        "scan; dynamicpruningexpression on bucket when DPP fires) with " +
+        "tf derived from the positions list; df comes from the summed " +
+        "vocab-sized per-ingest dictionaries, and the df>0.9N " +
+        "stop-term prune now lands on the QUERY side before any " +
+        "postings row is read — everywhere-words never reach the " +
+        "scoring join (RetrievalScaleProbe: capped join rows linear " +
+        "under a planted stop word)."),
+    "retrieval_index_append" ->
+      ("incremental index append: base+batch ingests are separate " +
+        "parquet subtrees (the scan unions ingest= partitions); " +
+        "NOTHING existing is rewritten on append, and serving is " +
+        "byte-identical to a full rebuild (same oracle as " +
+        "retrieval_bm25_topk)."),
     "retrieval_hybrid_rrf" ->
       ("the dense side is SERVED FROM THE PERSISTED IVFADC INDEX: the " +
         "scan reads the cell-partitioned code files with the probe " +

@@ -82,34 +82,102 @@ object Retrieval {
   private def postings(s: SparkSession, d: String): DataFrame =
     postingsOf(Tables.documents(s, d))
 
-  /** (query_id, term) — the distinct first-[[QueryTerms]] tokens of
-    * each query document. */
-  private[ops] def queryTermsOf(docs: DataFrame): DataFrame =
-    docs
-      .filter(col("doc_id") % QueryMod === 0)
-      .select(col("doc_id").as("query_id"),
-        explode(array_distinct(slice(TextOps.tokens(col("text")), 1, QueryTerms)))
-          .as("term"))
+  // ---- persisted positional inverted index ---------------------------
+  // The IVFADC lifecycle applied to sparse retrieval: build once →
+  // parquet → serve many → append. Postings are term-BUCKETED (16
+  // layout buckets via xxhash64 — partitionBy(term) would explode into
+  // |vocab| directories at real scale), so the scoring join carries the
+  // bucket key and Spark's dynamic partition pruning skips every bucket
+  // no query term hashes into.
 
-  private def queryTerms(s: SparkSession, d: String): DataFrame =
-    queryTermsOf(Tables.documents(s, d))
+  private val IndexBuckets = 16
 
-  /** BM25-ranked (query_id, rank, doc_id, score) down to `depth`.
-    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (the always-positive
-    * Robertson/Spärck Jones form); the arithmetic is written in the
-    * exact textual order the oracle uses so both engines fold the same
-    * doubles. */
-  private[ops] def bm25Ranks(s: SparkSession, d: String, depth: Int): DataFrame = {
-    val stats = Tables.documents(s, d)
-      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("dl"))
-      .agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val contrib = postings(s, d)
+  /** Term → layout bucket. Pure LAYOUT detail — bucket ids never cross
+    * the oracle boundary, so a fast non-cross-engine hash is fine. */
+  private def bucketOf(term: Column): Column =
+    pmod(xxhash64(term), lit(IndexBuckets)).cast("int")
+
+  /** Write ONE ingest of the persisted index under `dir`:
+    *  - `postings/ingest=<tag>/bucket=<b>` — (term, doc_id, dl,
+    *    positions) rows; tf is `cardinality(positions)`, so BM25 and
+    *    positional phrase search serve from the SAME table;
+    *  - `terms/ingest=<tag>` — this ingest's (term, df) dictionary;
+    *  - `stats/ingest=<tag>` — this ingest's (n_docs, sum_dl) row.
+    * Append lifecycle (mirrors `ann_ivfpq_append`): a later batch of
+    * DISJOINT doc ids writes its own ingest subdirectories and nothing
+    * existing is rewritten — df and corpus stats are additive over
+    * disjoint doc sets, and the per-ingest dictionaries the read side
+    * sums are vocab-sized, so an append is O(batch) while serving stays
+    * byte-identical to a full rebuild (retrieval_index_append shares
+    * retrieval_bm25_topk's oracle to prove exactly that). */
+  private[ops] def writePostingsIngest(
+      docs: DataFrame, dir: String, tag: String): Unit = {
+    val toks = Tables.fanOut(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+    val postings = toks
+      .select(col("doc_id"), size(col("tk")).as("dl"),
+        posexplode(col("tk")).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(first(col("dl")).as("dl"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("bucket", bucketOf(col("term")))
+    postings.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings/ingest=$tag")
+    postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/terms/ingest=$tag")
+    toks.agg(count(lit(1)).as("n_docs"), sum(size(col("tk"))).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats/ingest=$tag")
+  }
+
+  /** Build-or-reuse the memoized full-corpus index (one per session ×
+    * corpus — the production build-once/serve-many shape; the bench
+    * clears it at the family boundary). */
+  private val postingsIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
+  def clearCaches(): Unit = postingsIndexCache.clear()
+
+  private def postingsIndexDir(s: SparkSession, d: String): String =
+    postingsIndexCache.computeIfAbsent((s, d), { _ =>
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft-postings-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(p)
+      writePostingsIngest(Tables.documents(s, d), p, "base")
+      p
+    })
+
+  /** The served index read: per-ingest dictionaries/stats summed
+    * (vocab-sized aggregations), postings exposed with derived tf. */
+  private def servedIndex(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val stats = s.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"))
+    val dfreq = s.read.parquet(s"$dir/terms")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val post = s.read.parquet(s"$dir/postings")
+    (post, dfreq, stats)
+  }
+
+  /** BM25 ranks SERVED from a persisted index: the scoring join carries
+    * the bucket partition key (dynamic partition pruning skips buckets
+    * with no query term), tf derives from the positions list, and the
+    * quantized arithmetic is the exact expression [[bm25Ranks]] used to
+    * compute inline — served output is byte-identical. */
+  private[ops] def bm25RanksFrom(s: SparkSession, dir: String,
+      docs: DataFrame, depth: Int): DataFrame = {
+    val (post, dfreq, stats) = servedIndex(s, dir)
+    // stop-term prune on the QUERY side, against the vocab-sized
+    // dictionary, BEFORE any postings row is touched: a stop term's
+    // df ≈ N postings rows are never even scanned (strictly better
+    // than the inline pipeline's postings-side prune)
+    val qt = queryTermsOf(docs).withColumn("bucket", bucketOf(col("term")))
+      .join(dfreq, "term")
       .crossJoin(broadcast(stats))
-      // stop-term prune BEFORE the query-term join: the pruned postings
-      // rows never enter the scoring join (see [[StopNum]]/[[StopDen]])
       .where(col("df") * StopDen <= col("n_docs") * StopNum)
-      .join(queryTerms(s, d), "term")
+    val contrib = post
+      .select(col("bucket"), col("term"), col("doc_id"),
+        size(col("positions")).cast("long").as("tf"), col("dl"))
+      .join(qt, Seq("bucket", "term"))
       .where(col("doc_id") =!= col("query_id"))
       .withColumn("ci",
         floor(log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -123,6 +191,29 @@ object Retrieval {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= depth)
   }
+
+  /** (query_id, term) — the distinct first-[[QueryTerms]] tokens of
+    * each query document. */
+  private[ops] def queryTermsOf(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("doc_id") % QueryMod === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(TextOps.tokens(col("text")), 1, QueryTerms)))
+          .as("term"))
+
+  private def queryTerms(s: SparkSession, d: String): DataFrame =
+    queryTermsOf(Tables.documents(s, d))
+
+  /** BM25-ranked (query_id, rank, doc_id, score) down to `depth`,
+    * SERVED FROM THE PERSISTED INDEX ([[postingsIndexDir]] — built once
+    * per session × corpus, reused by every retrieval query).
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (the always-positive
+    * Robertson/Spärck Jones form); the arithmetic is written in the
+    * exact textual order the oracle uses so both engines fold the same
+    * doubles — the oracle is unchanged from the rebuilt-per-run
+    * pipeline this replaced. */
+  private[ops] def bm25Ranks(s: SparkSession, d: String, depth: Int): DataFrame =
+    bm25RanksFrom(s, postingsIndexDir(s, d), Tables.documents(s, d), depth)
 
   /** Dense ranks for the same query ids over `embeddings` (vec_id ≡
     * doc_id in this corpus), down to `depth` — SERVED FROM THE PERSISTED
@@ -204,15 +295,20 @@ object Retrieval {
     // table, and never doc × query.
     "retrieval_phrase" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val posting = docs.select(col("doc_id"),
-        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
+      val dir = postingsIndexDir(s, d)
       val phrases = docs.filter(col("doc_id") % QueryMod === 0)
         .select(col("doc_id").as("query_id"),
           element_at(TextOps.tokens(col("text")), 1).as("t1"),
           element_at(TextOps.tokens(col("text")), 2).as("t2"))
       val vocab = phrases.select(col("t1").as("term"))
         .union(phrases.select(col("t2"))).distinct()
-      val pruned = posting.join(broadcast(vocab), Seq("term"), "left_semi")
+        .withColumn("bucket", bucketOf(col("term")))
+      // positions come off the SAME persisted postings the BM25 side
+      // serves from — bucket-pruned scan, then explode to (pos, term)
+      val pruned = s.read.parquet(s"$dir/postings")
+        .join(broadcast(vocab), Seq("bucket", "term"), "left_semi")
+        .select(col("doc_id"), col("term"),
+          explode(col("positions")).as("pos"))
       val p1 = pruned.select(col("doc_id"), col("term").as("t1"), col("pos"))
       val p2 = pruned.select(col("doc_id"), col("term").as("t2"),
         (col("pos") - 1).as("pos"))
@@ -222,6 +318,24 @@ object Retrieval {
         .groupBy(col("query_id"), col("doc_id"))
         .agg(count(lit(1)).cast("long").as("n_occur"))
         .orderBy(col("query_id"), col("doc_id"))
+    }),
+
+    // ---- incremental index append (the `ann_ivfpq_append` of sparse
+    // retrieval): base corpus indexed, a disjoint batch appended as its
+    // own ingest — postings, dictionary, and stats subdirectories only,
+    // nothing rewritten — then BM25 served over base+batch. Shares
+    // retrieval_bm25_topk's oracle verbatim: append-then-serve must be
+    // byte-identical to single-shot full-corpus indexing.
+    "retrieval_index_append" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-postapp-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
+      val docs = Tables.documents(s, d)
+      writePostingsIngest(docs.filter(col("doc_id") % 5 =!= 4), dir, "base")
+      writePostingsIngest(docs.filter(col("doc_id") % 5 === 4), dir, "b1")
+      bm25RanksFrom(s, dir, docs, depth = 5)
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("doc_id"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // ---- recall audit for the index-served dense side (mirror of the
@@ -280,11 +394,16 @@ object Retrieval {
               ORDER BY score DESC, doc_id) AS rank
           FROM bmscored QUALIFY rank <= $depth)"""
 
+  private val bm25TopkSql =
+    s"""WITH ${bm25Ctes(5)}
+       SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+       FROM bmranked ORDER BY query_id, rank"""
+
   def oracleSql: Map[String, String] = Map(
-    "retrieval_bm25_topk" ->
-      s"""WITH ${bm25Ctes(5)}
-         SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
-         FROM bmranked ORDER BY query_id, rank""",
+    "retrieval_bm25_topk" -> bm25TopkSql,
+    // append-then-serve ≡ full rebuild: the incremental index must
+    // reproduce the single-shot BM25 answer bit-for-bit
+    "retrieval_index_append" -> bm25TopkSql,
     // dense side = the full IVFADC index search recomputed end-to-end
     // (training CTEs included — the same block ann_ivfpq_bucketed's
     // oracle runs), ranked exactly as the served pipeline ranks
