@@ -158,6 +158,53 @@ object Retrieval {
     (post, dfreq, stats)
   }
 
+  /** Adjacent (t1, t2) candidate bigrams for the phrase search,
+    * ADJACENCY-FIRST: the two vocab-pruned positional streams join on
+    * (doc_id, pos) — each document position holds exactly one token, so
+    * the join emits at most one candidate per t1-vocab occurrence:
+    * volume is LINEAR in the pruned postings no matter how skewed the
+    * query phrases are. The tempting phrase-side-first shapes are both
+    * quadratic under a hot first term: joining postings to per-QUERY
+    * phrases on t1 costs df(t1) × queries, and even deduping to
+    * distinct phrases still costs df(t1) × |phrases starting t1| —
+    * both products grow with N² when "the …" dominates (and the BM25
+    * stop-term prune cannot apply: adjacency needs those positions).
+    * PhraseSkewProbe plants exactly that hot first term and measures
+    * the three volumes. */
+  private[ops] def phraseBigramCandidates(s: SparkSession, dir: String,
+      phrases: DataFrame): DataFrame = {
+    def pruned(terms: DataFrame) =
+      s.read.parquet(s"$dir/postings")
+        .join(broadcast(terms.distinct()
+          .withColumn("bucket", bucketOf(col("term")))),
+          Seq("bucket", "term"), "left_semi")
+        .select(col("doc_id"), col("term"),
+          explode(col("positions")).as("pos"))
+    val p1 = pruned(phrases.select(col("t1").as("term")))
+      .select(col("doc_id"), col("term").as("t1"), col("pos"))
+    val p2 = pruned(phrases.select(col("t2").as("term")))
+      .select(col("doc_id"), col("term").as("t2"),
+        (col("pos") - 1).as("pos"))
+    p1.join(p2, Seq("doc_id", "pos"))
+  }
+
+  /** Positional phrase hits (query_id, doc_id, n_occur) served from the
+    * persisted index (positions come off the SAME bucket-pruned
+    * postings the BM25 side reads): adjacency-first candidates, then
+    * the distinct-phrase filter, then per-(phrase, doc) occurrence
+    * counts fan back out to queries only at OUTPUT size. */
+  private[ops] def phraseHitsFrom(s: SparkSession, dir: String,
+      phrases: DataFrame): DataFrame = {
+    val ph = phrases.select(col("t1"), col("t2")).distinct()
+    val occ = phraseBigramCandidates(s, dir, phrases)
+      .join(broadcast(ph), Seq("t1", "t2"))
+      .groupBy(col("t1"), col("t2"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_occur"))
+    occ.join(broadcast(phrases), Seq("t1", "t2"))
+      .where(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("n_occur"))
+  }
+
   /** BM25 ranks SERVED from a persisted index: the scoring join carries
     * the bucket partition key (dynamic partition pruning skips buckets
     * with no query term), tf derives from the positions list, and the
@@ -295,28 +342,11 @@ object Retrieval {
     // table, and never doc × query.
     "retrieval_phrase" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val dir = postingsIndexDir(s, d)
       val phrases = docs.filter(col("doc_id") % QueryMod === 0)
         .select(col("doc_id").as("query_id"),
           element_at(TextOps.tokens(col("text")), 1).as("t1"),
           element_at(TextOps.tokens(col("text")), 2).as("t2"))
-      val vocab = phrases.select(col("t1").as("term"))
-        .union(phrases.select(col("t2"))).distinct()
-        .withColumn("bucket", bucketOf(col("term")))
-      // positions come off the SAME persisted postings the BM25 side
-      // serves from — bucket-pruned scan, then explode to (pos, term)
-      val pruned = s.read.parquet(s"$dir/postings")
-        .join(broadcast(vocab), Seq("bucket", "term"), "left_semi")
-        .select(col("doc_id"), col("term"),
-          explode(col("positions")).as("pos"))
-      val p1 = pruned.select(col("doc_id"), col("term").as("t1"), col("pos"))
-      val p2 = pruned.select(col("doc_id"), col("term").as("t2"),
-        (col("pos") - 1).as("pos"))
-      p1.join(broadcast(phrases), Seq("t1"))
-        .join(p2, Seq("doc_id", "t2", "pos"))
-        .where(col("doc_id") =!= col("query_id"))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(count(lit(1)).cast("long").as("n_occur"))
+      phraseHitsFrom(s, postingsIndexDir(s, d), phrases)
         .orderBy(col("query_id"), col("doc_id"))
     }),
 

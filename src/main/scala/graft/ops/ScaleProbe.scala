@@ -673,3 +673,85 @@ object InferenceScaleProbe {
     spark.stop()
   }
 }
+
+/** Hot-phrase skew probe (BENCH_NOTES): plants a corpus-wide hot FIRST
+  * term — every doc starts `hbq x<id>`, so every query's phrase starts
+  * with a term whose df equals the whole corpus, the worst case the
+  * BM25 stop-term prune cannot help with (adjacency needs those
+  * positions). Measures, at 1×/3×/10× corpus:
+  *  - `naive_rows`   = df(t1)·queries — the per-query-join shape;
+  *  - `dedup_rows`   = df(t1)·|distinct phrases| — the distinct-phrase
+  *    join shape (still quadratic here: t2 differs per query);
+  *  - `adjacency_rows` — the SHIPPED adjacency-first candidate count,
+  *    which must stay linear in the corpus;
+  * plus the end-to-end served phrase search time and output rows.
+  */
+object PhraseSkewProbe {
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+      else Seq(1, 3, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName("graft-phrase-skew-probe")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+
+    factors.foreach { f =>
+      // disjoint id ranges per copy; per-copy token suffix keeps the
+      // body vocabularies apart; the planted prefix `hbq x<id>` makes
+      // t1 corpus-hot (df = N) while every query's t2 stays unique
+      val docs = (0 until f).map { rep =>
+        docs0.select(
+          (col("doc_id") + lit(rep * 1000000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1zz$rep").as("text"))
+      }.reduce(_ unionAll _)
+        .select(col("doc_id"),
+          concat(lit("hbq x"), col("doc_id"), lit(" "), col("text")).as("text"))
+
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-phskew-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
+      Retrieval.writePostingsIngest(docs, dir, "base")
+
+      val phrases = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          element_at(TextOps.tokens(col("text")), 1).as("t1"),
+          element_at(TextOps.tokens(col("text")), 2).as("t2"))
+      val nQ = phrases.count()
+      val nPhrases = phrases.select(col("t1"), col("t2")).distinct().count()
+
+      // df(t1) summed over the queries' first terms = occurrences the
+      // t1 side of any phrase join must carry
+      val hot = spark.read.parquet(s"$dir/postings")
+        .select(col("term"), size(col("positions")).cast("long").as("tf"))
+        .where(col("term") === "hbq")
+        .agg(coalesce(sum(col("tf")), lit(0L))).collect().head.getLong(0)
+      val naive = hot * nQ
+      val dedup = hot * nPhrases
+
+      val adjacency = Retrieval
+        .phraseBigramCandidates(spark, dir, phrases).count()
+      val ((nOut), tSec) = timed {
+        Retrieval.phraseHitsFrom(spark, dir, phrases).count()
+      }
+
+      println(s"""{"factor":$f,"docs":${docs.count()},"queries":$nQ,""" +
+        s""""hot_df":$hot,"naive_rows":$naive,"dedup_rows":$dedup,""" +
+        s""""adjacency_rows":$adjacency,"out_rows":$nOut,""" +
+        s""""phrase_sec":${f"$tSec%.2f"}}""")
+    }
+    spark.stop()
+  }
+}
