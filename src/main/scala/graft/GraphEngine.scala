@@ -30,9 +30,36 @@ final class GraphEngine(val store: QuadStore) {
     this
   }
 
-  /** Run plan construction with this engine's stats in planner scope. */
+  /** Run plan construction with this engine's stats in planner scope —
+    * and, over a [[graft.model.DictQuadStore]], a fresh per-operation
+    * [[graft.sparql.DictContext]] (fresh so the constant-id memo can
+    * never go stale across an update sequence that grows the dict). */
   private def planned[T](f: => T): T =
-    graft.sparql.CardEstimator.current.withValue(stats)(f)
+    graft.sparql.CardEstimator.current.withValue(stats) {
+      dictStore match {
+        case Some(d) => graft.sparql.DictContext.current.withValue(
+          Some(new graft.sparql.DictContext(d.readDict())))(f)
+        case None => f
+      }
+    }
+
+  // ---- dict mode (id-space execution): when the store is dictionary-
+  // encoded, the compiler receives `(graph, s_id, p_id, o_id)` frames —
+  // pattern blocks then join longs and decode at the block boundary
+  // (Compiler.compilePatternEncoded / joinPatternBatch) — instead of the
+  // decoded string view, whose joins would shuffle full IRI text.
+  private def dictStore: Option[graft.model.DictQuadStore] = store match {
+    case d: graft.model.DictQuadStore => Some(d)
+    case _ => None
+  }
+
+  /** Whole-store scope in the compiler's preferred representation. */
+  private def scopeAll(): DataFrame =
+    dictStore.map(_.readEncoded()).getOrElse(store.read())
+
+  /** Graph-restricted scope, partition-pruned on either backend. */
+  private def scopeGraphs(graphs: Seq[String]): DataFrame =
+    dictStore.map(_.readGraphsEncoded(graphs)).getOrElse(store.readGraphs(graphs))
 
   /** Execute a SPARQL update *request* (§3.1): one or more operations
     * (INSERT..WHERE / INSERT DATA / DELETE..WHERE / DELETE DATA /
@@ -56,18 +83,21 @@ final class GraphEngine(val store: QuadStore) {
           namedScope(q.usingGraphs, q.usingNamed)), Some(Seq(q.targetGraph)))
       case DeleteData(quads) => store.deleteData(quads)
       case ModifyWhere(delG, insG, using, where, delT, insT, usingNamed) =>
-        // ONE binding evaluation feeds both templates; materialize it
-        // BEFORE mutating so both see the pre-update state (§3.1.3)
+        // ONE binding evaluation feeds both templates, materialized
+        // BEFORE mutating so both see the pre-update state (§3.1.3).
+        // localCheckpoint — not persist — because the lineage must be
+        // CUT, not just cached: the insert step's store write triggers
+        // Spark's refreshByPath, which re-caches any dependent persisted
+        // plan by RE-EXECUTING it — against file listings the delete
+        // step already rewrote (a crash on the dict store, whose
+        // dictionary append refreshes mid-op; silent post-state reads
+        // on any backend if the cache ever dropped a partition).
         val b = Compiler.bindingsOf(where, whereDefault(delG, using),
-          namedScope(using, usingNamed))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          b.count()
-          store.deleteQuads(Compiler.instantiateTemplate(b, delT, delG),
-            Some(Seq(delG)))
-          store.appendDistinct(Compiler.instantiateTemplate(b, insT, insG),
-            Some(Seq(insG)))
-        } finally { b.unpersist(blocking = false); () }
+          namedScope(using, usingNamed)).localCheckpoint()
+        store.deleteQuads(Compiler.instantiateTemplate(b, delT, delG),
+          Some(Seq(delG)))
+        store.appendDistinct(Compiler.instantiateTemplate(b, insT, insG),
+          Some(Seq(insG)))
       case QuadModifyWhere(delT, insT, using, where, usingNamed) =>
         // variable/mixed-graph templates: one pre-state binding
         // evaluation feeds both templates (§3.1.3, same as ModifyWhere);
@@ -75,17 +105,14 @@ final class GraphEngine(val store: QuadStore) {
         // own graph scope (a bounded distinct over the instantiated
         // batch). Empty USING scopes like SELECT: the whole store.
         val scoped =
-          if (using.isEmpty) store.read() else store.readGraphs(using)
+          if (using.isEmpty) scopeAll() else scopeGraphs(using)
+        // localCheckpoint for the same lineage-cut reason as ModifyWhere
         val b = Compiler.bindingsOf(where, scoped,
-          namedScope(using, usingNamed))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          b.count()
-          if (delT.nonEmpty)
-            store.deleteQuads(Compiler.instantiateQuads(b, delT))
-          if (insT.nonEmpty)
-            store.appendDistinct(Compiler.instantiateQuads(b, insT))
-        } finally { b.unpersist(blocking = false); () }
+          namedScope(using, usingNamed)).localCheckpoint()
+        if (delT.nonEmpty)
+          store.deleteQuads(Compiler.instantiateQuads(b, delT))
+        if (insT.nonEmpty)
+          store.appendDistinct(Compiler.instantiateQuads(b, insT))
       case ClearGraphOp(g, _) => store.clearGraph(g)
       case DropGraphOp(g, _) => store.dropGraph(g)
       // §3.2.2-3: scope resolves against the store's CURRENT graph list
@@ -166,8 +193,8 @@ final class GraphEngine(val store: QuadStore) {
   def select(text: String, name: String = "select"): DataFrame = planned {
     val q = SparqlParser.parseSelect(text, name)
     val scoped =
-      if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) store.read()
-      else store.readGraphs(q.fromGraphs)
+      if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) scopeAll()
+      else scopeGraphs(q.fromGraphs)
     Compiler.runSelect(q, scoped, namedScope(q.fromGraphs, q.fromNamed))
   }
 
@@ -176,8 +203,8 @@ final class GraphEngine(val store: QuadStore) {
   def selectTerms(text: String, name: String = "select"): DataFrame = planned {
     val q = SparqlParser.parseSelect(text, name)
     val scoped =
-      if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) store.read()
-      else store.readGraphs(q.fromGraphs)
+      if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) scopeAll()
+      else scopeGraphs(q.fromGraphs)
     Compiler.runSelectTerms(q, scoped, namedScope(q.fromGraphs, q.fromNamed))
   }
 
@@ -233,7 +260,7 @@ final class GraphEngine(val store: QuadStore) {
     * dataset — the WITH graph (or the unnamed default graph), never an
     * empty scope. */
   private def whereDefault(target: String, using: Seq[String]): DataFrame =
-    store.readGraphs(if (using.nonEmpty) using else Seq(target))
+    scopeGraphs(if (using.nonEmpty) using else Seq(target))
 
   /** Named-graph scope for GRAPH patterns. No dataset declared at all →
     * the whole graph store (§3.1.3: a WITH-only update still sees every
@@ -242,17 +269,17 @@ final class GraphEngine(val store: QuadStore) {
     * empty named set. */
   private def namedScope(fromGraphs: Seq[String],
       fromNamed: Seq[String]): Option[DataFrame] =
-    if (fromGraphs.isEmpty && fromNamed.isEmpty) Some(store.read())
-    else if (fromNamed.nonEmpty) Some(store.readGraphs(fromNamed))
-    else Some(store.read().where(org.apache.spark.sql.functions.lit(false)))
+    if (fromGraphs.isEmpty && fromNamed.isEmpty) Some(scopeAll())
+    else if (fromNamed.nonEmpty) Some(scopeGraphs(fromNamed))
+    else Some(scopeAll().where(org.apache.spark.sql.functions.lit(false)))
 
   /** Execute a SPARQL ASK: true iff any solution exists (short-
     * circuiting LIMIT 1 under the hood). */
   def ask(text: String, name: String = "ask"): Boolean = planned {
     val q = SparqlParser.parseAsk(text, name)
     val scoped =
-      if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) store.read()
-      else store.readGraphs(q.fromGraphs)
+      if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) scopeAll()
+      else scopeGraphs(q.fromGraphs)
     Compiler.runAsk(q, scoped, namedScope(q.fromGraphs, q.fromNamed))
   }
 
@@ -263,8 +290,8 @@ final class GraphEngine(val store: QuadStore) {
       targetGraph: String = "urn:graft:construct"): DataFrame = planned {
     val q = SparqlParser.parseConstruct(text, name)
     val scoped =
-      if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) store.read()
-      else store.readGraphs(q.fromGraphs)
+      if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) scopeAll()
+      else scopeGraphs(q.fromGraphs)
     Compiler.runConstruct(q, scoped, targetGraph,
       namedScope(q.fromGraphs, q.fromNamed))
   }
@@ -273,6 +300,9 @@ final class GraphEngine(val store: QuadStore) {
     * (own triples + bounded blank-node closure) as a quad DataFrame. */
   def describe(text: String, name: String = "describe"): DataFrame = planned {
     val q = SparqlParser.parseDescribe(text, name)
+    // DESCRIBE stays on the decoded view: its bounded bnode-closure walk
+    // reads o_kind/o_value and RETURNS quad rows, so the string frame is
+    // the natural representation (result-sized work either way)
     val scoped =
       if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) store.read()
       else store.readGraphs(q.fromGraphs)
@@ -283,7 +313,7 @@ final class GraphEngine(val store: QuadStore) {
     * produce, without writing (for inspection / testing). */
   def preview(text: String, name: String = "preview"): DataFrame = planned {
     SparqlParser.parse(text, name) match {
-      case InsertWhere(q) => Compiler.run(q, store.readGraphs(q.usingGraphs),
+      case InsertWhere(q) => Compiler.run(q, scopeGraphs(q.usingGraphs),
         namedScope(q.usingGraphs, q.usingNamed))
       case other => throw new IllegalArgumentException(
         s"preview requires INSERT..WHERE, got $other")

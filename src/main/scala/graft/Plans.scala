@@ -59,6 +59,20 @@ object Plans {
         "(PartitionFilters on graph=), the BGP self-join keys on the " +
         "subject, and ORDER BY ?etype ?uid LIMIT 100 collapses to " +
         "TakeOrderedAndProject."),
+    "rdf_dict_sparql" ->
+      ("ID-SPACE ENGINE MODE (round 10): the same SPARQL text over the " +
+        "dict-encoded store. Look for (a) the encoded scans reading " +
+        "ReadSchema struct<s_id:bigint,p_id:bigint,o_id:bigint> with " +
+        "PushedFilters EqualTo(p_id,<const>)/EqualTo(o_id,<const>) — " +
+        "query constants became one plan-time dictionary lookup each; " +
+        "(b) every BGP exchange hashpartitioning on a bigint id column " +
+        "(8-byte shuffle rows where the string engine moves 50–200-byte " +
+        "IRIs — DictShuffleProbe measured the 1.6–3.3× shuffle-byte " +
+        "win); (c) the dictionary decode joins sitting at the pattern-" +
+        "block boundary — ABOVE every BGP exchange, so they are block-" +
+        "result-sized and no term string enters an intermediate join " +
+        "shuffle; the EXISTS semi-join and the aggregation run over the " +
+        "decoded bindings above them."),
     "text_chunk_overlap" ->
       ("context-window chunking is map-side: scan → Generate explode of " +
         "the per-row start sequence → slice/hash projection — no " +

@@ -46,6 +46,18 @@ object TermDictionary {
   private def objTermOf(quads: DataFrame): Column =
     objTerm(col("o_value"), col("o_type"), col("o_lang"), col("o_kind"))
 
+  /** Driver-side twin of [[objTerm]] for QUERY CONSTANTS: the canonical
+    * dictionary key of one literal, computed in Scala so a compiled
+    * pattern can look up its constant's id without a Column round-trip.
+    * Must stay escape-for-escape identical to the Column version — the
+    * DictEncodingSpec pins the two against each other. */
+  def literalKey(value: String, dt: String, lang: String): String = {
+    val esc = value.replace("\\", "\\\\").replace("\"", "\\\"")
+    val d = if (dt != null) "^^<" + dt + ">" else ""
+    val l = if (lang != null) "@" + lang else ""
+    "\"" + esc + "\"" + d + l
+  }
+
   /** Build the dictionary: every distinct term in any s/p/o slot →
     * dense 0-based id in global sorted order.
     *

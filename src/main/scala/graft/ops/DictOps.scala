@@ -82,6 +82,32 @@ object DictOps {
         .select(col("user_term")).orderBy("user_term")
       dict.unpersist(blocking = false)
       out
+    }),
+
+    // The dict demo family promoted to an ENGINE MODE (VERDICT r9 #1):
+    // the same SPARQL text the string backends run, executed over a
+    // persisted [[graft.model.DictQuadStore]] — the parser→compiler
+    // surface unchanged, but every pattern-block join carries longs
+    // (Compiler.compilePatternEncoded) and variables decode once at the
+    // block boundary. This query exercises the id-space star join ×2,
+    // an EXISTS semi-join, grouping, and decode-on-projection; the
+    // DictStoreSpec parity battery pins the rest of the surface.
+    "rdf_dict_sparql" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-dictkv-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
+      val store = new graft.model.DictQuadStore(s, dir)
+      store.appendDistinct(eventQuads(s, d))
+      val engine = new graft.GraphEngine(store)
+      engine.select("""
+        PREFIX p: <http://ex/p/>
+        SELECT ?u (COUNT(?e) AS ?n_purchases)
+        WHERE {
+          ?e p:type "purchase" ;
+             p:user ?u .
+          FILTER EXISTS { ?e2 p:type "error" ; p:user ?u }
+        }
+        GROUP BY ?u
+        ORDER BY ?u""")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -146,5 +172,14 @@ object DictOps {
            INTERSECT
            SELECT 'http://ex/u/' || CAST(user_id AS VARCHAR)
            FROM events WHERE event_type = 'error') t
-         ORDER BY user_term""")
+         ORDER BY user_term""",
+    "rdf_dict_sparql" ->
+      """SELECT 'http://ex/u/' || CAST(user_id AS VARCHAR) AS u,
+           count(*) AS n_purchases
+         FROM events
+         WHERE event_type = 'purchase'
+           AND user_id IN (SELECT user_id FROM events
+                           WHERE event_type = 'error')
+         GROUP BY 1
+         ORDER BY u""")
 }

@@ -52,11 +52,18 @@ object Compiler {
 
   // ------------------------------------------------------------ patterns
 
+  /** Dict mode marker: [[graft.model.DictQuadStore]] hands the engine
+    * `(graph, s_id, p_id, o_id)` frames; the compiler sniffs the schema
+    * and switches the pattern block into id space. */
+  private def isEncoded(quads: DataFrame): Boolean =
+    quads.columns.contains("s_id")
+
   /** One triple pattern → DataFrame with a term-struct column per var.
     * `graphVar`: inside `GRAPH ?g {}` every pattern also binds ?g from
     * the quad's graph column, so shared-var joins stay graph-aligned. */
   private[sparql] def compilePattern(quads: DataFrame, tp: TriplePattern,
       graphVar: Option[String] = None): DataFrame = {
+    if (isEncoded(quads)) return compilePatternEncoded(quads, tp, graphVar)
     var df = quads
     // constant filters (these reach the parquet scan as pushed predicates)
     tp.s match {
@@ -92,6 +99,68 @@ object Compiler {
         .map(w => w.head === w.last).reduce(_ && _))
     }
     df.select(pairs.distinctBy(_._1).map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Id-space triple pattern (Q1, dict mode): constants become one
+    * dictionary lookup at PLAN time (bounded by the query text, memoized
+    * in [[DictContext]]) and then filter the encoded scan on a LONG —
+    * pushed to parquet like any scalar predicate, with 8-byte row-group
+    * stats instead of strings. A constant the dictionary has never seen
+    * matches nothing (`lit(false)` — the scan short-circuits). Variables
+    * project as long id columns under their var names; the pattern-block
+    * join in [[compileGroupTracked]] then shuffles only longs, and the
+    * block decodes once when it completes. Term identity is id equality
+    * by construction: the canonical dictionary key bakes kind, datatype
+    * and language into the term string, so the string path's
+    * `o_kind === ... && o_value === ... && o_type <=> ...` collapses to
+    * one `o_id === const`. */
+  private def compilePatternEncoded(quads: DataFrame, tp: TriplePattern,
+      graphVar: Option[String]): DataFrame = {
+    val ctx = DictContext.required
+    var df = quads
+    def constFilter(c: Column, n: Node): Unit =
+      DictContext.keyOf(n).foreach { key =>
+        df = ctx.idOf(key) match {
+          case Some(id) => df.where(c === id)
+          case None => df.where(lit(false))
+        }
+      }
+    tp.s match {
+      case L(_, _, _) => throw new IllegalArgumentException("literal subject")
+      case n => constFilter(col("s_id"), n)
+    }
+    tp.p match {
+      case L(_, _, _) => throw new IllegalArgumentException("literal predicate")
+      case n => constFilter(col("p_id"), n)
+    }
+    constFilter(col("o_id"), tp.o)
+    val idPairs: Seq[(String, Column)] = Seq(
+      tp.s -> col("s_id"), tp.p -> col("p_id"), tp.o -> col("o_id")
+    ).collect { case (V(n), c) => (n, c) }
+    // same-var-twice (?x p ?x): id equality — longs, not structs
+    idPairs.groupBy(_._1).values.filter(_.size > 1).foreach { dup =>
+      df = df.where(dup.map(_._2).sliding(2)
+        .map(w => w.head === w.last).reduce(_ && _))
+    }
+    graphVar match {
+      case Some(g) if idPairs.exists(_._1 == g) =>
+        // `GRAPH ?g { ?g ... }`: ?g is bound by a pattern slot AND the
+        // graph column. Decode the slot's id binding (this one pattern
+        // only) so it can equal the graph's term struct; sibling
+        // patterns bind ?g as a struct too, so block joins stay aligned.
+        val others = idPairs.filter(_._1 != g).distinctBy(_._1)
+        val slot = idPairs.find(_._1 == g).get._2
+        val tmp = df.select(others.map { case (n, c) => c.as(n) } ++
+          Seq(slot.as(g), col("graph").as("_gname")): _*)
+        ctx.decode(tmp, Seq(g))
+          .where(col(g) === iriTerm(col("_gname")))
+          .drop("_gname")
+      case Some(g) =>
+        df.select(idPairs.distinctBy(_._1).map { case (n, c) => c.as(n) } :+
+          iriTerm(col("graph")).as(g): _*)
+      case None =>
+        df.select(idPairs.distinctBy(_._1).map { case (n, c) => c.as(n) }: _*)
+    }
   }
 
   /** Selectivity rank: lower = more selective = join earlier. */
@@ -211,6 +280,16 @@ object Compiler {
 
     def joinPatternBatch(batch: Seq[TriplePattern]): Unit = {
       if (batch.isEmpty) return
+      val encoded = isEncoded(quads)
+      // Id-space block (dict mode): with NO outer bindings the whole
+      // batch — i.e. the BGP, the shuffle-dominant shape (Q2) — joins
+      // over long ids and decodes ONCE when the block completes, so no
+      // term string enters an intermediate shuffle. A batch that joins
+      // into existing term-struct bindings (post-OPTIONAL/BIND tails)
+      // decodes each pattern slice first instead: its constants still
+      // filter the encoded scan by id, but the join keys must align
+      // with the struct-space accumulator.
+      val idBlock = encoded && acc.isEmpty
       // static shape rank, unless a CardEstimator is in planner scope
       // (GraphEngine.withCardinalityStats) — then data-driven estimates
       // pick the order ([[CardEstimator]]; orderOf mirrors this loop)
@@ -238,10 +317,21 @@ object Compiler {
           case (V(v), I(p)) => starPreds(v) = starPreds(v) + p
           case _ => ()
         }
-        acc = Some(joinStep(acc, nullable, compilePattern(quads, tp, graphVar), Set.empty))
+        val pat0 = compilePattern(quads, tp, graphVar)
+        val pat = if (encoded && !idBlock)
+          DictContext.required.decodeBlock(pat0, slotCounts(Seq(tp)))
+          else pat0
+        acc = Some(joinStep(acc, nullable, pat, Set.empty))
         // an (inner) join against a pattern leaves its vars bound
         nullable --= tp.vars
       }
+      // decode-on-projection: the block's id-bound vars become term
+      // structs here, in one dictionary join per variable — result-
+      // sized work, never intermediate-sized — and vars the usage
+      // analysis proves dead after this block (pure join glue) are
+      // DROPPED instead, skipping their decode join entirely
+      if (idBlock)
+        acc = acc.map(DictContext.required.decodeBlock(_, slotCounts(batch)))
     }
 
     var patternBatch = Vector.empty[TriplePattern]
@@ -558,8 +648,18 @@ object Compiler {
           // Per graph when ?g is in scope: each graph contributes its
           // own terms, and constants pair with every graph in scope.
           val gTermSel = graphVar.map(_ => iriTerm(col("graph")).as("_g")).toSeq
-          val subjTerms = quads.select(gTermSel :+ subjectTerm(col("s")).as("_t"): _*)
-          val objTerms = quads.select(gTermSel :+ objectTerm().as("_t"): _*)
+          val termDomain: DataFrame =
+            if (isEncoded(quads)) {
+              // dict mode: dedup the (graph, id) domain in id space —
+              // corpus-sized work over longs — and decode the survivors
+              val ids = quads.select(gTermSel :+ col("s_id").as("_t_id"): _*)
+                .unionAll(quads.select(gTermSel :+ col("o_id").as("_t_id"): _*))
+                .dropDuplicates()
+              DictContext.required.decode(ids, Seq("_t_id"))
+                .withColumnRenamed("_t_id", "_t")
+            } else
+              quads.select(gTermSel :+ subjectTerm(col("s")).as("_t"): _*)
+                .unionAll(quads.select(gTermSel :+ objectTerm().as("_t"): _*))
           val constHost = graphVar match {
             case Some(_) => quads.select(iriTerm(col("graph")).as("_g")).dropDuplicates()
             case None => unitRow(quads)
@@ -570,7 +670,7 @@ object Compiler {
               Option(dt).map(lit).getOrElse(nullStr),
               Option(lang).map(lit).getOrElse(nullStr)).as("_t"): _*)
           }
-          val domain = constTerms.foldLeft(subjTerms.unionAll(objTerms))(_ unionAll _)
+          val domain = constTerms.foldLeft(termDomain)(_ unionAll _)
             .dropDuplicates()
           closure = closure
             .unionAll(domain.select(gKey ++ Seq(col("_t").as("_src"),
@@ -641,6 +741,17 @@ object Compiler {
     }
     flush()
     (acc.getOrElse(unitRow(quads)), nullable)
+  }
+
+  /** Pattern-slot occurrences per variable within one batch — the unit
+    * [[DictContext.VarUsage]] counts in, for the dead-var check. */
+  private def slotCounts(batch: Seq[TriplePattern]): Map[String, Int] = {
+    val m = scala.collection.mutable.Map.empty[String, Int]
+    batch.foreach(tp => Seq(tp.s, tp.p, tp.o).foreach {
+      case V(n) => m(n) = m.getOrElse(n, 0) + 1
+      case _ => ()
+    })
+    m.toMap
   }
 
   /** A FILTER constraint that is (possibly negated) EXISTS. */
@@ -1006,8 +1117,34 @@ object Compiler {
 
   /** Run a mapping query against the USING-scoped quads, returning the
     * quads its template produces (not yet merged into a store). */
+  /** Per-operation dict-mode prep (no-op in string mode): batch the
+    * query's constant-id lookups — one filtered dict scan for the whole
+    * WHERE tree instead of a tiny job per constant — and run the
+    * variable-usage analysis that lets pattern-block flushes drop dead
+    * join-glue vars instead of decoding them. `needs` = the variables
+    * the operation's output consumes; None = keep everything (callers
+    * that instantiate templates the compiler can't see). Usage is set
+    * by the FIRST entry point only, so a subquery compiled mid-group
+    * never overwrites the whole-operation analysis. */
+  private def prepare(g: Group, needs: Option[Set[String]]): Unit =
+    DictContext.current.value.foreach { ctx =>
+      ctx.preload(DictContext.constantTerms(g))
+      ctx.setUsageIfUnset(needs.flatMap(n => DictContext.usageOf(g, n)))
+    }
+
+  /** [[prepare]] for a SELECT: wrapping the query as a subselect lets
+    * [[DictContext.usageOf]]'s own clause walker collect projection/
+    * group/order/having needs (and bail to keep-everything on `*`). */
+  private def prepareSelect(q: SelectQuery): Unit =
+    DictContext.current.value.foreach { ctx =>
+      ctx.preload(DictContext.constantTerms(q.where))
+      ctx.setUsageIfUnset(
+        DictContext.usageOf(Group(Seq(SubSelectE(q))), Set.empty))
+    }
+
   def run(query: MappingQuery, scopedQuads: DataFrame,
       namedQuads: Option[DataFrame] = None): DataFrame = {
+    prepare(query.where, Some(query.template.flatMap(_.vars).toSet))
     val bindings = compileGroup(scopedQuads, query.where, None, namedQuads)
     instantiate(bindings, query.template, query.targetGraph)
   }
@@ -1015,8 +1152,10 @@ object Compiler {
   /** The WHERE group's binding table (for callers that instantiate more
     * than one template from one evaluation — DELETE/INSERT WHERE). */
   def bindingsOf(where: Group, scopedQuads: DataFrame,
-      namedQuads: Option[DataFrame] = None): DataFrame =
+      namedQuads: Option[DataFrame] = None): DataFrame = {
+    prepare(where, None) // templates invisible here — keep every var
     compileGroup(scopedQuads, where, None, namedQuads)
+  }
 
   /** Public face of [[instantiate]] for multi-template updates. */
   def instantiateTemplate(bindings: DataFrame, template: Seq[TriplePattern],
@@ -1091,6 +1230,7 @@ object Compiler {
         query0.copy(where = Group(query0.where.elems :+ v))
       case _ => query0
     }
+    prepareSelect(query)
     val bindings = compileGroup(scopedQuads, query.where, None, namedQuads)
     // A query is GROUPED when it has projected aggregates, a GROUP BY, or
     // a HAVING (the latter two force grouping even with zero projected
@@ -1186,6 +1326,7 @@ object Compiler {
     * MAX/SAMPLE → plain literal of the lexical form). */
   private def compileSubSelect(query: SelectQuery, quads: DataFrame,
       namedQuads: Option[DataFrame] = None): DataFrame = {
+    prepareSelect(query)
     val bindings = compileGroup(quads, query.where, None, namedQuads)
     var out: DataFrame =
       if (query.aggs.isEmpty && query.groupBy.isEmpty && query.having.isEmpty) {
@@ -1336,16 +1477,20 @@ object Compiler {
   /** ASK: does any solution exist. LIMIT 1 keeps the scan short-
     * circuiting — Spark stops producing once one row is collected. */
   def runAsk(query: AskQuery, scopedQuads: DataFrame,
-      namedQuads: Option[DataFrame] = None): Boolean =
+      namedQuads: Option[DataFrame] = None): Boolean = {
+    prepare(query.where, Some(Set.empty)) // existence only — every var is glue
     compileGroup(scopedQuads, query.where, None, namedQuads)
       .limit(1).count() > 0
+  }
 
   /** CONSTRUCT: instantiate the template per solution; emitted quads
     * carry `targetGraph` (CONSTRUCT results are a graph value, not a
     * store write — callers pick the name). */
   def runConstruct(query: ConstructQuery, scopedQuads: DataFrame,
       targetGraph: String,
-      namedQuads: Option[DataFrame] = None): DataFrame =
+      namedQuads: Option[DataFrame] = None): DataFrame = {
+    prepare(query.where, Some(query.template.flatMap(_.vars).toSet))
     instantiate(compileGroup(scopedQuads, query.where, None, namedQuads),
       query.template, targetGraph)
+  }
 }
