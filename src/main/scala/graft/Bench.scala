@@ -80,7 +80,10 @@ object Bench {
       // constructed-state lifecycle demos (multi-op request, CLEAR
       // scopes): ~20 store-write jobs over literal quads — pure fixed
       // cost, zero SF-dependence
-      "rdf_sparql_update_seq", "rdf_clear_scopes", "rdf_sparql_quad_template")
+      "rdf_sparql_update_seq", "rdf_clear_scopes", "rdf_sparql_quad_template",
+      // the fixture pipeline's backend twins share its rationale: the
+      // same 16 constant-size mapping ops per run, zero SF-dependence
+      "rdf_mapping_pipeline_mor", "rdf_mapping_pipeline_dict")
     // JVM/codegen warmup (untimed): classload Catalyst + janino + parquet
     // reader, broadcast-join, window, and vector-kernel paths so the
     // first timed query doesn't pay one-time costs.

@@ -146,12 +146,15 @@ final class GraphEngine(val store: QuadStore) {
         // statement's own graph label unless INTO GRAPH overrides;
         // triple-scoped formats land wholesale in the target graph
         if (path.endsWith(".nq") || path.endsWith(".trig") ||
-          path.endsWith(".jsonld") || path.endsWith(".json-ld")) {
+          path.endsWith(".jsonld") || path.endsWith(".json-ld") ||
+          path.endsWith(".trix")) {
           val quads0 =
             if (path.endsWith(".nq"))
               graft.rdf.NTriples.readQuads(store.spark, path, g)
             else if (path.endsWith(".trig"))
               graft.rdf.Turtle.readTrig(store.spark, path, g)
+            else if (path.endsWith(".trix"))
+              graft.rdf.TriX.read(store.spark, path, g)
             else graft.rdf.JsonLd.read(store.spark, path, g)
           val quads = graph match {
             case Some(target) => quads0.toDF()

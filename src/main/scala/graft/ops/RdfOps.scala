@@ -134,6 +134,30 @@ object RdfOps {
         .orderBy(col("s"), col("p"), col("o_value"))
     }),
 
+    // The SAME reference pipeline on the DICT-ENCODED backend (round
+    // 10): the verbatim 16-mapping run — parse, compile, BGP joins,
+    // OPTIONALs, BINDs, set-semantics merges — executes entirely in id
+    // space (pattern joins over longs, constants as plan-time
+    // dictionary lookups, decode at block boundaries), proving the
+    // engine MODE carries the reference's real workload, not just the
+    // parity battery. Output graph quad-identical — shared oracle.
+    "rdf_mapping_pipeline_dict" -> ((s, _) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-kgdict-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
+      val store = graft.queries.Fixtures.ingestAllInto(
+        new graft.model.DictQuadStore(s, dir))
+      val p = new graft.pipeline.Pipeline(store)
+      graft.pipeline.ReferenceTexts.loadMappingTexts() match {
+        case Some(texts) => p.runMappingsFromTexts(texts ++ Seq(
+          "add_logo" -> graft.pipeline.ReferenceTexts.tlCompaniesLogoText(),
+          "add_ldap_logo" -> graft.pipeline.ReferenceTexts.ldapLogoText()))
+        case None => p.runMappings()
+      }
+      p.addProvenance("bench-run", "2026-01-01T00:00:00")
+      store.readGraphs(Seq(graft.queries.ReferenceMappings.gOrganizations))
+        .orderBy(col("s"), col("p"), col("o_value"))
+    }),
+
     // Data-scale SPARQL mapping benchmark: flatten one JSON doc per
     // event (3 attributes) into a staging graph, then run a parsed
     // 3-pattern BGP + BIND + INSERT over it — mapping-path throughput
@@ -1595,7 +1619,9 @@ object RdfOps {
   def oracleSql: Map[String, String] = oracleBase +
     // the merge-on-read twin must reproduce the pipeline's constructed
     // state quad-for-quad — same oracle, different storage backend
-    ("rdf_mapping_pipeline_mor" -> oracleBase("rdf_mapping_pipeline"))
+    ("rdf_mapping_pipeline_mor" -> oracleBase("rdf_mapping_pipeline")) +
+    // …and so must the dict-encoded id-space backend (round 10)
+    ("rdf_mapping_pipeline_dict" -> oracleBase("rdf_mapping_pipeline"))
 
   private val oracleBase: Map[String, String] = Map(
     // constructed-state oracle: the flattener's expected output on the

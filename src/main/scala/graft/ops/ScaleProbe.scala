@@ -755,3 +755,102 @@ object PhraseSkewProbe {
     spark.stop()
   }
 }
+
+/** Round-10 probe: the id-space claim measured at the ENGINE level, not
+  * the demo level — the SAME SPARQL text runs through GraphEngine over
+  * the string-space [[graft.model.GraphStore]] and the dict-encoded
+  * [[graft.model.DictQuadStore]], both persisted on disk, and the
+  * query's shuffle-write bytes are compared per replication factor.
+  * This is the DictShuffleProbe experiment after VERDICT r9 #1: the
+  * encoding is no longer hand-written — the compiler's encoded-pattern
+  * path produces it from the parsed query. Expect the dict engine's
+  * query bytes flat-to-N× lower (BGP exchanges carry 8-byte ids; only
+  * the projected variable decodes), with the one-time ingest paying the
+  * dictionary build. Prints one JSON line per factor; summarized in
+  * BENCH_NOTES.md.
+  */
+object DictEngineProbe {
+
+  private final class ShuffleBytes
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
+  private def measured[T](spark: SparkSession)(f: => T): (T, Long, Double) = {
+    val l = new ShuffleBytes
+    spark.sparkContext.addSparkListener(l)
+    val t0 = System.nanoTime()
+    val r = f
+    val sec = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(1500)
+    spark.sparkContext.removeSparkListener(l)
+    (r, l.bytes.get, sec)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+      else Seq(1, 3, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName("graft-dict-engine-probe")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ev0 = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
+    val sparql = """
+      PREFIX p: <http://ex/p/>
+      SELECT DISTINCT ?u WHERE {
+        ?e1 p:type "purchase" ; p:user ?u .
+        ?e2 p:type "error" ;    p:user ?u .
+      }"""
+
+    factors.foreach { f =>
+      val ev = (0 until f).map(r =>
+        ev0.withColumn("event_id", col("event_id") + lit(r * 1000000000L)))
+        .reduce(_ unionAll _)
+      val g = lit(graft.model.Quad.DefaultGraph).as("graph")
+      val subj = concat(lit("http://ex/ev/"), col("event_id")).as("s")
+      val nullS = lit(null).cast("string")
+      val quads = ev.select(g, subj, lit("http://ex/p/type").as("p"),
+          col("event_type").as("o_value"), nullS.as("o_type"),
+          nullS.as("o_lang"), lit("literal").as("o_kind"))
+        .unionByName(ev.select(g, subj, lit("http://ex/p/user").as("p"),
+          concat(lit("http://ex/u/"), col("user_id")).as("o_value"),
+          nullS.as("o_type"), nullS.as("o_lang"), lit("iri").as("o_kind")))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-dep-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(base)
+
+      val strStore = new graft.model.GraphStore(spark, s"$base/str")
+      val (_, strIngestB, strIngestS) =
+        measured(spark)(strStore.append(quads))
+      val dictStore = new graft.model.DictQuadStore(spark, s"$base/dict")
+      val (_, dictIngestB, dictIngestS) =
+        measured(spark)(dictStore.appendDistinct(quads))
+
+      val strEng = new graft.GraphEngine(strStore)
+      val dictEng = new graft.GraphEngine(dictStore)
+      val (nStr, strB, strS) = measured(spark)(strEng.select(sparql).count())
+      val (nDict, dictB, dictS) = measured(spark)(dictEng.select(sparql).count())
+      require(nStr == nDict, s"string=$nStr dict=$nDict must agree")
+
+      println(s"""{"factor":$f,"result_rows":$nStr,""" +
+        s""""string_query_shuffle_bytes":$strB,"dict_query_shuffle_bytes":$dictB,""" +
+        s""""query_ratio":${
+          if (dictB > 0) f"${strB.toDouble / dictB}%.2f" else "null"},""" +
+        f""""string_query_sec":$strS%.2f,"dict_query_sec":$dictS%.2f,""" +
+        s""""string_ingest_shuffle_bytes":$strIngestB,""" +
+        s""""dict_ingest_shuffle_bytes":$dictIngestB,""" +
+        f""""string_ingest_sec":$strIngestS%.2f,"dict_ingest_sec":$dictIngestS%.2f}""")
+    }
+    spark.stop()
+  }
+}

@@ -11,10 +11,11 @@ import graft.model.Quad
   *
   * Formats by extension: `.nt` (N-Triples), `.nq` (N-Quads), `.ttl` /
   * `.n3` (Turtle), `.trig` (TriG), `.rdf` / `.xml` / `.owl` (RDF/XML),
-  * `.jsonld` / `.json-ld` (JSON-LD), `.hext` (HexTuples NDJSON).
-  * Quad-scoped formats (N-Quads, TriG, JSON-LD, HexTuples) carry each
-  * statement's graph; triple-scoped ones read into `defaultGraph` and
-  * drop the graph column on write.
+  * `.jsonld` / `.json-ld` (JSON-LD), `.hext` (HexTuples NDJSON),
+  * `.trix` (TriX).
+  * Quad-scoped formats (N-Quads, TriG, JSON-LD, HexTuples, TriX) carry
+  * each statement's graph; triple-scoped ones read into `defaultGraph`
+  * and drop the graph column on write.
   * Unknown extensions fail loudly — silent misparses are worse.
   */
 object RdfIO {
@@ -31,6 +32,7 @@ object RdfIO {
     case "rdf" | "xml" | "owl" => RdfXml.read(spark, path, defaultGraph)
     case "jsonld" | "json-ld" => JsonLd.read(spark, path, defaultGraph)
     case "hext" => HexTuples.read(spark, path, defaultGraph)
+    case "trix" => TriX.read(spark, path, defaultGraph)
     case other => throw new IllegalArgumentException(
       s"unknown RDF extension '.$other' for $path")
   }
@@ -43,6 +45,7 @@ object RdfIO {
     case "rdf" | "xml" | "owl" => RdfXml.write(quads, path)
     case "jsonld" | "json-ld" => JsonLd.write(quads, path)
     case "hext" => HexTuples.write(quads, path)
+    case "trix" => TriX.write(quads, path)
     case other => throw new IllegalArgumentException(
       s"unknown RDF extension '.$other' for $path")
   }
