@@ -999,6 +999,35 @@ object RdfOps {
         ORDER BY ?x""")
     }),
 
+    // The SAME seeded `+` closure in ID SPACE (round 10): on the dict
+    // backend every BFS round's frontier and edge frames carry 8-byte
+    // dictionary ids (DictStoreSpec pins the long-typed checkpoints);
+    // the constant seed is one plan-time id lookup and only the
+    // projected endpoint decodes. Shares rdf_sparql_path_closure's
+    // oracle — the mode must be observably invisible.
+    "rdf_dict_path" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-dclos-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
+      val g = "http://ex/chain"
+      val store = new graft.model.DictQuadStore(s, dir)
+      store.appendDistinct(Tables.nation(s, d)
+        .filter(col("n_nationkey") < 24)
+        .select(
+          lit(g).as("graph"),
+          concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+          lit("next").as("p"),
+          concat(lit("nation:"), (col("n_nationkey") + 1).cast("string")).as("o_value"),
+          lit(null).cast("string").as("o_type"),
+          lit(null).cast("string").as("o_lang"),
+          lit("iri").as("o_kind")))
+      val engine = new graft.GraphEngine(store)
+      engine.select(s"""
+        SELECT ?x
+        FROM <$g>
+        WHERE { <nation:0> <next>+ ?x }
+        ORDER BY ?x""")
+    }),
+
     // Var-var closure SEEDED by a sibling pattern (round 8): ?s is
     // bound by the <tag> pattern before the `+` closure compiles, so
     // the compiler runs the multi-source seeded BFS from that binding
@@ -2184,6 +2213,11 @@ ORDER BY s, p, o_value""",
            JOIN region ON r_regionkey = n_regionkey
          ORDER BY c, rn""",
     "rdf_sparql_path_closure" ->
+      """SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS x
+         FROM nation WHERE n_nationkey > 0
+         ORDER BY x""",
+    // id-space twin: same chain, same reachable set
+    "rdf_dict_path" ->
       """SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS x
          FROM nation WHERE n_nationkey > 0
          ORDER BY x""",

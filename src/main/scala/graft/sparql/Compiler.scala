@@ -273,7 +273,11 @@ object Compiler {
       // the GRAPH-pattern dataset (§13.2): None = same as `quads`
       // (whole-store default); Some = the FROM NAMED scope, possibly
       // empty when the query declared FROM without FROM NAMED
-      namedQuads: Option[DataFrame] = None): (DataFrame, Set[String]) = {
+      namedQuads: Option[DataFrame] = None,
+      // dict mode: vars the CALLER wants kept as raw id longs across
+      // the flush decode (ClosureE's edge endpoints — the BFS then
+      // iterates over 8-byte ids and decodes once at the end)
+      idVars: Set[String] = Set.empty): (DataFrame, Set[String]) = {
 
     var acc: Option[DataFrame] = outer.map(_._1)
     var nullable: Set[String] = outer.map(_._2).getOrElse(Set.empty)
@@ -319,7 +323,7 @@ object Compiler {
         }
         val pat0 = compilePattern(quads, tp, graphVar)
         val pat = if (encoded && !idBlock)
-          DictContext.required.decodeBlock(pat0, slotCounts(Seq(tp)))
+          DictContext.required.decodeBlock(pat0, slotCounts(Seq(tp)), idVars)
           else pat0
         acc = Some(joinStep(acc, nullable, pat, Set.empty))
         // an (inner) join against a pattern leaves its vars bound
@@ -331,7 +335,8 @@ object Compiler {
       // analysis proves dead after this block (pure join glue) are
       // DROPPED instead, skipping their decode join entirely
       if (idBlock)
-        acc = acc.map(DictContext.required.decodeBlock(_, slotCounts(batch)))
+        acc = acc.map(
+          DictContext.required.decodeBlock(_, slotCounts(batch), idVars))
     }
 
     var patternBatch = Vector.empty[TriplePattern]
@@ -497,12 +502,41 @@ object Compiler {
         // and constrained by the path like by any other pattern.
         val gSel = graphVar.map(g => col(g).as("_g")).toSeq
         val gKey = graphVar.map(_ => col("_g")).toSeq
+        // ID-SPACE CLOSURE (dict mode): when the edge endpoints are
+        // touched by nothing but pattern slots (the overwhelmingly
+        // common desugared-path shape), keep them as raw dictionary
+        // ids — every BFS/doubling round then shuffles 8-byte longs
+        // instead of 4-string term structs, and the closure decodes
+        // ONCE at its result boundary like any pattern block. Falls
+        // back to term structs whenever ids can't carry the semantics:
+        // an expression referencing an endpoint, an endpoint bound
+        // under OPTIONAL/UNION inside the edge group (flushed to
+        // structs there), ?g doubling as an endpoint, or a zero-length
+        // path whose CONSTANT endpoint the dictionary has never seen
+        // (no id can represent it in the identity pairs).
+        val encoded = isEncoded(quads)
+        val dictCtx = if (encoded) Some(DictContext.required) else None
+        val evFree = encoded && DictContext.usageOf(edgeGroup, Set.empty)
+          .exists(u => !u.usedOutsidePatterns(v1) && !u.usedOutsidePatterns(v2))
+        val rawPairs = compileGroupTracked(quads, edgeGroup, None, graphVar,
+          namedQuads, if (evFree) Set(v1, v2) else Set.empty)._1
+        def nodeId(n: Node): Option[Option[Long]] =
+          DictContext.keyOf(n).map(k => dictCtx.get.idOf(k))
+        val idSpace = evFree &&
+          Seq(v1, v2).forall(n => rawPairs.schema(n).dataType ==
+            org.apache.spark.sql.types.LongType) &&
+          !graphVar.exists(g => Seq(sN, oN).contains(V(g))) &&
+          !(minHops == 0 && Seq(sN, oN).exists(n =>
+            nodeId(n).exists(_.isEmpty)))
         // one-hop edge pairs from the desugared inner path; checkpointed
         // so the iterative plan below stays flat (lineage pitfall)
-        val edgePairs = compileGroupTracked(quads, edgeGroup, None, graphVar,
-          namedQuads)._1
-          .select(gSel ++ Seq(col(v1).as("_src"), col(v2).as("_dst")): _*)
-          .dropDuplicates().localCheckpoint()
+        val edgePairs = {
+          val proj = rawPairs
+            .select(gSel ++ Seq(col(v1).as("_src"), col(v2).as("_dst")): _*)
+          // struct path over a dict store: decode any id endpoints
+          (if (encoded && !idSpace) dictCtx.get.decode(proj) else proj)
+            .dropDuplicates().localCheckpoint()
+        }
         // Reachability strategy by endpoint shape:
         //  - constant endpoint → SEEDED BFS: only the seed's reachable
         //    set is materialized, and every round joins a FRONTIER
@@ -517,6 +551,11 @@ object Compiler {
         // (Both bounds are pragmatic envelopes of the spec's unbounded
         // semantics.) maxHops == 1 (`?`) needs no iteration at all.
         def seedTerm(node: Node): Option[Column] = node match {
+          case _ if idSpace =>
+            // a constant the dictionary lacks gets the impossible id -1
+            // (real ids are >= 0) — the seeded BFS correctly yields the
+            // empty reachable set
+            nodeId(node).map(id => lit(id.getOrElse(-1L)))
           case I(iri) => Some(iriTerm(lit(iri)))
           case L(value, dt, lang) => Some(litTerm(lit(value),
             Option(dt).map(lit).getOrElse(nullStr),
@@ -606,9 +645,15 @@ object Compiler {
                   if (fwd) edgePairs
                   else edgePairs.select(gKey ++ Seq(col("_dst").as("_src"),
                     col("_src").as("_dst")): _*)
-                val seeds = a.select(graphVar.map(g => col(g).as("_g")).toSeq
+                val seeds0 = a.select(graphVar.map(g => col(g).as("_g")).toSeq
                   :+ col(nm).as("_src"): _*)
-                  .dropDuplicates().localCheckpoint()
+                  .dropDuplicates()
+                // id-space: the sibling binding is a decoded struct —
+                // cross back (one result-sized dictionary join; a term
+                // the store never saw seeds nothing, same as having no
+                // matching edge)
+                val seeds = (if (idSpace) dictCtx.get.encodeTerm(seeds0, "_src")
+                  else seeds0).localCheckpoint()
                 val reach = bfsExpand(
                   seeds.join(step, gJoin :+ "_src")
                     .select(gKey ++ Seq(col("_src").as("_origin"),
@@ -649,9 +694,14 @@ object Compiler {
           // own terms, and constants pair with every graph in scope.
           val gTermSel = graphVar.map(_ => iriTerm(col("graph")).as("_g")).toSeq
           val termDomain: DataFrame =
-            if (isEncoded(quads)) {
-              // dict mode: dedup the (graph, id) domain in id space —
-              // corpus-sized work over longs — and decode the survivors
+            if (idSpace)
+              // stay in id space end to end — the distinct runs over
+              // (graph, long) and the identity pairs carry 8-byte ids
+              quads.select(gTermSel :+ col("s_id").as("_t"): _*)
+                .unionAll(quads.select(gTermSel :+ col("o_id").as("_t"): _*))
+            else if (isEncoded(quads)) {
+              // dict store but struct-path closure: dedup the (graph,
+              // id) domain in id space and decode the survivors
               val ids = quads.select(gTermSel :+ col("s_id").as("_t_id"): _*)
                 .unionAll(quads.select(gTermSel :+ col("o_id").as("_t_id"): _*))
                 .dropDuplicates()
@@ -664,12 +714,16 @@ object Compiler {
             case Some(_) => quads.select(iriTerm(col("graph")).as("_g")).dropDuplicates()
             case None => unitRow(quads)
           }
-          val constTerms = Seq(sN, oN).collect {
-            case I(iri) => constHost.select(gKey :+ iriTerm(lit(iri)).as("_t"): _*)
-            case L(value, dt, lang) => constHost.select(gKey :+ litTerm(lit(value),
-              Option(dt).map(lit).getOrElse(nullStr),
-              Option(lang).map(lit).getOrElse(nullStr)).as("_t"): _*)
-          }
+          val constTerms =
+            if (idSpace) Seq(sN, oN).flatMap(n => nodeId(n).map(id =>
+              // ids exist — the idSpace guard required them under */{0,n}
+              constHost.select(gKey :+ lit(id.get).as("_t"): _*)))
+            else Seq(sN, oN).collect {
+              case I(iri) => constHost.select(gKey :+ iriTerm(lit(iri)).as("_t"): _*)
+              case L(value, dt, lang) => constHost.select(gKey :+ litTerm(lit(value),
+                Option(dt).map(lit).getOrElse(nullStr),
+                Option(lang).map(lit).getOrElse(nullStr)).as("_t"): _*)
+            }
           val domain = constTerms.foldLeft(termDomain)(_ unionAll _)
             .dropDuplicates()
           closure = closure
@@ -679,18 +733,28 @@ object Compiler {
         }
         var res = closure
         val outCols = Vector.newBuilder[(String, Column)]
+        // constant-endpoint constraint: in id space one long equality
+        // (full term identity by construction); -1 = absent from the
+        // dictionary = matches nothing
+        def idConstraint(c: Column, n: Node): Column =
+          c === lit(nodeId(n).get.getOrElse(-1L))
         sN match {
           case V(name) => outCols += name -> col("_src")
-          case I(iri) => res = res.where(col("_src").getField("v") === iri)
+          case I(iri) =>
+            res = if (idSpace) res.where(idConstraint(col("_src"), sN))
+              else res.where(col("_src").getField("v") === iri)
           case L(_, _, _) => throw new IllegalArgumentException("literal path subject")
         }
         oN match {
           case V(name) => outCols += name -> col("_dst")
-          case I(iri) => res = res.where(col("_dst").getField("v") === iri)
+          case I(iri) =>
+            res = if (idSpace) res.where(idConstraint(col("_dst"), oN))
+              else res.where(col("_dst").getField("v") === iri)
           case L(value, dt, lang) =>
-            res = res.where(col("_dst") <=> litTerm(lit(value),
-              Option(dt).map(lit).getOrElse(nullStr),
-              Option(lang).map(lit).getOrElse(nullStr)))
+            res = if (idSpace) res.where(idConstraint(col("_dst"), oN))
+              else res.where(col("_dst") <=> litTerm(lit(value),
+                Option(dt).map(lit).getOrElse(nullStr),
+                Option(lang).map(lit).getOrElse(nullStr)))
         }
         graphVar.foreach(g => outCols += g -> col("_g"))
         val colsAll = outCols.result()
@@ -703,9 +767,13 @@ object Compiler {
             case _ =>
           }
         }
-        val projected =
+        val projected0 =
           if (cols.nonEmpty) res.select(cols.map { case (nm, c) => c.as(nm) }: _*)
           else res.limit(1).select() // fully-ground path: existence row
+        // id-space closures decode ONCE here — the result boundary,
+        // like a pattern block's flush
+        val projected =
+          if (idSpace) dictCtx.get.decode(projected0) else projected0
         acc = Some(joinStep(acc, nullable, projected, Set.empty))
         nullable --= cols.map(_._1)
       case ValuesE(vars, rows) =>

@@ -90,9 +90,10 @@ final class DictContext(val dict: DataFrame) {
     * never be a join key elsewhere, by the usage analysis) and saves a
     * vocabulary-sized dictionary join per dropped var. Without usage
     * info every long column decodes (the safe default). */
-  def decodeBlock(df: DataFrame, blockSlots: Map[String, Int]): DataFrame = {
+  def decodeBlock(df: DataFrame, blockSlots: Map[String, Int],
+      keepIds: Set[String] = Set.empty): DataFrame = {
     val longCols = df.schema.fields.filter(_.dataType == LongType)
-      .map(_.name).toIndexedSeq
+      .map(_.name).toIndexedSeq.filterNot(keepIds)
     usage match {
       case Some(u) =>
         val (drop, dec) = longCols.partition(v =>
@@ -101,6 +102,23 @@ final class DictContext(val dict: DataFrame) {
         decode(df.drop(drop: _*), dec)
       case None => decode(df, longCols)
     }
+  }
+
+  /** The reverse boundary crossing: replace a term-struct column with
+    * its dictionary id (canonical-key equi-join; rows whose term the
+    * store has never seen drop — such a term can participate in no
+    * stored edge, which is exactly the join semantics the caller
+    * wants). Used to seed id-space path closures from already-decoded
+    * bindings; result-sized, like decode. */
+  def encodeTerm(df: DataFrame, c: String): DataFrame = {
+    val f = col(c)
+    val key = TermDictionary.objTerm(f.getField("v"), f.getField("dt"),
+      f.getField("lg"), f.getField("k"))
+    df.withColumn("_enc_key", key)
+      .join(dict.select(col("term").as("_enc_term"),
+        col("id").as(s"_enc_$c")), col("_enc_key") === col("_enc_term"))
+      .drop(c, "_enc_key", "_enc_term")
+      .withColumnRenamed(s"_enc_$c", c)
   }
 }
 

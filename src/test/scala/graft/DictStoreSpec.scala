@@ -149,6 +149,32 @@ class DictStoreSpec extends AnyFunSuite {
       ORDER BY ?x""")
   }
 
+  test("path closures run in id space (checkpointed edges are longs)") {
+    // seeded-BFS shape: the reachability frontier is checkpointed each
+    // round; in dict mode those frames must carry LONG ids (`_dst#NNL`
+    // in the plan), decoding only the projected endpoint
+    val q = """
+      PREFIX ex: <http://ex/>
+      SELECT ?x WHERE { ex:alice ex:knows+ ?x } ORDER BY ?x"""
+    assert(rows(base.select(q)) == rows(dict.select(q)))
+    val plan = dict.select(q).queryExecution.executedPlan.toString
+    assert("_dst#\\d+L".r.findFirstIn(plan).isDefined,
+      s"closure edges not id-typed:\n$plan")
+  }
+
+  test("sibling-seeded var-var closure parity (struct seeds re-encoded)") {
+    // ?s is bound by the name pattern before the closure compiles, so
+    // the id-space BFS must seed from the DECODED struct bindings via
+    // the term→id crossing — and agree with the string engine
+    parity("seeded_varvar", """
+      PREFIX ex: <http://ex/>
+      SELECT ?n ?x
+      WHERE {
+        ?s ex:name ?n .
+        ?s ex:knows+ ?x .
+      } ORDER BY ?n ?x""")
+  }
+
   test("VALUES + BIND builtins parity") {
     parity("values_bind", """
       PREFIX ex: <http://ex/>
