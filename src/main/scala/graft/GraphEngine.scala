@@ -26,12 +26,18 @@ final class GraphEngine(val store: QuadStore) {
     * on this engine with data-driven pattern ordering instead of the
     * static shape rank. Call again after bulk loads to refresh. */
   def withCardinalityStats(): GraphEngine = {
-    stats = Some(graft.sparql.CardEstimator.fromQuads(store.read()))
+    stats = Some(store match {
+      // dict mode: aggregate the id columns directly — no whole-store
+      // decode just to count per-predicate cardinalities
+      case d: graft.model.DictBackend =>
+        graft.sparql.CardEstimator.fromDictStore(d)
+      case _ => graft.sparql.CardEstimator.fromQuads(store.read())
+    })
     this
   }
 
   /** Run plan construction with this engine's stats in planner scope —
-    * and, over a [[graft.model.DictQuadStore]], a fresh per-operation
+    * and, over a [[graft.model.DictBackend]] store, a fresh per-operation
     * [[graft.sparql.DictContext]] (fresh so the constant-id memo can
     * never go stale across an update sequence that grows the dict). */
   private def planned[T](f: => T): T =
@@ -48,8 +54,8 @@ final class GraphEngine(val store: QuadStore) {
   // pattern blocks then join longs and decode at the block boundary
   // (Compiler.compilePatternEncoded / joinPatternBatch) — instead of the
   // decoded string view, whose joins would shuffle full IRI text.
-  private def dictStore: Option[graft.model.DictQuadStore] = store match {
-    case d: graft.model.DictQuadStore => Some(d)
+  private def dictStore: Option[graft.model.DictBackend] = store match {
+    case d: graft.model.DictBackend => Some(d)
     case _ => None
   }
 

@@ -6,47 +6,51 @@ import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Dictionary-encoded quad store — the RDF-3X / Jena-TDB layout as a
-  * third [[QuadStore]] backend: statements persist as `(graph, s_id,
-  * p_id, o_id)` longs partitioned by named graph, and the term text
-  * lives exactly once in a side dictionary `(term, id, v, k, dt, lg)`
-  * (canonical N-Triples-shaped key, dense sorted id, and the term's
-  * decomposed struct fields so decode is a join + select, never a
-  * string re-parse).
+/** Dictionary-encoded storage backends — the RDF-3X / Jena-TDB layout:
+  * statements persist as `(graph, s_id, p_id, o_id)` longs partitioned
+  * by named graph, and the term text lives exactly once in a side
+  * dictionary `(term, id, v, k, dt, lg)` (canonical N-Triples-shaped
+  * key, dense sorted id, and the term's decomposed struct fields so
+  * decode is a join + select, never a string re-parse).
   *
   * Why this is an engine MODE and not just a demo (VERDICT r9 #1): the
   * SPARQL compiler detects the encoded schema and runs every BGP join
-  * over 8-byte longs, decoding variables to term structs only at the
-  * pattern-block boundary ([[graft.sparql.DictContext]]) — at 100 TB
-  * the 50–200-byte IRI strings never enter a join shuffle, the single
-  * biggest avoidable shuffle cost of the string-space backends
-  * (DictShuffleProbe measured 1.6–3.3× shuffle-byte reduction on the
-  * same join shapes). Set-semantics insert/delete also run in id space:
-  * the anti-join key is 3 longs + the partition column, and — unlike
-  * the string schema, where `o_type`/`o_lang` nulls force a null-safe
-  * `<=>` join — ids are never null, so the anti-join keeps plain
-  * equi-key hash semantics.
+  * and path-closure round over 8-byte longs, decoding variables to term
+  * structs only at the pattern-block boundary
+  * ([[graft.sparql.DictContext]]) — at 100 TB the 50–200-byte IRI
+  * strings never enter a join shuffle, the single biggest avoidable
+  * shuffle cost of the string-space backends (DictEngineProbe: 28.8×
+  * fewer query shuffle bytes at 10× corpus). Set-semantics
+  * insert/delete also run in id space: the anti-join key is 3 longs +
+  * the partition column, and — unlike the string schema, where
+  * `o_type`/`o_lang` nulls force a null-safe `<=>` join — ids are never
+  * null, so the anti-join keeps plain equi-key hash semantics.
   *
-  * The dictionary is append-only (frozen ids, increments sorted after
-  * the current range — [[TermDictionary.append]]'s contract), so quads
-  * on disk are never rewritten by vocabulary growth; deletes leave
-  * their terms behind, which is the standard dict-store trade (a
-  * vacuum would be a compaction-time sweep, out of scope here).
+  * Two backends share the machinery, mirroring the string-space pair:
+  * [[DictQuadStore]] (merge-on-write) and [[DictMorStore]] (O(delta)
+  * deltas/tombstones with latest-wins reads — the Iceberg/Hudi trade,
+  * in id space). The dictionary is append-only on both (frozen ids,
+  * increments sorted after the current range — [[TermDictionary.append]]'s
+  * contract), so quads on disk are never rewritten by vocabulary
+  * growth; deletes leave their terms behind until the explicit
+  * [[DictBackend.vacuumDictionary]] sweep (frozen ids survive it —
+  * only unreferenced rows leave).
   *
-  * Observable graph state is identical to [[GraphStore]] — the
-  * DictStoreSpec parity battery runs the full SPARQL surface on both.
+  * Observable graph state is identical to the string backends — the
+  * DictStoreSpec / DictMorStoreSpec parity batteries run the full
+  * SPARQL surface on both sides.
   */
-final class DictQuadStore(val spark: SparkSession, val path: String)
-    extends QuadStore {
-  import DictQuadStore._
+trait DictBackend extends QuadStore {
+  import DictQuadStore.dictSchema
 
-  private val quadsPath = path + "/quads"
-  private val dictPath = path + "/dict"
+  def path: String
+  protected final def quadsPath: String = path + "/quads"
+  protected final def dictPath: String = path + "/dict"
 
-  private def fs =
+  protected def fs =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def empty(schema: StructType): DataFrame =
+  protected def empty(schema: StructType): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
@@ -57,27 +61,25 @@ final class DictQuadStore(val spark: SparkSession, val path: String)
     if (!fs.exists(new Path(dictPath))) empty(dictSchema)
     else spark.read.schema(dictSchema).parquet(dictPath)
 
-  /** Encoded statements. This is the frame the SPARQL compiler joins —
-    * three longs plus the partition-pruning graph column. */
-  def readEncoded(): DataFrame =
-    if (!fs.exists(new Path(quadsPath))) empty(encSchema)
-    else spark.read.schema(encSchema).option("basePath", quadsPath)
-      .parquet(quadsPath)
-      .select(encSchema.fieldNames.map(col).toIndexedSeq: _*)
+  /** Encoded statements in the compiler's schema `(graph, s_id, p_id,
+    * o_id)` — three longs plus the partition-pruning graph column,
+    * with set semantics already reconstructed (merge-on-read folds its
+    * latest-wins aggregation UNDER this view, still in id space). */
+  def readEncoded(): DataFrame
 
   def readGraphsEncoded(graphs: Seq[String]): DataFrame =
     readEncoded().where(col("graph").isin(graphs: _*))
 
-  /** Decoded string-space view (the [[QuadStore]] trait surface): three
-    * dictionary joins restore `(s, p, o_value, o_type, o_lang,
-    * o_kind)`. Result-consumer path only — the compiler never joins
-    * this frame; its patterns run over [[readEncoded]]. */
   def read(): DataFrame = decodeQuads(readEncoded())
 
   def readGraphs(graphs: Seq[String]): DataFrame =
     decodeQuads(readGraphsEncoded(graphs)) // prune BEFORE the decode joins
 
-  private def decodeQuads(enc: DataFrame): DataFrame = {
+  /** Decoded string-space view (the [[QuadStore]] trait surface): three
+    * dictionary joins restore `(s, p, o_value, o_type, o_lang,
+    * o_kind)`. Result-consumer path only — the compiler never joins
+    * this frame; its patterns run over [[readEncoded]]. */
+  protected def decodeQuads(enc: DataFrame): DataFrame = {
     val dict = readDict()
     val sD = dict.select(col("id").as("_s_id"), col("v").as("s"))
     val pD = dict.select(col("id").as("_p_id"), col("v").as("p"))
@@ -95,8 +97,9 @@ final class DictQuadStore(val spark: SparkSession, val path: String)
     * dictionary, number the survivors after the frozen max id (sorted
     * among themselves — [[TermDictionary.append]]'s id discipline), and
     * parquet-append. Increment-sized work; the corpus never moves. */
-  private def extendDictionary(batch: DataFrame): Unit = {
-    import spark.implicits._
+  protected def extendDictionary(batch: DataFrame): Unit = {
+    val sp = spark // stable identifier for the implicits import
+    import sp.implicits._
     val nullS = lit(null).cast("string")
     val subj = batch.select(col("s").as("term"), col("s").as("v"),
       when(col("s").startsWith(Quad.BnodePrefix), Quad.KindBnode)
@@ -124,6 +127,70 @@ final class DictQuadStore(val spark: SparkSession, val path: String)
     spark.createDataFrame(indexed)
       .toDF(dictSchema.fieldNames.toIndexedSeq: _*)
       .write.mode("append").parquet(dictPath)
+  }
+
+  protected def partitionDir(graph: String): Path =
+    new Path(quadsPath, "graph=" + ExternalCatalogUtils.escapePathName(graph))
+
+  def clearGraph(graph: String): Unit = {
+    val dir = partitionDir(graph)
+    if (fs.exists(dir)) fs.delete(dir, true)
+  }
+
+  def dropGraph(graph: String): Unit = clearGraph(graph)
+
+  def graphNames(): Seq[String] =
+    if (!fs.exists(new Path(quadsPath))) Seq.empty
+    else fs.listStatus(new Path(quadsPath)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("graph="))
+      .map(st => ExternalCatalogUtils.unescapePathName(
+        st.getPath.getName.stripPrefix("graph=")))
+
+  /** Every id any stored row still references — the reachability set
+    * for [[vacuumDictionary]]. Merge-on-read includes TOMBSTONED
+    * history (time travel must keep decoding it); merge-on-write is
+    * just the live quads. One narrow column as `rid`. */
+  protected def referencedIds: DataFrame
+
+  /** Dictionary garbage collection — the compaction-time sweep the
+    * append-only id discipline defers: drop entries no stored row
+    * references (terms orphaned by deletes/clears). Ids are FROZEN —
+    * survivors keep theirs, nothing renumbers, so encoded quads and
+    * every published id stay valid; only dead rows leave the term
+    * file. Atomic tmp-write + swap like every rewrite here. Returns
+    * the number of entries removed. */
+  def vacuumDictionary(): Long = {
+    val ids = referencedIds.dropDuplicates()
+    val dict = readDict()
+    val survivors = dict.join(ids, dict("id") === ids("rid"), "left_semi")
+    val removed = dict.count() - survivors.count()
+    if (removed > 0) {
+      val tmp = new Path(dictPath + s".vacuum-${System.nanoTime()}")
+      survivors.write.parquet(tmp.toString)
+      fs.delete(new Path(dictPath), true)
+      fs.rename(tmp, new Path(dictPath))
+    }
+    removed
+  }
+}
+
+/** Merge-on-write dict store: set-semantics dedup at insert time, reads
+  * are plain encoded scans. See [[DictBackend]] for the layout. */
+final class DictQuadStore(val spark: SparkSession, val path: String)
+    extends DictBackend {
+  import DictQuadStore._
+
+  def readEncoded(): DataFrame =
+    if (!fs.exists(new Path(quadsPath))) empty(encSchema)
+    else spark.read.schema(encSchema).option("basePath", quadsPath)
+      .parquet(quadsPath)
+      .select(encSchema.fieldNames.map(col).toIndexedSeq: _*)
+
+  protected def referencedIds: DataFrame = {
+    val enc = readEncoded()
+    enc.select(col("s_id").as("rid"))
+      .unionAll(enc.select(col("p_id").as("rid")))
+      .unionAll(enc.select(col("o_id").as("rid")))
   }
 
   /** Set-semantics insert, id-space: extend the dictionary, encode the
@@ -184,23 +251,6 @@ final class DictQuadStore(val spark: SparkSession, val path: String)
     deleteQuads(quads.toDF(), Some(quads.map(_.graph).distinct))
   }
 
-  private def partitionDir(graph: String): Path =
-    new Path(quadsPath, "graph=" + ExternalCatalogUtils.escapePathName(graph))
-
-  def clearGraph(graph: String): Unit = {
-    val dir = partitionDir(graph)
-    if (fs.exists(dir)) fs.delete(dir, true)
-  }
-
-  def dropGraph(graph: String): Unit = clearGraph(graph)
-
-  def graphNames(): Seq[String] =
-    if (!fs.exists(new Path(quadsPath))) Seq.empty
-    else fs.listStatus(new Path(quadsPath)).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("graph="))
-      .map(st => ExternalCatalogUtils.unescapePathName(
-        st.getPath.getName.stripPrefix("graph=")))
-
   /** Compaction clusters by `(p_id, s_id, o_id)` — the id-space twin of
     * [[GraphStore.compact]]'s predicate-first sort: sorted ids give the
     * same parquet row-group min/max pruning for constant-predicate and
@@ -233,4 +283,222 @@ object DictQuadStore {
     StructField("s_id", LongType),
     StructField("p_id", LongType),
     StructField("o_id", LongType)))
+}
+
+/** Merge-on-read dict store — BOTH 100 TB axes at once: O(delta)
+  * writes (insert deltas / tombstones tagged with a monotone batch id,
+  * no read-before-write) AND id-space queries. The latest-wins
+  * reconstruction itself benefits from the encoding: the per-quad
+  * identity it aggregates and anti-joins on is `(graph, 3 longs)`
+  * instead of seven string columns, so the merge shuffle carries
+  * ~24-byte keys. Read-optimized split, auto-compaction policy, and
+  * batch-id time travel mirror [[MergeOnReadStore]] exactly; the
+  * engine sees [[readEncoded]] (merged, id-space) through the shared
+  * [[DictBackend]] surface, so SPARQL plans are identical to
+  * [[DictQuadStore]]'s above the scan.
+  *
+  * Dictionary discipline under deltas: INSERT deltas extend the
+  * dictionary first (increment-sized); tombstones never do — a
+  * tombstone whose terms the dictionary lacks cannot identify any
+  * stored quad, so encode's inner join dropping it IS the correct
+  * no-op, and delete batches allocate no ids.
+  */
+final class DictMorStore(val spark: SparkSession, val path: String)
+    extends DictBackend {
+  import DictQuadStore.encSchema
+
+  private val deltaSchema: StructType = StructType(encSchema.fields ++ Seq(
+    StructField("batch_id", LongType), StructField("op", StringType)))
+
+  /** Writer-local monotonic batch ids (same discipline as
+    * [[MergeOnReadStore]]: wall-clock-seeded so ids stay monotonic
+    * across process restarts). */
+  private val batchCounter =
+    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis() * 1000L)
+  private def nextBatchId(): Long = batchCounter.incrementAndGet()
+
+  /** O(delta) write: encode the batch (inserts extend the dictionary
+    * by their new terms first) and append — no existing quad data is
+    * read or rewritten. */
+  def appendDelta(quads: DataFrame, batchId: Long, op: String = "i"): Unit = {
+    require(batchId >= 0, s"batch ids must be >= 0 (got $batchId); " +
+      s"${MergeOnReadStore.CompactedBatchId} is reserved for compacted data")
+    val batch = quads
+      .select(GraphStore.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (op == "i") extendDictionary(batch)
+      TermDictionary.encode(batch, readDict().select("term", "id"))
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("op", lit(op))
+        .write.partitionBy("graph").mode("append").parquet(quadsPath)
+    } finally { batch.unpersist(blocking = false); () }
+  }
+
+  /** Raw encoded deltas (all batches, tombstones included). */
+  def readDeltas(): DataFrame =
+    if (!fs.exists(new Path(quadsPath))) empty(deltaSchema)
+    else spark.read.schema(deltaSchema).option("basePath", quadsPath)
+      .parquet(quadsPath)
+      .select(deltaSchema.fieldNames.map(col).toIndexedSeq: _*)
+
+  protected def referencedIds: DataFrame = {
+    // ALL deltas, tombstones included: snapshots may still decode them
+    val d = readDeltas()
+    d.select(col("s_id").as("rid"))
+      .unionAll(d.select(col("p_id").as("rid")))
+      .unionAll(d.select(col("o_id").as("rid")))
+  }
+
+  /** Latest-wins set-semantics view IN ID SPACE — the read-optimized
+    * split of [[MergeOnReadStore.readMerged]] over `(graph, s_id,
+    * p_id, o_id)` keys: the compacted base skips the aggregation, only
+    * the post-compaction tail aggregates, and the base is corrected by
+    * a plain (never-null keys!) anti-join against the tail's touched
+    * identities. */
+  def readEncoded(): DataFrame = {
+    val keys = encSchema.fieldNames.toIndexedSeq
+    val deltas = readDeltas()
+    val base = deltas
+      .filter(col("batch_id") === MergeOnReadStore.CompactedBatchId
+        && col("op") === "i")
+      .select(keys.map(col): _*)
+    val tail = deltas
+      .filter(col("batch_id") =!= MergeOnReadStore.CompactedBatchId)
+    val tailMerged = tail
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(col("op"), col("batch_id")).as("last_op"))
+    val tailInserts = tailMerged.filter(col("last_op") === "i")
+      .select(keys.map(col): _*)
+    val tailKeys = tailMerged.select(keys.map(col): _*)
+    base.join(tailKeys, keys, "left_anti").unionByName(tailInserts)
+  }
+
+  /** TIME TRAVEL, still encoded: the id-space view as of batch `asOf`
+    * (same horizon guard as the string MOR store — compaction truncates
+    * reach). [[DictSnapshotStore]] serves this to the engine, so a
+    * historical SPARQL query plans id-space like a live one. */
+  def readEncodedAsOf(asOf: Long): DataFrame = {
+    val h = compactionHorizon()
+    require(h.forall(asOf >= _),
+      s"snapshot as-of batch $asOf is unreachable: compaction folded " +
+        s"history up to batch ${h.get} into the base (retention trade); " +
+        "read a version >= the horizon or stop compacting this store")
+    val keys = encSchema.fieldNames.toIndexedSeq
+    readDeltas()
+      .filter(col("batch_id") <= asOf
+        || col("batch_id") === MergeOnReadStore.CompactedBatchId)
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(col("op"), col("batch_id")).as("last_op"))
+      .filter(col("last_op") === "i")
+      .select(keys.map(col): _*)
+  }
+
+  def readAsOf(asOf: Long): DataFrame = decodeQuads(readEncodedAsOf(asOf))
+
+  def compactionHorizon(): Option[Long] = {
+    val dir = new Path(path, "_compaction")
+    if (!fs.exists(dir)) None
+    else {
+      val hs = fs.listStatus(dir).toSeq.map { st =>
+        val in = fs.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+      if (hs.isEmpty) None else Some(hs.max)
+    }
+  }
+
+  private def writeHorizon(graph: String, horizon: Long): Unit = {
+    val dir = new Path(path, "_compaction")
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val f = new Path(dir, ExternalCatalogUtils.escapePathName(graph))
+    val out = fs.create(f, true)
+    try out.write(horizon.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Distinct real batch ids — the version history. */
+  def versions(): Seq[Long] =
+    readDeltas().select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0))
+      .filter(_ != MergeOnReadStore.CompactedBatchId).sorted.toIndexedSeq
+
+  // ---- QuadStore surface: set-semantics ops as O(delta) deltas
+  def appendDistinct(quads: DataFrame,
+      knownGraphs: Option[Seq[String]] = None): Unit =
+    appendDelta(quads, nextBatchId())
+
+  def insertData(quads: Seq[Quad]): Unit = {
+    import spark.implicits._
+    appendDistinct(quads.toDF())
+  }
+
+  /** DELETE as tombstones — O(delta), no partition rewrite. */
+  def deleteQuads(quads: DataFrame,
+      knownGraphs: Option[Seq[String]] = None): Unit =
+    appendDelta(quads, nextBatchId(), op = "d")
+
+  def deleteData(quads: Seq[Quad]): Unit = {
+    import spark.implicits._
+    deleteQuads(quads.toDF())
+  }
+
+  /** Bounded-tail auto-compaction policy, identical trigger to
+    * [[MergeOnReadStore.compactIfNeeded]]. */
+  def compactIfNeeded(graph: String, maxTailBatches: Int = 8,
+      numFiles: Int = 1): Boolean = {
+    val tailBatches = readDeltas().where(col("graph") === graph)
+      .filter(col("batch_id") =!= MergeOnReadStore.CompactedBatchId)
+      .select(col("batch_id")).distinct().count()
+    if (tailBatches > maxTailBatches) { compact(graph, numFiles); true }
+    else false
+  }
+
+  /** Collapse one graph partition to the reserved compacted
+    * pseudo-batch, clustered `(p_id, s_id, o_id)` for row-group
+    * pruning; the horizon persists only after the swap succeeds. */
+  def compact(graph: String, numFiles: Int = 1): Unit = {
+    val maxBatch = readDeltas().where(col("graph") === graph)
+      .filter(col("batch_id") =!= MergeOnReadStore.CompactedBatchId)
+      .agg(max(col("batch_id"))).collect().head
+    val merged = readGraphsEncoded(Seq(graph)).coalesce(numFiles)
+      .sortWithinPartitions("graph", "p_id", "s_id", "o_id")
+      .withColumn("batch_id", lit(MergeOnReadStore.CompactedBatchId))
+      .withColumn("op", lit("i"))
+    val tmp = new Path(quadsPath + s".compact-${System.nanoTime()}")
+    merged.write.partitionBy("graph").parquet(tmp.toString)
+    val part = "graph=" + ExternalCatalogUtils.escapePathName(graph)
+    val dst = new Path(quadsPath, part)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    val src = new Path(tmp, part)
+    if (fs.exists(src)) fs.rename(src, dst)
+    fs.delete(tmp, true)
+    if (!maxBatch.isNullAt(0)) writeHorizon(graph, maxBatch.getLong(0))
+  }
+}
+
+/** Read-only SPARQL surface over a dict merge-on-read SNAPSHOT — the
+  * id-space twin of [[SnapshotStore]]: `new GraphEngine(new
+  * DictSnapshotStore(store, v))` queries history with the batch filter
+  * pushed into the delta scan AND every pattern join still over longs.
+  * The dictionary is shared with the live store (append-only frozen
+  * ids: entries added after the snapshot cannot be referenced by
+  * snapshot-visible rows, so decoding is exact). Mutations and vacuum
+  * are rejected loudly.
+  */
+final class DictSnapshotStore(underlying: DictMorStore, asOf: Long)
+    extends DictBackend {
+  def spark: SparkSession = underlying.spark
+  def path: String = underlying.path
+  def readEncoded(): DataFrame = underlying.readEncodedAsOf(asOf)
+  private def readOnly = throw new UnsupportedOperationException(
+    s"snapshot as-of batch $asOf is read-only")
+  protected def referencedIds: DataFrame = readOnly
+  def appendDistinct(quads: DataFrame, knownGraphs: Option[Seq[String]]): Unit = readOnly
+  def insertData(quads: Seq[Quad]): Unit = readOnly
+  def deleteQuads(quads: DataFrame, knownGraphs: Option[Seq[String]]): Unit = readOnly
+  def deleteData(quads: Seq[Quad]): Unit = readOnly
+  override def clearGraph(graph: String): Unit = readOnly
+  override def dropGraph(graph: String): Unit = readOnly
+  def compact(graph: String, numFiles: Int): Unit = readOnly
 }

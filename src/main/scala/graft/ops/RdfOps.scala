@@ -1401,6 +1401,36 @@ object RdfOps {
         .orderBy(col("s"), col("o_value"))
     }),
 
+    // The SAME delta/tombstone/revive sequence on the dict-encoded
+    // merge-on-read backend (round 10): O(delta) writes AND id-space
+    // reads at once — the latest-wins identity the merge aggregates on
+    // is (graph, 3 longs) instead of seven strings, and the SPARQL
+    // compiler sees the merged view still encoded. Shares
+    // rdf_store_mor's oracle: the mode must be observably invisible.
+    "rdf_dict_mor" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-dmor-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
+      val store = new graft.model.DictMorStore(s, dir)
+      val g = "http://ex/nations"
+      def quads(df: DataFrame, value: Column) = df.select(
+        lit(g).as("graph"),
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+        lit("name").as("p"), value.as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      val nation = Tables.nation(s, d)
+      val key = col("n_nationkey")
+      store.appendDelta(quads(nation, col("n_name")), 1L)
+      store.appendDelta(quads(nation.filter(key % 5 === 0), col("n_name")), 2L, op = "d")
+      store.appendDelta(quads(nation.filter(key % 10 === 0),
+        concat(col("n_name"), lit("#v2"))), 3L)
+      store.appendDelta(quads(nation.filter(key % 4 === 0), col("n_name")), 4L)
+      store.readGraphs(Seq(g))
+        .select(col("s"), col("p"), col("o_value"))
+        .orderBy(col("s"), col("o_value"))
+    }),
+
     // S6 AUTO-COMPACTION: the bounded-tail policy end to end. A batch
     // load plus a chain of single-quad revision batches (insert r_i,
     // tombstone r_{i-1}) grows the delta tail past the policy threshold;
@@ -2358,6 +2388,20 @@ ORDER BY s, p, o_value""",
            SELECT 4, 'nation:' || CAST(n_nationkey AS VARCHAR), n_name || '#v2'
            FROM nation WHERE n_nationkey % 10 = 0) t
          ORDER BY version, s, o_value""",
+    // dict-encoded MOR twin: same oracle expression (shared state)
+    "rdf_dict_mor" ->
+      """SELECT s, p, o_value FROM (
+           SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS s,
+             'name' AS p, n_name AS o_value
+           FROM nation WHERE n_nationkey % 5 <> 0
+           UNION ALL
+           SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), 'name', n_name
+           FROM nation WHERE n_nationkey % 20 = 0
+           UNION ALL
+           SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), 'name',
+             n_name || '#v2'
+           FROM nation WHERE n_nationkey % 10 = 0) t
+         ORDER BY s, o_value""",
     "rdf_store_mor" ->
       """SELECT s, p, o_value FROM (
            SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS s,

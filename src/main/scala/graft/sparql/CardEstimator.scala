@@ -128,6 +128,43 @@ object CardEstimator {
       pred, csets)
   }
 
+  /** Stats straight off the ENCODED store (dict mode): the same
+    * vocabulary-sized summary as [[fromQuads]], but the aggregation
+    * groups/NDV-counts 8-byte ids and never runs the three decode
+    * joins a whole-store string view would cost — at 100 TB the stats
+    * pass reads the id columns only. Predicate ids map back to IRIs
+    * through one vocabulary-sized dictionary join. (Object NDV counts
+    * term IDENTITIES rather than lexical forms — two literals that
+    * differ only in language tag count separately — which is, if
+    * anything, the better selectivity signal.) */
+  def fromDictStore(store: graft.model.DictBackend): CardEstimator = {
+    val enc = store.readEncoded()
+    val dict = store.readDict()
+    val rows = enc.groupBy("p_id").agg(
+      count(lit(1)).as("n"),
+      approx_count_distinct("s_id").as("ds"),
+      approx_count_distinct("o_id").as("dn"))
+      .join(dict.select(col("id"), col("v").as("p")), col("p_id") === col("id"))
+      .select("p", "n", "ds", "dn", "p_id")
+      .collect()
+    val pred = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val pidTerm = rows.map(r => r.getLong(4) -> r.getString(0)).toMap
+    val csetRows = enc.groupBy("s_id")
+      .agg(sort_array(collect_set(col("p_id"))).as("pset"))
+      .groupBy("pset").agg(count(lit(1)).as("n_subj"))
+      .orderBy(col("n_subj").desc, col("pset"))
+      .limit(MaxCsets)
+      .collect()
+    val csets = csetRows.map(r =>
+      r.getSeq[Long](0).map(pidTerm).toSet -> r.getLong(1)).toSeq
+    new CardEstimator(
+      pred.valuesIterator.map(_._1).sum,
+      pred.valuesIterator.map(_._2).sum,
+      pred.valuesIterator.map(_._3).sum,
+      pred, csets)
+  }
+
   /** Test/inspection helper: the greedy order the compiler will choose
     * for a pattern batch under this estimator — estimate-sorted, then
     * connectivity-first with characteristic-set conditional refinement

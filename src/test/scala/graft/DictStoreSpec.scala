@@ -307,6 +307,28 @@ class DictStoreSpec extends AnyFunSuite {
     assert(st.read().collect().map(_.toSeq).toSet == before)
   }
 
+  test("cardinality stats aggregate the encoded store, matching decoded") {
+    import graft.sparql.{Algebra, CardEstimator}
+    import Algebra._
+    val enc = CardEstimator.fromDictStore(
+      dict.store.asInstanceOf[graft.model.DictBackend])
+    val str = CardEstimator.fromQuads(dict.store.read())
+    // per-predicate triple counts are exact on both paths — a
+    // constant-predicate two-var pattern's estimate IS that count
+    Seq("http://ex/name", "http://ex/knows", "http://ex/tag").foreach { p =>
+      val tp = TriplePattern(V("s"), I(p), V("o"))
+      assert(enc.estimate(tp) == str.estimate(tp), s"count diverged for $p")
+    }
+    // and the engine's stats mode keeps full parity (id-space build)
+    val statsEngine = new GraphEngine(dict.store).withCardinalityStats()
+    val q = """
+      PREFIX ex: <http://ex/>
+      SELECT ?n ?fn
+      WHERE { ?s ex:name ?n . ?s ex:knows ?o . ?o ex:name ?fn }
+      ORDER BY ?n ?fn"""
+    assert(rows(statsEngine.select(q)) == rows(base.select(q)))
+  }
+
   test("dead join-glue vars are dropped, not decoded (project-early)") {
     // ?s is pure glue: joins the two patterns, surfaces nowhere. Its
     // decode join must be eliminated — the plan's only dictionary scans
