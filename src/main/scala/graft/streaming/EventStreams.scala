@@ -172,6 +172,39 @@ object EventStreams {
         .orderBy(col("o_value"))
     }),
 
+    // The SAME micro-batch ingest into the DICT-ENCODED merge-on-read
+    // store (round 10): each foreachBatch delta extends the dictionary
+    // by its genuinely new terms (increment-sized) and appends encoded
+    // longs; the replayed append collapses under the id-space
+    // latest-wins identity exactly like the string MOR twin. This is
+    // the full streaming->id-space write path a 100 TB live graph
+    // takes. Shares stream_mor_ingest's oracle.
+    "stream_dict_ingest" -> ((s, d) => {
+      val g = "http://ex/stream_dict"
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-sdict-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
+      val store = new graft.model.DictMorStore(s, s"$dir/store")
+      val quads = eventsStream(s, d).select(
+        lit(g).as("graph"),
+        concat(lit("event:"), col("event_id").cast("string")).as("s"),
+        lit("etype").as("p"), col("event_type").as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      val q = quads.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          store.appendDelta(batch, id)
+          store.appendDelta(batch, id) // simulated replay — must collapse
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      store.readGraphs(Seq(g))
+        .groupBy(col("o_value")).agg(count(lit(1)).as("n_events"))
+        .orderBy(col("o_value"))
+    }),
+
     // ---- custom streaming state: flatMapGroupsWithState tracks the
     // set of event types seen per user and emits only newly-seen ones;
     // summing emissions = distinct types per user (batch-boundary
@@ -390,6 +423,9 @@ object EventStreams {
          ORDER BY p""",
     // one quad per event survives the doubled delta writes
     "stream_mor_ingest" ->
+      """SELECT event_type AS o_value, count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_dict_ingest" ->
       """SELECT event_type AS o_value, count(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
     "stream_stateful_distinct" ->
