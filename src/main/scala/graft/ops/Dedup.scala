@@ -137,6 +137,46 @@ object Dedup {
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
   }
 
+  /** PREFIX-FILTERING candidate generation (AllPairs — Bayardo, Ma &
+    * Srikant, WWW 2007; PPJoin's prefix+length filters — Xiao et al.,
+    * WWW 2008): order every doc's shingle set by ascending global
+    * document frequency (rarest first, hash tie-break — a total order),
+    * and emit only the first |S| − ⌈t·|S|⌉ + 1 elements as join keys.
+    * Two sets with Jaccard ≥ t MUST share an element inside both
+    * prefixes (were all shared elements past a prefix, the intersection
+    * could not reach ⌈t·|S|⌉), so candidate generation is LOSSLESS at
+    * the threshold — the exactness guarantee the df-cap heuristic
+    * trades away — while boilerplate shingles (highest df) land at the
+    * very END of the ordering and never join. The length filter
+    * t·|A| ≤ |B| ≤ |A|/t runs inside the join; survivors take the same
+    * exact-intersection verify as every other generator. Scale shape:
+    * one vocab-sized df aggregate, a per-DOC window sort (docs are
+    * small), and an equi-join keyed on rare shingles whose bucket
+    * sizes the df-ordering itself keeps small. Returns (i, j, inter)
+    * with EXACT intersection counts over all shingles. */
+  private[ops] def prefixFilterPairs(ex: DataFrame, counts: DataFrame,
+      t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = ex.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("hs"))
+    val prefix = ex.join(dfreq, "hs")
+      .withColumn("pos", row_number().over(w))
+      .join(counts, "doc_id")
+      .filter(col("pos") <= col("n") - ceil(lit(t) * col("n")) + 1)
+      .select(col("doc_id"), col("hs"), col("n"))
+    val a = prefix.select(col("doc_id").as("i"), col("hs"), col("n").as("ni"))
+    val b = prefix.select(col("doc_id").as("j"), col("hs"), col("n").as("nj"))
+    val cand = a.join(b, Seq("hs"))
+      .where(col("i") < col("j") &&
+        col("nj") >= lit(t) * col("ni") && col("ni") >= lit(t) * col("nj"))
+      .select(col("i"), col("j")).distinct()
+    val exI = ex.select(col("doc_id").as("i"), col("hs"))
+    val exJ = ex.select(col("doc_id").as("j"), col("hs"))
+    cand
+      .join(exI, "i").join(exJ, Seq("j", "hs"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+  }
+
   // MinHash parameters: k = bands * rowsPerBand signature components.
   // rows=3/bands=16 → P(candidate) = 1-(1-s^3)^16: ~1 for s>=0.8,
   // ~0.07 for s=0.2 — high recall at the target threshold, few false
@@ -204,6 +244,21 @@ object Dedup {
         .join(exI, "i").join(exJ, Seq("j", "hs"))
         .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
       jaccardOf(inter, counts)
+        .filter(col("jac") >= 0.8)
+        .select(col("i"), col("j"), round(col("jac"), 4).as("jac"))
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // ---- Prefix-filtering exact-threshold join (AllPairs/PPJoin):
+    // third candidate generator, same truth. Where the shingle join
+    // needs the df-cap heuristic and MinHash-LSH is probabilistic,
+    // prefix filtering is EXACT at the threshold with candidates
+    // bounded by rare-prefix bucket sizes — boilerplate df-orders
+    // itself into suffixes and never joins. Oracle: the verbatim
+    // >=0.8-Jaccard pair set (dedup_ngram_jaccard's).
+    "dedup_jaccard_prefix" -> ((s, d) => {
+      val (ex, counts) = shingleTables(s, d)
+      jaccardOf(prefixFilterPairs(ex, counts, 0.8), counts)
         .filter(col("jac") >= 0.8)
         .select(col("i"), col("j"), round(col("jac"), 4).as("jac"))
         .orderBy(col("i"), col("j"))
@@ -454,6 +509,9 @@ object Dedup {
          FROM (SELECT md5(text) AS h, count(*) AS c
                FROM documents GROUP BY 1) g""",
     "dedup_ngram_jaccard" -> pairsOracle,
+    // prefix filtering must reproduce the exact pair set — two more
+    // implementations, one truth (the graph_components_ls pattern)
+    "dedup_jaccard_prefix" -> pairsOracle,
     // MinHash+LSH must find exactly the >=0.8 pairs (verify step makes
     // precision exact; band parameters make recall ~1 at this threshold)
     "dedup_minhash_lsh" -> pairsOracle,

@@ -131,7 +131,81 @@ object GraphAlgos {
     "graph_components_ls" -> ((s, d) =>
       componentsLargeSmallStar(
         Dedup.neardupPairs(s, d).select(col("i"), col("j")))
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // ---- INCREMENTAL connected components: yesterday's labels + a
+    // delta edge batch, no base recompute — the daily shape of every
+    // persisted dup-cluster / sameAs-identity table (dedup_incremental
+    // finds cross-snapshot EDGES; this folds them into the LABELS).
+    // Fixture: base chains bind customer keys in runs of 10; the delta
+    // merges runs of 10 into runs of 50 AND attaches a brand-new node
+    // (1000000 + k) to every 100th customer — exercising both the
+    // rep-merge and the new-node paths. The oracle recomputes the
+    // closure over base ∪ delta from scratch, so one stale label or a
+    // missed merge is a hash mismatch.
+    "graph_components_incremental" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val k = col("c_custkey")
+      val base = cust.filter(k % 10 =!= 1)
+        .select(k.as("i"), (k - 1).as("j"))
+      val delta = cust.filter(k % 10 === 1 && k % 50 =!= 1)
+        .select(k.as("i"), (k - 1).as("j"))
+        .unionAll(cust.filter(k % 100 === 0)
+          .select(k.as("i"), (k + 1000000).as("j")))
+      componentsIncremental(componentsLargeSmallStar(base), delta)
+        .orderBy(col("doc_id"))
+    }))
+
+  /** Incremental CC: fold a DELTA edge batch into an existing
+    * (doc_id, cluster_rep) labeling without recomputing the base graph.
+    *  1. restrict the label map to the delta's endpoints — a left-semi
+    *     join against the BROADCAST endpoint set, so the base-sized
+    *     table is scanned once and never shuffled;
+    *  2. contract: map each delta endpoint to its rep (new nodes map to
+    *     themselves) — the contracted graph has O(|delta|) edges
+    *     REGARDLESS of base size;
+    *  3. run [[componentsLargeSmallStar]] on the contracted graph;
+    *  4. map the rep→rep merges back over the label table with a
+    *     BROADCAST join (the merge map is delta-bounded) — again no
+    *     base shuffle.
+    * Every base rep is the MIN of its component, so the min label of
+    * merged reps is the global min: incremental labels are IDENTICAL
+    * to a full recompute over base ∪ delta (the oracle proves it).
+    * Total cost: two scans of the label table and CC on a delta-sized
+    * graph — the 100 TB property that makes daily label maintenance
+    * affordable. */
+  def componentsIncremental(baseLabels: DataFrame, delta: DataFrame)
+      : DataFrame = {
+    val lab = baseLabels.select(col("doc_id"), col("cluster_rep"))
+    val endpoints = delta.select(col("i").as("doc_id"))
+      .unionAll(delta.select(col("j").as("doc_id"))).distinct()
+    val touched = lab.join(broadcast(endpoints), Seq("doc_id"), "left_semi")
+    val li = touched.select(col("doc_id").as("i"), col("cluster_rep").as("ri"))
+    val lj = touched.select(col("doc_id").as("j"), col("cluster_rep").as("rj"))
+    val contracted = delta
+      .join(broadcast(li), Seq("i"), "left")
+      .join(broadcast(lj), Seq("j"), "left")
+      .select(coalesce(col("ri"), col("i")).as("i"),
+        coalesce(col("rj"), col("j")).as("j"))
+      .filter(col("i") =!= col("j"))
+    val merges = componentsLargeSmallStar(contracted)
+    val remap = merges.select(col("doc_id").as("cluster_rep"),
+      col("cluster_rep").as("new_rep"))
+    val updated = lab.join(broadcast(remap), Seq("cluster_rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_rep"), col("cluster_rep")).as("cluster_rep"))
+    // nodes the delta introduced: endpoints with no base label (all
+    // delta-sized arithmetic — `touched` is the labeled subset, so the
+    // anti-join never sees the base table). `updated` already covers
+    // every base node including the contracted reps, so restricting to
+    // genuinely-new endpoints means no overlap and no distinct.
+    val newEndpoints = endpoints
+      .join(broadcast(touched.select(col("doc_id"))), Seq("doc_id"),
+        "left_anti")
+    val newNodes = merges
+      .join(broadcast(newEndpoints), Seq("doc_id"), "left_semi")
+    updated.unionByName(newNodes)
+  }
 
   /** Alternating large-star/small-star CC: returns (doc_id,
     * cluster_rep) for every node appearing in `pairs`. Both phases emit
@@ -223,6 +297,28 @@ object GraphAlgos {
           ${prStep("r1", "r2")},
           ${prStep("r2", "r3")}
         SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""",
+    // incremental labels must equal a from-scratch closure over
+    // base ∪ delta (min-reachable-label semantics, the dedup_clusters
+    // pattern): base chains of 10, delta decade-merges + new nodes
+    "graph_components_incremental" ->
+      """WITH RECURSIVE
+          e AS (
+            SELECT c_custkey AS a, c_custkey - 1 AS b FROM customer
+            WHERE c_custkey % 10 <> 1
+            UNION ALL
+            SELECT c_custkey, c_custkey - 1 FROM customer
+            WHERE c_custkey % 10 = 1 AND c_custkey % 50 <> 1
+            UNION ALL
+            SELECT c_custkey, c_custkey + 1000000 FROM customer
+            WHERE c_custkey % 100 = 0),
+          bi AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+          reach(a, b) AS (
+            SELECT a, b FROM bi
+            UNION
+            SELECT r.a, x.b FROM reach r JOIN bi x ON r.b = x.a),
+          lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+                  FROM reach GROUP BY a)
+        SELECT doc_id, cluster_rep FROM lab ORDER BY doc_id""",
     // same >=0.8-Jaccard pair graph as the dedup oracles
     "graph_triangles" ->
       s"""WITH ${Dedup.pairsCtesSql}

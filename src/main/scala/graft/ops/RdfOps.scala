@@ -44,6 +44,44 @@ object RdfOps {
       store
     })
 
+  /** owl:sameAs canonicalization of a quad set: connected components
+    * over the (symmetric, transitive) sameAs graph pick one canonical
+    * IRI per identity cluster — the lexicographic min, the same rep
+    * rule the dedup family uses — and every fact is rewritten onto it:
+    * subjects always, objects only when iri-kind (a literal colliding
+    * textually with a mapped IRI must NOT be rewritten). The sameAs
+    * statements themselves are consumed. Scale shape: CC is the
+    * large-star/small-star alternation (O(log² n) rounds regardless of
+    * chain length — `graph_components_ls`'s machinery); the rewrite is
+    * two equi-joins against the component map — broadcast, because the
+    * identity-cluster map is bounded by the sameAs statement count,
+    * ≪ the fact count in any real KG (at 100 TB with a fact-scale
+    * alias set, drop the hint and let AQE pick the shuffle join) —
+    * plus a set-semantics distinct.
+    * Reference anchor: the reference mints one deterministic MD5 IRI
+    * per source record (load_knowledge_graph.py:386-508) precisely so
+    * cross-source aliases collapse at mint time; this is the general
+    * alias-collapse for graphs that assert identity post-hoc with
+    * owl:sameAs instead. */
+  private[ops] def sameAsCanonicalize(facts: DataFrame, sameAs: DataFrame)
+      : DataFrame = {
+    val comp = GraphAlgos.componentsLargeSmallStar(
+      sameAs.select(col("s").as("i"), col("o_value").as("j")))
+    val repS = broadcast(comp
+      .select(col("doc_id").as("s"), col("cluster_rep").as("cs")))
+    val repO = broadcast(comp
+      .select(col("doc_id").as("o_value"), col("cluster_rep").as("co")))
+    facts.join(repS, Seq("s"), "left")
+      .join(repO, Seq("o_value"), "left")
+      .select(
+        coalesce(col("cs"), col("s")).as("s"),
+        col("p"),
+        when(col("o_kind") === "iri", coalesce(col("co"), col("o_value")))
+          .otherwise(col("o_value")).as("o_value"),
+        col("o_kind"))
+      .distinct()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T1: direct mapping — predicate IRIs minted from JSON keys
     "rdf_flatten_predicates" -> ((s, d) => {
@@ -545,6 +583,33 @@ object RdfOps {
             col("n").cast("string").as("o_value")))).as("q"))
         .select(col("q.*"))
       datasetRows.unionByName(partRows).orderBy(col("s"), col("p"), col("o_value"))
+    }),
+
+    // owl:sameAs entity canonicalization ("smushing") — the KG twin of
+    // dedup's cluster-canonicalize, and the standard LOD-integration
+    // step after multiple sources assert identity links. Fixture:
+    // customer facts (nation link, market segment, a <next> IRI chain
+    // to exercise OBJECT rewrite) plus sameAs chains binding each run
+    // of 10 consecutive customer IRIs into one identity cluster. The
+    // rewrite must land every fact on the cluster's canonical IRI, drop
+    // nothing but the sameAs statements, and leave literals untouched.
+    "rdf_sameas_canonicalize" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val k = col("c_custkey")
+      def iri(c: Column) = concat(lit("cust:"), c.cast("string"))
+      val facts = cust.select(iri(k).as("s"), lit("nation").as("p"),
+          concat(lit("nation:"), col("c_nationkey").cast("string"))
+            .as("o_value"),
+          lit("iri").as("o_kind"))
+        .unionAll(cust.select(iri(k).as("s"), lit("segment").as("p"),
+          col("c_mktsegment").as("o_value"), lit("literal").as("o_kind")))
+        .unionAll(cust.select(iri(k).as("s"), lit("next").as("p"),
+          iri(k + 1).as("o_value"), lit("iri").as("o_kind")))
+      val sameAs = cust.filter(k % 10 =!= 1)
+        .select(iri(k).as("s"), lit("sameAs").as("p"),
+          iri(k - 1).as("o_value"), lit("iri").as("o_kind"))
+      sameAsCanonicalize(facts, sameAs)
+        .orderBy(col("s"), col("p"), col("o_value"), col("o_kind"))
     }),
 
     // Cost-based BGP ordering end to end: the engine gathers
@@ -2092,6 +2157,40 @@ ORDER BY s, p, o_value""",
            'http://ex/p' AS p, 'kept' AS o_value""",
     // VoID statistics recomputed relationally: each event mints one
     // subject and one triple per non-null flattened field
+    // sameAs smushing replayed from first principles: recursive-CTE
+    // closure over the symmetrized identity edges (the dedup_clusters
+    // pattern), rep = lexicographic min of the reachable set, then the
+    // subject/object rewrite with the literal guard
+    "rdf_sameas_canonicalize" ->
+      """WITH RECURSIVE
+          cu AS (SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s,
+                   c_custkey AS k, c_nationkey, c_mktsegment
+                 FROM customer),
+          facts AS (
+            SELECT s, 'nation' AS p,
+              'nation:' || CAST(c_nationkey AS VARCHAR) AS o_value,
+              'iri' AS o_kind FROM cu
+            UNION ALL SELECT s, 'segment', c_mktsegment, 'literal' FROM cu
+            UNION ALL SELECT s, 'next',
+              'cust:' || CAST(k + 1 AS VARCHAR), 'iri' FROM cu),
+          e AS (SELECT s AS a, 'cust:' || CAST(k - 1 AS VARCHAR) AS b
+                FROM cu WHERE k % 10 <> 1),
+          bi AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+          reach(a, b) AS (
+            SELECT a, b FROM bi
+            UNION
+            SELECT r.a, x.b FROM reach r JOIN bi x ON r.b = x.a),
+          rep AS (SELECT a AS n, least(a, min(b)) AS canon
+                  FROM reach GROUP BY a)
+        SELECT DISTINCT
+          COALESCE(rs.canon, f.s) AS s, f.p,
+          CASE WHEN f.o_kind = 'iri' THEN COALESCE(ro.canon, f.o_value)
+               ELSE f.o_value END AS o_value,
+          f.o_kind
+        FROM facts f
+        LEFT JOIN rep rs ON rs.n = f.s
+        LEFT JOIN rep ro ON ro.n = f.o_value
+        ORDER BY s, p, o_value, o_kind""",
     "rdf_void_summary" ->
       s"""WITH c AS (
             SELECT count(event_type) AS ct, count(user_id) AS cu,

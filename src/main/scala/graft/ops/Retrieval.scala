@@ -129,6 +129,87 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$dir/stats/ingest=$tag")
   }
 
+  /** Delete `deadDocs` from a persisted index WITHOUT rebuilding it —
+    * the opt-out / right-to-erasure path of sparse retrieval, the
+    * `ann_index_delete` twin. The removal lands as three O(delta)
+    * artifacts beside the index; nothing existing is rewritten:
+    *  - `_tombstones/ingest=<tag>` — the doc-id list every postings
+    *    read anti-joins (broadcast: it is the opt-out list, not the
+    *    corpus);
+    *  - a NEGATIVE dictionary ingest `terms/ingest=<tag>` — per-term
+    *    −(deleted docs containing the term), so the served df sum is
+    *    exactly the survivors' df;
+    *  - a NEGATIVE stats ingest — −n_docs / −sum_dl.
+    * BM25 is df- and avgdl-sensitive, so tombstoning the postings
+    * alone would serve WRONG scores for every SURVIVING doc; the
+    * negative ingests ride the additive per-ingest sums the read side
+    * already does, making deletion exact. Cost is one scan emitting
+    * the deleted docs' postings rows (O(delta × terms-per-doc));
+    * the oracle — full BM25 over the surviving corpus — proves
+    * delete-then-serve ≡ never-indexed bit-for-bit. */
+  private[ops] def deleteFromIndex(s: SparkSession, dir: String,
+      tag: String, deadDocs: DataFrame): Unit = {
+    val dead = s.read.parquet(s"$dir/postings")
+      .join(broadcast(deadDocs.select(col("doc_id"))), Seq("doc_id"),
+        "left_semi")
+    dead.groupBy(col("term"))
+      .agg((-count(lit(1))).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/terms/ingest=$tag")
+    dead.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg((-count(lit(1))).as("n_docs"), (-sum(col("dl"))).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats/ingest=$tag")
+    deadDocs.select(col("doc_id")).write.mode("overwrite")
+      .parquet(s"$dir/_tombstones/ingest=$tag")
+  }
+
+  /** Fold an index's whole ingest history — base build, appends, and
+    * tombstone deletions with their negative dictionary/stats ingests —
+    * into ONE fresh ingest under `out`: the MOR store's `compact()`
+    * applied to sparse retrieval, completing the index lifecycle
+    * (build → append → delete → compact). Reads ONLY index artifacts;
+    * the corpus is never re-tokenized:
+    *  - live postings (minus tombstoned docs) rewrite in the same
+    *    term-bucketed layout — O(live index), embarrassingly parallel;
+    *  - the per-ingest dictionaries and stats fold by the EXACT
+    *    additive sums [[servedIndex]] computes on every query, so
+    *    serving from the compacted index is byte-identical by
+    *    construction (the oracle still proves it end to end);
+    *  - terms whose containing docs were all erased drop out
+    *    (folded df ≤ 0), and the tombstone list disappears.
+    * After enough append/delete cycles this is what stops the read
+    * side paying per query for dead history: the anti-join, the
+    * multi-ingest dictionary fold, and the deleted postings rows all
+    * go away in one corpus-free rewrite. */
+  private[ops] def compactIndex(s: SparkSession, dir: String,
+      out: String): Unit = {
+    livePostings(s, dir)
+      .select(col("term"), col("doc_id"), col("dl"), col("positions"),
+        col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$out/postings/ingest=base")
+    s.read.parquet(s"$dir/terms")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+      .write.mode("overwrite").parquet(s"$out/terms/ingest=base")
+    s.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$out/stats/ingest=base")
+  }
+
+  /** The live postings scan — every serving path (BM25 scoring, phrase
+    * adjacency) reads through here, so tombstoned docs are unfindable
+    * everywhere. The existence probe is metadata-only; the anti-join
+    * broadcasts the (tiny) tombstone list over the bucket-pruned scan. */
+  private def livePostings(s: SparkSession, dir: String): DataFrame = {
+    val post = s.read.parquet(s"$dir/postings")
+    val tPath = new org.apache.hadoop.fs.Path(s"$dir/_tombstones")
+    val fs = tPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(tPath))
+      post.join(broadcast(s.read.parquet(s"$dir/_tombstones")
+          .select(col("doc_id"))), Seq("doc_id"), "left_anti")
+    else post
+  }
+
   /** Build-or-reuse the memoized full-corpus index (one per session ×
     * corpus — the production build-once/serve-many shape; the bench
     * clears it at the family boundary). */
@@ -154,8 +235,7 @@ object Retrieval {
         (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"))
     val dfreq = s.read.parquet(s"$dir/terms")
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
-    val post = s.read.parquet(s"$dir/postings")
-    (post, dfreq, stats)
+    (livePostings(s, dir), dfreq, stats)
   }
 
   /** Adjacent (t1, t2) candidate bigrams for the phrase search,
@@ -174,7 +254,7 @@ object Retrieval {
   private[ops] def phraseBigramCandidates(s: SparkSession, dir: String,
       phrases: DataFrame): DataFrame = {
     def pruned(terms: DataFrame) =
-      s.read.parquet(s"$dir/postings")
+      livePostings(s, dir)
         .join(broadcast(terms.distinct()
           .withColumn("bucket", bucketOf(col("term")))),
           Seq("bucket", "term"), "left_semi")
@@ -368,6 +448,52 @@ object Retrieval {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- index DELETION without rebuild: a batch of opt-out doc ids
+    // (never the query docs — the erasure request targets corpus
+    // content) lands as a tombstone list + negative dictionary/stats
+    // ingests; BM25 then serves over the survivors with EXACT df and
+    // avgdl — shares the full-rebuild arithmetic, and the oracle
+    // recomputes BM25 over `documents` minus the deleted set, so one
+    // stale df or one surviving tombstoned doc is a hash mismatch.
+    "retrieval_index_delete" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-postdel-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
+      val docs = Tables.documents(s, d)
+      writePostingsIngest(docs, dir, "base")
+      deleteFromIndex(s, dir, "d1",
+        docs.filter(col("doc_id") % 7 === 3 && col("doc_id") % QueryMod =!= 0)
+          .select(col("doc_id")))
+      bm25RanksFrom(s, dir, docs, depth = 5)
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("doc_id"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- index COMPACTION: the full lifecycle — base build over 2/3
+    // of the corpus, an append ingest for the rest, a tombstone
+    // deletion batch — folded into one fresh ingest, then served. The
+    // compacted index must answer exactly like the fragmented one, and
+    // the oracle recomputes BM25 from scratch over the surviving
+    // corpus, so the fold must preserve df/avgdl/n_docs to the bit
+    // while physically dropping every tombstone and dead-history row.
+    "retrieval_index_compact" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-postcmp-${System.nanoTime()}"
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-postcmp-out-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
+      graft.util.TempDirs.deleteOnExit(out)
+      val docs = Tables.documents(s, d)
+      writePostingsIngest(docs.filter(col("doc_id") % 3 =!= 2), dir, "base")
+      writePostingsIngest(docs.filter(col("doc_id") % 3 === 2), dir, "a1")
+      deleteFromIndex(s, dir, "d1",
+        docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % QueryMod =!= 0)
+          .select(col("doc_id")))
+      compactIndex(s, dir, out)
+      bm25RanksFrom(s, out, docs, depth = 5)
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("doc_id"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- recall audit for the index-served dense side (mirror of the
     // ann_*_recall twins): |served top-20 ∩ exact top-20| / |exact|
     // must clear the 0.7 floor — a deterministic property of the fixed
@@ -389,10 +515,10 @@ object Retrieval {
     * the ranked list down to `depth` — the same arithmetic order as the
     * Scala pipeline, contributions quantized to 1e-6 longs before the
     * order-free sum. */
-  private def bm25Ctes(depth: Int): String =
+  private def bm25Ctes(depth: Int, docWhere: String = "TRUE"): String =
     s"""toks AS (SELECT doc_id,
              string_split_regex(trim(text), '\\s+') AS tk
-           FROM documents),
+           FROM documents WHERE $docWhere),
         dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
         tf AS (SELECT doc_id, term, count(*) AS tf
                FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
@@ -434,6 +560,21 @@ object Retrieval {
     // append-then-serve ≡ full rebuild: the incremental index must
     // reproduce the single-shot BM25 answer bit-for-bit
     "retrieval_index_append" -> bm25TopkSql,
+    // delete-then-serve ≡ never-indexed: BM25 recomputed from scratch
+    // over the SURVIVING corpus (df, avgdl, n_docs all shrink) — the
+    // query docs are excluded from the erasure set, so the query side
+    // is unchanged
+    "retrieval_index_delete" ->
+      s"""WITH ${bm25Ctes(5, s"NOT (doc_id % 7 = 3 AND doc_id % $QueryMod <> 0)")}
+         SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+         FROM bmranked ORDER BY query_id, rank""",
+    // compact(base + append + delete) ≡ one fresh index over the
+    // survivors: same from-scratch recomputation shape as the delete
+    // oracle, different erasure set
+    "retrieval_index_compact" ->
+      s"""WITH ${bm25Ctes(5, s"NOT (doc_id % 5 = 0 AND doc_id % $QueryMod <> 0)")}
+         SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+         FROM bmranked ORDER BY query_id, rank""",
     // dense side = the full IVFADC index search recomputed end-to-end
     // (training CTEs included — the same block ann_ivfpq_bucketed's
     // oracle runs), ranked exactly as the served pipeline ranks
