@@ -423,6 +423,61 @@ final class DictMorStore(val spark: SparkSession, val path: String)
       .collect().map(_.getLong(0))
       .filter(_ != MergeOnReadStore.CompactedBatchId).sorted.toIndexedSeq
 
+  /** CHANGE DATA FEED in id space: [[MergeOnReadStore.changesBetween]]'s
+    * window-delta plan over `(graph, s_id, p_id, o_id)` — the touched
+    * identities broadcast-semi-join the history on three NEVER-NULL
+    * longs (plain equi keys, no `<=>`), both endpoint states aggregate
+    * 8-byte keys, and the dictionary decodes ONLY the change rows at
+    * the very end (CDF output is window-sized, so the decode joins
+    * are too — the store's full vocabulary never moves). */
+  def changesBetweenEncoded(fromBatch: Long, toBatch: Long): DataFrame = {
+    require(fromBatch >= 0 && toBatch >= fromBatch,
+      s"bad CDF window [$fromBatch, $toBatch]: need 0 <= from <= to")
+    val h = compactionHorizon()
+    require(h.forall(fromBatch >= _),
+      s"CDF baseline batch $fromBatch is unreachable: compaction folded " +
+        s"history up to batch ${h.get} into the base (retention trade)")
+    val keys = encSchema.fieldNames.toIndexedSeq
+    val deltas = readDeltas()
+    val touched = deltas
+      .filter(col("batch_id") > fromBatch && col("batch_id") <= toBatch)
+      .select(keys.map(col): _*).distinct()
+    val history = deltas.join(broadcast(touched), keys, "left_semi")
+    def stateAt(asOf: Long, side: Int) = history
+      .filter(col("batch_id") <= asOf
+        || col("batch_id") === MergeOnReadStore.CompactedBatchId)
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(col("op"), col("batch_id")).as("last_op"))
+      .filter(col("last_op") === "i")
+      .select(keys.map(col): _*)
+      .withColumn("cdf_side", lit(side))
+    stateAt(fromBatch, 0).unionByName(stateAt(toBatch, 1))
+      .groupBy(keys.map(col): _*)
+      .agg(max(when(col("cdf_side") === 0, 1).otherwise(0)).as("cdf_b"),
+        max(when(col("cdf_side") === 1, 1).otherwise(0)).as("cdf_a"))
+      .filter(col("cdf_b") =!= col("cdf_a"))
+      .withColumn("change",
+        when(col("cdf_a") === 1, lit("insert")).otherwise(lit("delete")))
+      .select(keys.map(col) :+ col("change"): _*)
+  }
+
+  /** Decoded CDF rows: the dictionary joins run over the window-sized
+    * change set, not the store. */
+  def changesBetween(fromBatch: Long, toBatch: Long): DataFrame = {
+    val enc = changesBetweenEncoded(fromBatch, toBatch)
+    val dict = readDict()
+    val sD = dict.select(col("id").as("_s_id"), col("v").as("s"))
+    val pD = dict.select(col("id").as("_p_id"), col("v").as("p"))
+    val oD = dict.select(col("id").as("_o_id"), col("v").as("o_value"),
+      col("dt").as("o_type"), col("lg").as("o_lang"), col("k").as("o_kind"))
+    enc
+      .join(sD, col("s_id") === col("_s_id"))
+      .join(pD, col("p_id") === col("_p_id"))
+      .join(oD, col("o_id") === col("_o_id"))
+      .select(GraphStore.schema.fieldNames.map(col).toIndexedSeq
+        :+ col("change"): _*)
+  }
+
   // ---- QuadStore surface: set-semantics ops as O(delta) deltas
   def appendDistinct(quads: DataFrame,
       knownGraphs: Option[Seq[String]] = None): Unit =

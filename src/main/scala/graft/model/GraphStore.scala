@@ -345,6 +345,62 @@ final class MergeOnReadStore(val spark: SparkSession, val path: String)
       .collect().map(_.getLong(0))
       .filter(_ != MergeOnReadStore.CompactedBatchId).sorted.toIndexedSeq
 
+  /** CHANGE DATA FEED: the net per-quad changes between the snapshot
+    * state as-of `fromBatch` (the exclusive baseline) and as-of
+    * `toBatch` (inclusive) — the Delta/Iceberg CDF read re-expressed on
+    * this plain-parquet MOR layout. Only quad identities WRITTEN inside
+    * the window can differ between the two snapshots, so the plan is
+    * O(window): the window's distinct touched identities BROADCAST into
+    * a semi-join that prunes the store's history to those keys in one
+    * map-side pass (no corpus shuffle, no full-snapshot
+    * materialization), then the two latest-wins endpoint states are
+    * compared by presence. Changes are quad-granular set-semantics
+    * deltas: a value update surfaces as the new identity's `insert`
+    * (plus the old identity's `delete` iff it was tombstoned) — exactly
+    * the semantics the store keeps, and what an incremental-maintenance
+    * consumer downstream wants to replay. Re-inserting an already-live
+    * quad or re-tombstoning a dead one inside the window nets to NO
+    * change row. `fromBatch` must be at or past the compaction horizon
+    * (the baseline state must still be reconstructible — same retention
+    * trade as [[readAsOf]]). */
+  def changesBetween(fromBatch: Long, toBatch: Long): DataFrame = {
+    require(fromBatch >= 0 && toBatch >= fromBatch,
+      s"bad CDF window [$fromBatch, $toBatch]: need 0 <= from <= to")
+    val h = compactionHorizon()
+    require(h.forall(fromBatch >= _),
+      s"CDF baseline batch $fromBatch is unreachable: compaction folded " +
+        s"history up to batch ${h.get} into the base (retention trade)")
+    val keys = schema.fieldNames.toIndexedSeq
+    val deltas = readDeltas()
+    val touched = deltas
+      .filter(col("batch_id") > fromBatch && col("batch_id") <= toBatch)
+      .select(keys.map(col): _*).distinct()
+    val d = deltas.alias("cdf_d")
+    val t = broadcast(touched).alias("cdf_k")
+    // Null-safe semi-join: o_type/o_lang are null for IRIs and plain
+    // literals (the dominant shapes) — see readMerged's anti-join note.
+    val cond = keys.map(k => col(s"cdf_d.$k") <=> col(s"cdf_k.$k"))
+      .reduce(_ && _)
+    val history = d.join(t, cond, "left_semi")
+    def stateAt(asOf: Long, side: Int) = history
+      .filter(col("batch_id") <= asOf
+        || col("batch_id") === MergeOnReadStore.CompactedBatchId)
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(col("op"), col("batch_id")).as("last_op"))
+      .filter(col("last_op") === "i")
+      .select(keys.map(col): _*)
+      .withColumn("cdf_side", lit(side))
+    // groupBy treats nulls as equal, so presence flags need no <=> here
+    stateAt(fromBatch, 0).unionByName(stateAt(toBatch, 1))
+      .groupBy(keys.map(col): _*)
+      .agg(max(when(col("cdf_side") === 0, 1).otherwise(0)).as("cdf_b"),
+        max(when(col("cdf_side") === 1, 1).otherwise(0)).as("cdf_a"))
+      .filter(col("cdf_b") =!= col("cdf_a"))
+      .withColumn("change",
+        when(col("cdf_a") === 1, lit("insert")).otherwise(lit("delete")))
+      .select(keys.map(col) :+ col("change"): _*)
+  }
+
   // ---- QuadStore surface: the engine's set-semantics ops re-expressed
   // as O(delta) writes (insert deltas / tombstones); the latest-wins
   // read supplies the dedup appendDistinct does eagerly.

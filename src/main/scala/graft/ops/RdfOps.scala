@@ -1583,6 +1583,70 @@ object RdfOps {
         .orderBy(col("version"), col("s"), col("o_value"))
     }),
 
+    // S6b CHANGE DATA FEED: net per-quad changes between MOR snapshots
+    // (the Delta/Iceberg CDF read) — same 4-batch nation history as
+    // rdf_store_mor, read back as two change windows: (1→2] nets the
+    // tombstone batch as deletes, (2→4] nets the #v2 inserts plus the
+    // batch-4 revivals (k%20==0, deleted at 2 and re-inserted at 4);
+    // re-inserts of still-live quads net to NOTHING. The plan is
+    // O(window): touched identities broadcast-semi-join the history
+    // (asserted in MorStoreSpec), no snapshot materializes. The oracle
+    // recomputes both windows' net effects from `nation`.
+    "rdf_store_cdc" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-cdc-${System.nanoTime()}"
+      val store = new graft.model.MergeOnReadStore(s, dir)
+      val g = "http://ex/nations"
+      def quads(df: DataFrame, value: Column) = df.select(
+        lit(g).as("graph"),
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+        lit("name").as("p"), value.as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      val nation = Tables.nation(s, d)
+      val key = col("n_nationkey")
+      store.appendDelta(quads(nation, col("n_name")), 1L)
+      store.appendDelta(quads(nation.filter(key % 5 === 0), col("n_name")), 2L, op = "d")
+      store.appendDelta(quads(nation.filter(key % 10 === 0),
+        concat(col("n_name"), lit("#v2"))), 3L)
+      store.appendDelta(quads(nation.filter(key % 4 === 0), col("n_name")), 4L)
+      Seq((1L, 2L), (2L, 4L))
+        .map { case (f, t) => store.changesBetween(f, t)
+          .select(lit(f).as("w_from"), lit(t).as("w_to"),
+            col("change"), col("s"), col("o_value")) }
+        .reduce(_ unionAll _)
+        .orderBy(col("w_from"), col("change"), col("s"), col("o_value"))
+    }),
+
+    // D-series twin: the same CDF read in ID SPACE on the dict MOR
+    // backend — touched keys and both endpoint aggregations run over
+    // (graph, 3 never-null longs); the dictionary decodes only the
+    // window-sized change set at the end. One (1→4] window: nets the
+    // still-tombstoned deletes (k%5==0 minus the k%20==0 revivals) and
+    // the #v2 inserts; everything else cancels.
+    "rdf_dict_cdc" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-dcdc-${System.nanoTime()}"
+      val store = new graft.model.DictMorStore(s, dir)
+      val g = "http://ex/nations"
+      def quads(df: DataFrame, value: Column) = df.select(
+        lit(g).as("graph"),
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+        lit("name").as("p"), value.as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      val nation = Tables.nation(s, d)
+      val key = col("n_nationkey")
+      store.appendDelta(quads(nation, col("n_name")), 1L)
+      store.appendDelta(quads(nation.filter(key % 5 === 0), col("n_name")), 2L, op = "d")
+      store.appendDelta(quads(nation.filter(key % 10 === 0),
+        concat(col("n_name"), lit("#v2"))), 3L)
+      store.appendDelta(quads(nation.filter(key % 4 === 0), col("n_name")), 4L)
+      store.changesBetween(1L, 4L)
+        .select(col("change"), col("s"), col("o_value"))
+        .orderBy(col("change"), col("s"), col("o_value"))
+    }),
+
     // SPARQL over a SNAPSHOT: the same MOR history, queried through
     // the full engine (parser→compiler) against SnapshotStore views —
     // a FILTER/ORDER SELECT evaluated as-of batch 1 (pre-tombstone)
@@ -2487,6 +2551,39 @@ ORDER BY s, p, o_value""",
            SELECT 4, 'nation:' || CAST(n_nationkey AS VARCHAR), n_name || '#v2'
            FROM nation WHERE n_nationkey % 10 = 0) t
          ORDER BY version, s, o_value""",
+    // CDF windows recomputed as net effects: (1→2] = the tombstone
+    // batch, (2→4] = #v2 inserts + k%20 revivals (re-inserts of
+    // still-live quads net to nothing and must NOT appear)
+    "rdf_store_cdc" ->
+      """SELECT w_from, w_to, change, s, o_value FROM (
+           SELECT CAST(1 AS BIGINT) AS w_from, CAST(2 AS BIGINT) AS w_to,
+             'delete' AS change,
+             'nation:' || CAST(n_nationkey AS VARCHAR) AS s,
+             n_name AS o_value
+           FROM nation WHERE n_nationkey % 5 = 0
+           UNION ALL
+           SELECT 2, 4, 'insert',
+             'nation:' || CAST(n_nationkey AS VARCHAR), n_name || '#v2'
+           FROM nation WHERE n_nationkey % 10 = 0
+           UNION ALL
+           SELECT 2, 4, 'insert',
+             'nation:' || CAST(n_nationkey AS VARCHAR), n_name
+           FROM nation WHERE n_nationkey % 20 = 0) t
+         ORDER BY w_from, change, s, o_value""",
+    // id-space CDF twin, one (1→4] window: still-tombstoned deletes
+    // (k%5==0 minus the revived k%20==0) + the #v2 inserts
+    "rdf_dict_cdc" ->
+      """SELECT change, s, o_value FROM (
+           SELECT 'delete' AS change,
+             'nation:' || CAST(n_nationkey AS VARCHAR) AS s,
+             n_name AS o_value
+           FROM nation
+           WHERE n_nationkey % 5 = 0 AND n_nationkey % 20 <> 0
+           UNION ALL
+           SELECT 'insert',
+             'nation:' || CAST(n_nationkey AS VARCHAR), n_name || '#v2'
+           FROM nation WHERE n_nationkey % 10 = 0) t
+         ORDER BY change, s, o_value""",
     // dict-encoded MOR twin: same oracle expression (shared state)
     "rdf_dict_mor" ->
       """SELECT s, p, o_value FROM (

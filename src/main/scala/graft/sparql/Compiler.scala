@@ -243,6 +243,11 @@ object Compiler {
     }.reduce(_ unionAll _)
   }
 
+  /** All-or-nothing option sequence (bound-join binding serialization:
+    * one unshippable term anywhere = fall back to the full fetch). */
+  private def traverseOpt[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get).toSeq) else None
+
   private def joinStep(acc: Option[DataFrame], accNullable: Set[String],
       next: DataFrame, nextNullable: Set[String]): DataFrame =
     acc match {
@@ -451,23 +456,86 @@ object Compiler {
         // degrades to a live federated fetch of the endpoint's dataset,
         // evaluated with the same local-join plan. SILENT unchanged:
         // any failure (unreachable host, non-200, bad JSON) = unit table.
-        val svcData = Services.lookup(iri).orElse {
-          if (!iri.startsWith("http://") && !iri.startsWith("https://")) None
-          else if (silent)
-            scala.util.Try(HttpService.fetchQuads(quads.sparkSession, iri))
-              .toOption
-          else Some(HttpService.fetchQuads(quads.sparkSession, iri))
-        }
-        svcData match {
-          case Some(svcQuads) =>
-            val (innerDf, innerNullable) =
-              compileGroupTracked(svcQuads, inner, None, None, None)
-            acc = Some(joinStep(acc, nullable, innerDf, innerNullable))
-            nullable ++= innerNullable
-          case None if silent => () // §4: SILENT failure = unit table
-          case None => throw new IllegalArgumentException(
-            s"unregistered SERVICE endpoint: <$iri> " +
-              "(register it via graft.sparql.Services.register)")
+        //
+        // BOUND JOIN (opt-in per endpoint via Services.enableBoundJoin;
+        // SPARQL 1.1 Fed §2.4 / the FedX VALUES-injection strategy):
+        // when the SERVICE group is a pure BGP, local bindings exist,
+        // and every shared variable is definitely bound, ship the BGP
+        // plus ONE batched VALUES block of the distinct shared bindings
+        // — the REMOTE engine does the selection and only
+        // join-surviving bindings cross the wire, instead of the whole
+        // endpoint dataset. Falls back to the full fetch whenever the
+        // shape can't carry it (non-BGP group, bnode bindings, no/soft
+        // shared vars, more than BoundJoinMaxBindings distinct rows).
+        val isHttp =
+          iri.startsWith("http://") || iri.startsWith("https://")
+        val registered = Services.lookup(iri)
+        val bgpPats: Seq[TriplePattern] =
+          inner.elems.collect { case Pat(tp) => tp }
+        val bjShared: Seq[String] =
+          if (registered.isEmpty && isHttp && Services.boundJoinEnabled(iri)
+            && acc.isDefined && bgpPats.length == inner.elems.length
+            && bgpPats.nonEmpty)
+            acc.get.columns.intersect(inner.vars.toSeq)
+              .filterNot(nullable).toSeq.sorted
+          else Seq.empty
+        // None = bound join not attempted (fall through to full fetch);
+        // Some(None) = attempted, SILENT failure (unit table);
+        // Some(Some(df)) = the remote's join-surviving bindings.
+        val boundJoin: Option[Option[DataFrame]] =
+          if (bjShared.isEmpty) None
+          else {
+            val rows = acc.get.select(bjShared.map(col): _*).distinct()
+              .limit(HttpService.BoundJoinMaxBindings + 1).collect()
+            val texts: Option[Seq[Seq[String]]] =
+              if (rows.length > HttpService.BoundJoinMaxBindings) None
+              else traverseOpt(rows.toSeq.map { r =>
+                traverseOpt(bjShared.indices.map { i =>
+                  Option(r.getStruct(i)).flatMap(t =>
+                    HttpService.termText(t.getAs[String]("v"),
+                      t.getAs[String]("k"), t.getAs[String]("dt"),
+                      t.getAs[String]("lg")))
+                })
+              })
+            texts match {
+              case None => None // unshippable bindings → full fetch
+              case Some(vals) =>
+                val projVars = inner.vars.toSeq.sorted
+                val q = HttpService.boundPatternQuery(
+                  bgpPats, projVars, bjShared, vals)
+                try Some(Some(HttpService.selectBindings(
+                  quads.sparkSession, iri, q, projVars)))
+                catch {
+                  case scala.util.control.NonFatal(e) =>
+                    if (silent) Some(None) else throw e
+                }
+            }
+          }
+        boundJoin match {
+          case Some(Some(bindings)) =>
+            // pure BGP: the remote binds every projected var in every
+            // surviving row, so nothing here is maybe-unbound
+            acc = Some(joinStep(acc, nullable, bindings, Set.empty))
+          case Some(None) => () // §4: SILENT failure = unit table
+          case None =>
+            val svcData = registered.orElse {
+              if (!isHttp) None
+              else if (silent)
+                scala.util.Try(HttpService.fetchQuads(quads.sparkSession, iri))
+                  .toOption
+              else Some(HttpService.fetchQuads(quads.sparkSession, iri))
+            }
+            svcData match {
+              case Some(svcQuads) =>
+                val (innerDf, innerNullable) =
+                  compileGroupTracked(svcQuads, inner, None, None, None)
+                acc = Some(joinStep(acc, nullable, innerDf, innerNullable))
+                nullable ++= innerNullable
+              case None if silent => () // §4: SILENT failure = unit table
+              case None => throw new IllegalArgumentException(
+                s"unregistered SERVICE endpoint: <$iri> " +
+                  "(register it via graft.sparql.Services.register)")
+            }
         }
       case GraphE(gNode, inner) =>
         flush()

@@ -86,6 +86,100 @@ object HttpService {
     }
   }
 
+  /** Bound-join batch ceiling: past this many distinct local bindings
+    * the VALUES text stops being a win (and some endpoints cap request
+    * sizes) — the compiler falls back to the whole-dataset fetch.
+    * FedX's bound-join block size makes the same trade at 15–25; ours
+    * is larger because we ship ONE batched request, not a loop. */
+  val BoundJoinMaxBindings = 512
+
+  private def escapeLit(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c => c.toString
+    }
+
+  private[sparql] def nodeText(n: Algebra.Node): String = n match {
+    case Algebra.V(name) => "?" + name
+    case Algebra.I(iri) => s"<$iri>"
+    case Algebra.L(v, dt, lang) =>
+      val base = "\"" + escapeLit(v) + "\""
+      if (lang != null) base + "@" + lang
+      else if (dt != null) base + "^^<" + dt + ">"
+      else base
+  }
+
+  /** One locally-bound term as SPARQL text for the VALUES block. Bnode
+    * labels are scoped to their originating store (RDF 1.1 §3.4) — not
+    * addressable across engines — so a bnode binding returns None and
+    * the caller falls back to the whole-dataset fetch. */
+  private[sparql] def termText(
+      v: String, k: String, dt: String, lg: String): Option[String] =
+    k match {
+      case Quad.KindIri => Some(s"<$v>")
+      case Quad.KindLiteral =>
+        Some("\"" + escapeLit(v) + "\"" +
+          (if (lg != null) "@" + lg
+          else if (dt != null) "^^<" + dt + ">"
+          else ""))
+      case _ => None
+    }
+
+  /** The bound-join request: the SERVICE group's BGP with the local
+    * bindings injected as a trailing VALUES block (SPARQL 1.1 Fed §2.4
+    * evaluation restricted to the incoming solutions — what FedX ships
+    * per block, batched into one request). */
+  private[sparql] def boundPatternQuery(
+      patterns: Seq[Algebra.TriplePattern], projVars: Seq[String],
+      sharedVars: Seq[String], rows: Seq[Seq[String]]): String = {
+    val pats = patterns
+      .map(tp => s"  ${nodeText(tp.s)} ${nodeText(tp.p)} ${nodeText(tp.o)} .")
+      .mkString("\n")
+    val vals = rows.map(_.mkString("(", " ", ")")).mkString(" ")
+    s"""SELECT ${projVars.map("?" + _).mkString(" ")} WHERE {
+       |$pats
+       |  VALUES (${sharedVars.map("?" + _).mkString(" ")}) { $vals }
+       |}""".stripMargin
+  }
+
+  /** POST an arbitrary SELECT and return its bindings as one
+    * term-struct column per projected variable (the compiler's binding
+    * representation; absent bindings = null structs = unbound). The
+    * response is join-surviving-bindings-sized — the remote did the
+    * selection — so driver-side materialization here is exactly the
+    * bound join's point. */
+  def selectBindings(spark: SparkSession, endpoint: String,
+      query: String, vars: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col, struct, when}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val root = mapper.readTree(fetchResultsJson(endpoint, query))
+    val rows = root.path("results").path("bindings").elements().asScala
+      .map { b =>
+        Row.fromSeq(vars.flatMap { v =>
+          Option(b.get(v)) match {
+            case Some(n) =>
+              val (value, dt, lg, kind) = termOf(n)
+              Seq(value, kind, dt, lg)
+            case None => Seq(null, null, null, null)
+          }
+        })
+      }.toSeq
+    val schema = StructType(vars.flatMap(v => Seq(
+      StructField(v + "__v", StringType), StructField(v + "__k", StringType),
+      StructField(v + "__dt", StringType),
+      StructField(v + "__lg", StringType))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .select(vars.map(v => when(col(v + "__v").isNotNull,
+        struct(col(v + "__v").as("v"), col(v + "__k").as("k"),
+          col(v + "__dt").as("dt"), col(v + "__lg").as("lg"))).as(v)): _*)
+  }
+
   /** Fetch the endpoint's full dataset as the engine's quad schema. */
   def fetchQuads(spark: SparkSession, endpoint: String): DataFrame = {
     val root = mapper.readTree(fetchResultsJson(endpoint, FetchQuery))

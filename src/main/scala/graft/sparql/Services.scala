@@ -35,5 +35,20 @@ object Services {
   def lookup(iri: String): Option[DataFrame] =
     Option(reg.get(iri)).map(_.apply())
 
-  def clear(): Unit = reg.clear()
+  def clear(): Unit = { reg.clear(); boundJoinIris.clear() }
+
+  /** Endpoints opted into FEDERATED BOUND JOINS (FedX-style VALUES
+    * injection): instead of fetching the endpoint's whole dataset, the
+    * compiler ships the SERVICE group's BGP plus a VALUES block of the
+    * locally-bound shared variables, so the REMOTE engine does the
+    * selection and only join-surviving bindings cross the wire. Opt-in
+    * because it changes what the remote sees (your bindings) and
+    * requires a query-evaluating endpoint — exactly the knob real
+    * federation engines expose. */
+  private val boundJoinIris =
+    ConcurrentHashMap.newKeySet[String]()
+
+  def enableBoundJoin(iri: String): Unit = { boundJoinIris.add(iri); () }
+  def disableBoundJoin(iri: String): Unit = { boundJoinIris.remove(iri); () }
+  def boundJoinEnabled(iri: String): Boolean = boundJoinIris.contains(iri)
 }

@@ -46,6 +46,33 @@ class DictMorStoreSpec extends AnyFunSuite {
     assert(merged(st) == Set(("a", "1")))
   }
 
+  test("changesBetween matches the string backend's CDF and stays id-typed") {
+    val dictSt = store()
+    val strSt = new MergeOnReadStore(spark,
+      Files.createTempDirectory("morcdf").toString + "/quads")
+    val batches = Seq(
+      (Seq(q("a", "1"), q("b", "1"), q("c", "1")), 1L, "i"),
+      (Seq(q("a", "1")), 2L, "d"),
+      (Seq(q("b", "1")), 3L, "i"),          // no-op re-insert: nets out
+      (Seq(q("d", "1"), q("a", "2")), 4L, "i"))
+    for ((qs, id, op) <- batches) {
+      dictSt.appendDelta(qs.toDF(), id, op)
+      strSt.appendDelta(qs.toDF(), id, op)
+    }
+    def rows(df: DataFrame): Set[(String, String, String)] =
+      df.collect().map(r => (r.getAs[String]("s"),
+        r.getAs[String]("o_value"), r.getAs[String]("change"))).toSet
+    for ((f, t) <- Seq((1L, 2L), (2L, 4L), (1L, 4L)))
+      assert(rows(dictSt.changesBetween(f, t)) == rows(strSt.changesBetween(f, t)),
+        s"window ($f, $t]")
+    // the encoded CDF carries 8-byte keys end to end (decode is last)
+    val enc = dictSt.changesBetweenEncoded(1L, 4L)
+    for (k <- Seq("s_id", "p_id", "o_id"))
+      assert(enc.schema(k).dataType == org.apache.spark.sql.types.LongType)
+    assert(rows(dictSt.changesBetween(1L, 4L)) ==
+      Set(("a", "1", "delete"), ("a", "2", "insert"), ("d", "1", "insert")))
+  }
+
   test("compact collapses history, preserves view, guards time travel") {
     val st = store()
     st.appendDelta(Seq(q("a", "1"), q("b", "1")).toDF(), 1L)

@@ -100,6 +100,91 @@ class HttpServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("opt-in bound join ships the BGP + VALUES; remote does the selection") {
+    import java.net.URLDecoder
+    withServer { (server, port) =>
+      val boundJson =
+        """{"head": {"vars": ["m", "stage", "t"]},
+          | "results": {"bindings": [
+          |  {"m": {"type": "uri", "value": "urn:m1"},
+          |   "stage": {"type": "literal", "value": "browse"},
+          |   "t": {"type": "literal", "value": "view"}}
+          | ]}}""".stripMargin
+      val queries = scala.collection.mutable.ArrayBuffer.empty[String]
+      server.createContext("/sparql", (exch: HttpExchange) => {
+        val posted = new String(exch.getRequestBody.readAllBytes(), "UTF-8")
+        val q = URLDecoder.decode(posted.stripPrefix("query="), "UTF-8")
+        queries.synchronized { queries += q; () }
+        // a bound-join request is evaluated; anything else gets the
+        // full-dataset document (the fetch fallback)
+        val body = if (q.contains("VALUES")) boundJson else resultsJson
+        val bytes = body.getBytes("UTF-8")
+        exch.getResponseHeaders.set(
+          "Content-Type", "application/sparql-results+json")
+        exch.sendResponseHeaders(200, bytes.length)
+        exch.getResponseBody.write(bytes); exch.close()
+      })
+      val endpoint = s"http://127.0.0.1:$port/sparql"
+      graft.sparql.Services.enableBoundJoin(endpoint)
+      try {
+        val engine = freshEngine()
+        val got = engine.select(s"""
+          SELECT ?s ?stage FROM <http://g/main>
+          WHERE { ?s <${ex}type> ?t .
+                  SERVICE <$endpoint> {
+                    ?m <${ex}etype> ?t ; <${ex}stage> ?stage } }""").collect()
+        assert(got.length == 1)
+        assert(got.head.getString(0) == ex + "x")
+        assert(got.head.getString(1) == "browse")
+        val bound = queries.synchronized(queries.toSeq)
+          .filter(_.contains("VALUES"))
+        assert(bound.nonEmpty, s"no bound-join request seen: $queries")
+        // the shipped query is the BGP + the two distinct local ?t
+        // bindings, nothing else — the endpoint's dataset never moves
+        assert(bound.head.contains(s"?m <${ex}etype> ?t ."))
+        assert(bound.head.contains(s"?m <${ex}stage> ?stage ."))
+        assert(bound.head.contains("VALUES (?t)"))
+        assert(bound.head.contains("(\"view\")") &&
+          bound.head.contains("(\"error\")"))
+        // a non-BGP SERVICE group falls back to the whole-dataset fetch
+        queries.synchronized(queries.clear())
+        val opt = engine.select(s"""
+          SELECT ?s ?stage FROM <http://g/main>
+          WHERE { ?s <${ex}type> ?t .
+                  SERVICE <$endpoint> {
+                    ?m <${ex}etype> ?t
+                    OPTIONAL { ?m <${ex}stage> ?stage } } }""").collect()
+        assert(opt.length == 1) // only ?t="view" matches the fetched data
+        assert(queries.synchronized(queries.toSeq)
+          .forall(!_.contains("VALUES")))
+      } finally graft.sparql.Services.disableBoundJoin(endpoint)
+    }
+  }
+
+  test("SILENT bound join on a dead endpoint degrades to the unit table") {
+    val deadPort = {
+      val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      val p = s.getAddress.getPort; s.stop(0); p
+    }
+    val endpoint = s"http://127.0.0.1:$deadPort/sparql"
+    graft.sparql.Services.enableBoundJoin(endpoint)
+    try {
+      val engine = freshEngine()
+      val silent = engine.select(s"""
+        SELECT ?s FROM <http://g/main>
+        WHERE { ?s <${ex}type> ?t .
+                SERVICE SILENT <$endpoint> {
+                  ?m <${ex}etype> ?t } }""").collect()
+      assert(silent.length == 2) // outer rows survive
+      intercept[Exception] {
+        engine.select(s"""
+          SELECT ?s FROM <http://g/main>
+          WHERE { ?s <${ex}type> ?t .
+                  SERVICE <$endpoint> { ?m <${ex}etype> ?t } }""").collect()
+      }
+    } finally graft.sparql.Services.disableBoundJoin(endpoint)
+  }
+
   test("SILENT swallows dead endpoints; non-SILENT HTTP errors are loud") {
     // grab a port, then stop the server: connection refused
     val deadPort = {

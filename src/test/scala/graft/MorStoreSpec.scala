@@ -47,6 +47,53 @@ class MorStoreSpec extends AnyFunSuite {
     assert(merged(st) == Set(("a", "1")))
   }
 
+  test("changesBetween nets window writes against both snapshot endpoints") {
+    val st = store()
+    st.appendDelta(Seq(q("a", "1"), q("b", "1"), q("c", "1")).toDF(), 1L)
+    st.appendDelta(Seq(q("a", "1")).toDF(), 2L, op = "d")     // delete a
+    st.appendDelta(Seq(q("b", "1")).toDF(), 3L)               // no-op re-insert
+    st.appendDelta(Seq(q("d", "1")).toDF(), 4L)               // new insert
+    st.appendDelta(Seq(q("e", "1")).toDF(), 5L)
+    st.appendDelta(Seq(q("e", "1")).toDF(), 6L, op = "d")     // insert+delete cancels
+    def cdc(f: Long, t: Long): Set[(String, String)] =
+      st.changesBetween(f, t).collect().map(r =>
+        (r.getAs[String]("s"), r.getAs[String]("change"))).toSet
+    // the live re-insert of b and the cancelled e must NOT appear
+    assert(cdc(1L, 6L) == Set(("a", "delete"), ("d", "insert")))
+    // CDF ≡ snapshot diff, both directions, on every window
+    for ((f, t) <- Seq((1L, 3L), (2L, 5L), (1L, 6L))) {
+      val before = st.readAsOf(f).collect().map(_.getAs[String]("s")).toSet
+      val after = st.readAsOf(t).collect().map(_.getAs[String]("s")).toSet
+      val changes = cdc(f, t)
+      assert(changes.filter(_._2 == "insert").map(_._1) == (after -- before))
+      assert(changes.filter(_._2 == "delete").map(_._1) == (before -- after))
+    }
+    // empty window nets nothing
+    assert(cdc(6L, 6L).isEmpty)
+  }
+
+  test("changesBetween broadcast-semi-joins the touched identities (O(window) plan)") {
+    val st = store()
+    st.appendDelta(Seq(q("a", "1"), q("b", "1")).toDF(), 1L)
+    st.appendDelta(Seq(q("a", "1")).toDF(), 2L, op = "d")
+    val plan = st.changesBetween(1L, 2L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected a broadcast semi-join pruning history to touched keys:\n$plan")
+  }
+
+  test("changesBetween rejects a baseline older than the compaction horizon") {
+    val st = store()
+    st.appendDelta(Seq(q("a", "1")).toDF(), 1L)
+    st.appendDelta(Seq(q("b", "1")).toDF(), 2L)
+    st.compact("g")
+    st.appendDelta(Seq(q("c", "1")).toDF(), 3L)
+    val e = intercept[IllegalArgumentException](st.changesBetween(1L, 3L).collect())
+    assert(e.getMessage.contains("unreachable"))
+    // at-or-past the horizon still works
+    assert(st.changesBetween(2L, 3L).collect().map(_.getAs[String]("s")).toSet == Set("c"))
+  }
+
   test("compact collapses history but preserves the merged view") {
     val st = store()
     st.appendDelta(Seq(q("a", "1"), q("b", "1")).toDF(), 1L)
