@@ -200,7 +200,111 @@ object Dedup {
       posexplode(array(bandCols: _*)).as(Seq("band", "bandHash")))
   }
 
+  /** Suffix-sort depth cap (tokens). Bounded depth is what keeps the
+    * sort key bounded (D × token bytes) at 100 TB; any dedup threshold
+    * in practice sits far below it (Lee et al. 2022 cut at 50 BPE
+    * tokens). A FULL-depth suffix array would instead run O(log n)
+    * prefix-doubling rounds over (rank, rank@+2^k) pairs — strictly
+    * more shuffles for resolution past D that substring dedup never
+    * reads. */
+  private val SuffixDepth = 24
+  /** Minimum repeat length (tokens) worth reporting. */
+  private val SuffixMinRepeat = 10
+
+  /** Token-level longest-common-prefix of two arrays, evaluated as one
+    * codegen'd fold (count of leading equal positions; zip_with pads
+    * the shorter side with null, which compares unequal). */
+  private def tokenLcp(a: Column, b: Column): Column = {
+    val eqs = zip_with(a, b, (x, y) => coalesce((x === y).cast("int"), lit(0)))
+    aggregate(eqs, struct(lit(0).as("n"), lit(1).as("alive")),
+      (acc, e) => {
+        val alive = acc.getField("alive") === 1 && e === 1
+        struct(
+          when(alive, acc.getField("n") + 1)
+            .otherwise(acc.getField("n")).as("n"),
+          when(alive, 1).otherwise(0).as("alive"))
+      }).getField("n")
+  }
+
+  /** Top-20 maximal repeated token substrings of `docs` (a (doc_id,
+    * text, …) frame), lengths capped at `depth`: all in-doc suffixes
+    * truncated to `depth` tokens are range-partitioned and sorted once;
+    * a repeat of >= `minRepeat` tokens is exactly an adjacent sorted
+    * pair sharing that prefix, so the report is one linear pass over
+    * the sorted order. Adjacency = partition-local lead() plus the P-1
+    * cross-partition boundary pairs from a P-row min/max aggregate
+    * (driver-tiny). Suffixes shorter than `minRepeat` are dropped
+    * up front: they can never carry a qualifying repeat, and every
+    * suffix INSIDE a qualifying run keeps >= minRepeat tokens (it
+    * starts with the repeated prefix), so the >=minRepeat adjacency
+    * structure is untouched. Returns (rep_len, rep, n_pairs) ordered
+    * (rep_len desc, rep). */
+  def suffixRepeats(docs: DataFrame, minRepeat: Int = SuffixMinRepeat,
+      depth: Int = SuffixDepth): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = docs.sparkSession
+    val sfx = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "_t")))
+      .where(size(col("toks")) - col("pos") >= minRepeat)
+      .select(col("doc_id"), col("pos"),
+        slice(col("toks"), col("pos") + 1, lit(depth)).as("sfx"))
+    val sorted = sfx
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("sfx"))
+      .sortWithinPartitions(col("sfx"), col("doc_id"), col("pos"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("sfx"), col("doc_id"), col("pos"))
+    val within = sorted
+      .select(col("sfx"), lead(col("sfx"), 1).over(w).as("nxt"))
+      .where(col("nxt").isNotNull)
+    // cross-partition seams: each partition's extreme suffixes under
+    // the SAME total order; P rows to the driver, consecutive
+    // non-empty partitions pair hi(i) -> lo(i+1)
+    val ends = sorted.groupBy(col("pid"))
+      .agg(min(struct(col("sfx"), col("doc_id"), col("pos"))).as("lo"),
+        max(struct(col("sfx"), col("doc_id"), col("pos"))).as("hi"))
+      .select(col("pid"), col("lo.sfx").as("lo"), col("hi.sfx").as("hi"))
+      .orderBy(col("pid")).collect()
+    import s.implicits._
+    val boundary = ends.toSeq.sliding(2).collect {
+      case scala.collection.Seq(a, b) =>
+        (a.getSeq[String](2), b.getSeq[String](1)) // hi(i), lo(i+1)
+    }.toSeq.toDF("sfx", "nxt")
+    val out = within.unionByName(boundary)
+      .select(col("sfx"), tokenLcp(col("sfx"), col("nxt")).as("lcp"))
+      .where(col("lcp") >= minRepeat)
+      .select(col("lcp").cast("long").as("rep_len"),
+        concat_ws(" ", slice(col("sfx"), lit(1), col("lcp"))).as("rep"))
+      .groupBy(col("rep_len"), col("rep"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("rep_len").desc, col("rep"))
+      .limit(20)
+    // eager, lineage-cutting materialization (20 rows) so the scan
+    // cache can be dropped before the caller's action
+    val result = out.localCheckpoint()
+    sorted.unpersist(blocking = false)
+    result
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- maximal repeated substrings by bounded-depth SUFFIX SORTING
+    // (the suffix-array dedup shape of Lee et al. 2022, depth-capped):
+    // every in-doc suffix, truncated to SuffixDepth tokens, is
+    // range-partitioned and sorted ONCE; a repeated run of >= L tokens
+    // is exactly an adjacent sorted pair sharing an L-token prefix, so
+    // the repeat report is one linear pass over the sorted order —
+    // never doc×doc pairs, never corpus² substrings, and (unlike the
+    // fixed-stride dedup_token_windows) it reports the MAXIMAL repeat
+    // length up to the cap, not a fixed window size. Adjacency is
+    // partition-local lead() plus the P-1 cross-partition boundary
+    // pairs from a P-row min/max aggregate (driver-tiny). The oracle
+    // re-sorts all suffixes in SQL and replays the same token-LCP.
+    "dedup_suffix_repeats" -> ((s, d) =>
+      suffixRepeats(Tables.fanOut(Tables.documents(s, d)))),
+
     // ---- exact dedup summary (hash-groupBy)
     "dedup_exact" -> ((s, d) => {
       val g = Tables.documents(s, d)
@@ -501,6 +605,31 @@ object Dedup {
       FROM reach GROUP BY a ORDER BY doc_id"""
 
   def oracleSql: Map[String, String] = Map(
+    // the sorted-suffix semantics replayed single-node: same suffixes
+    // (depth 24, >=10 tokens), one global sort, lead() adjacency, the
+    // same monotone prefix-equality LCP, same >=10 report. Adjacent-LCP
+    // multisets are invariant under tie order, so the distributed
+    // partition seams cannot show up here.
+    "dedup_suffix_repeats" ->
+      """WITH toks AS (SELECT doc_id,
+               string_split_regex(trim(text), '\s+') AS t FROM documents),
+           sfx AS (SELECT doc_id, i - 1 AS pos,
+               t[i : least(i + 23, len(t))] AS s
+             FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t))) AS i FROM toks) x
+             WHERE len(t) - i + 1 >= 10),
+           ordered AS (SELECT doc_id, pos, s,
+               lead(s) OVER (ORDER BY s, doc_id, pos) AS nxt FROM sfx),
+           pairs AS (SELECT s,
+               len(list_filter(generate_series(1, least(len(s), len(nxt))),
+                               j -> s[1:j] = nxt[1:j])) AS lcp
+             FROM ordered WHERE nxt IS NOT NULL),
+           reps AS (SELECT CAST(lcp AS BIGINT) AS rep_len,
+               array_to_string(s[1:lcp], ' ') AS rep
+             FROM pairs WHERE lcp >= 10)
+         SELECT rep_len, rep, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM reps GROUP BY rep_len, rep
+         ORDER BY rep_len DESC, rep LIMIT 20""",
     "dedup_exact" ->
       """SELECT CAST(sum(c) AS BIGINT) AS n_docs,
            count(*) AS n_distinct_texts,

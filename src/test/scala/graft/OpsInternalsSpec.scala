@@ -13,6 +13,31 @@ import graft.TestSpark
 class OpsInternalsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("suffix repeats: planted cross-doc run reported at its maximal length") {
+    import spark.implicits._
+    val run = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      10L -> s"aa bb cc $run dd ee ff gg hh",
+      20L -> s"zz yy $run xx ww vv uu tt ss rr").toDF("doc_id", "text")
+    val reps = Dedup.suffixRepeats(docs, minRepeat = 5).collect()
+    // the maximal repeat is the full 12-token run, found once
+    val top = reps.head
+    assert(top.getLong(0) == 12L && top.getString(1) == run
+      && top.getLong(2) == 1L)
+    // suffix-array nesting: every suffix of the run >= minRepeat tokens
+    // is itself an adjacent repeated prefix (lengths 12 down to 5)
+    val lens = reps.map(_.getLong(0)).toSeq.sorted
+    assert(lens == (5L to 12L).toSeq,
+      s"expected nested run suffixes 5..12, got $lens")
+    reps.foreach(r => assert(run.endsWith(r.getString(1)),
+      s"every repeat must be a suffix of the planted run: ${r.getString(1)}"))
+    // no >=5-token repeat exists in a repeat-free corpus
+    val clean = Seq(
+      1L -> "a b c d e f g h i j",
+      2L -> "k l m n o p q r s t").toDF("doc_id", "text")
+    assert(Dedup.suffixRepeats(clean, minRepeat = 5).count() == 0)
+  }
+
   test("index delete: delete-then-serve == never-indexed, bit for bit") {
     import spark.implicits._
     // doc 0 (doc_id % 50 == 0) is the query; docs 3 and 7 get erased
