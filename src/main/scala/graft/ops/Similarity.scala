@@ -40,6 +40,47 @@ object Similarity {
   private[ops] def vecsN(s: SparkSession, d: String): DataFrame =
     vecs(s, d).withColumn("nrm", norm(col("v")))
 
+  /** Hard-negative mining: per query (rows of `vecsN` matching
+    * `isQuery`), the top-`k` exact-cosine neighbors with every neighbor
+    * in the query's TRANSITIVE near-dup cluster excluded (connected
+    * components over `pairs`, the dedup family's closure). Transitive
+    * exclusion is the point: a chain-connected duplicate whose direct
+    * cosine sits below any gate is a FALSE negative that poisons a
+    * contrastive loss, and a plain cos-threshold filter would keep it.
+    * Cluster tables are pair-graph-node-sized (≪ corpus) and broadcast;
+    * at 100 TB the scoring side serves from the persisted IVFADC index
+    * (ann_ivfpq_persisted proves that path) with the same windowed
+    * re-rank + exclusion. `vecsN` columns: (vec_id, v, nrm); `pairs`:
+    * (i, j, …). Returns (query_id, rank, neighbor, cos). */
+  def hardNegatives(vecsN: DataFrame, pairs: DataFrame,
+      isQuery: Column, k: Int = 5): DataFrame = {
+    val cl = Dedup.clusterAssign(pairs)
+    val queries = vecsN.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val scored = vecsN
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+    val qcl = cl.select(col("doc_id").as("query_id"),
+      col("cluster_rep").as("qrep"))
+    val ncl = cl.select(col("doc_id").as("vec_id"),
+      col("cluster_rep").as("nrep"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .join(broadcast(qcl), Seq("query_id"), "left")
+      .join(broadcast(ncl), Seq("vec_id"), "left")
+      // absent from the pair graph = singleton cluster (own id)
+      .where(coalesce(col("qrep"), col("query_id")) =!=
+        coalesce(col("nrep"), col("vec_id")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Banded-LSH candidate pairs verified by exact cosine at >= 0.45 —
     * (i, j, cos), i < j, each pair once. Memoized + persisted per
     * (session, dir): embed_neardup and embed_semantic_dedup consume the
@@ -148,6 +189,26 @@ object Similarity {
         .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
         .orderBy(col("i"), col("j"))
     }),
+
+    // ---- HARD-NEGATIVE MINING for contrastive/retrieval training:
+    // per query, the closest neighbors that are verifiably NOT
+    // duplicates — candidates are ranked by exact cosine, then every
+    // neighbor in the query's TRANSITIVE near-dup cluster (connected
+    // components over the verified >=0.45 pair graph, the dedup
+    // family's closure) is excluded before the top-k cut. Transitive
+    // exclusion is the point: a chain-connected duplicate whose direct
+    // cosine sits below any gate is a FALSE negative that poisons the
+    // contrastive loss, and a plain cos-threshold filter would keep it.
+    // Cluster tables are pair-graph-node-sized (≪ corpus) and
+    // broadcast; at 100 TB the scoring side serves from the persisted
+    // IVFADC index (ann_ivfpq_persisted proves that path) with the
+    // same windowed re-rank + exclusion.
+    // The query set (% 28) deliberately includes near-dup cluster
+    // members at test scale so the exclusion path is exercised, not
+    // vacuously green.
+    "embed_hard_negatives" -> ((s, d) =>
+      hardNegatives(vecsN(s, d), lshVerifiedPairs(s, d),
+        col("vec_id") % 28 === 0)),
 
     // ---- brute-force cosine top-k for a deterministic query subset
     "ann_bruteforce_topk" -> ((s, d) => {
@@ -1164,6 +1225,40 @@ object Similarity {
          WHERE rn <= 5 ORDER BY query_id, rn"""
 
   private val baseOracleSql: Map[String, String] = Map(
+    // the full mining pipeline replayed: >=0.45 pair graph → recursive
+    // min-label closure (dedup_clusters' rep rule) → exact cosine
+    // ranking with same-cluster neighbors excluded → top-5
+    "embed_hard_negatives" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS i, b.vec_id AS j
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+         bi AS (SELECT i AS a, j AS b FROM pairs
+                UNION SELECT j, i FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM bi
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN bi e ON r.b = e.a),
+         cl AS (SELECT a AS id, least(a, min(b)) AS rep
+                FROM reach GROUP BY a),
+         q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id % 28 = 0),
+         scored AS (
+           SELECT q.query_id, b.vec_id AS neighbor,
+             round(CAST(list_cosine_similarity(q.qe, b.embedding)
+                        AS DOUBLE), 4) AS cos
+           FROM q JOIN embeddings b ON b.vec_id <> q.query_id),
+         kept AS (
+           SELECT s.query_id, s.neighbor, s.cos,
+             row_number() OVER (PARTITION BY s.query_id
+               ORDER BY s.cos DESC, s.neighbor) AS rn
+           FROM scored s
+           LEFT JOIN cl cq ON cq.id = s.query_id
+           LEFT JOIN cl cn ON cn.id = s.neighbor
+           WHERE coalesce(cq.rep, s.query_id)
+                 <> coalesce(cn.rep, s.neighbor))
+         SELECT query_id, CAST(rn AS INT) AS rank, neighbor, cos
+         FROM kept WHERE rn <= 5 ORDER BY query_id, rank""",
     "embed_neardup" ->
       """SELECT a.vec_id AS i, b.vec_id AS j,
            round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos

@@ -14,6 +14,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("hard negatives exclude chain-connected dups a direct cos gate would keep") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // unit vectors at 0deg (A), 40deg (B), 80deg (C), 85deg (E):
+    // cos(A,B)=cos(B,C)=0.766 (dup pairs), cos(A,C)=0.174, cos(A,E)=0.087
+    def v(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val vecs = Seq((0L, v(0), 1.0), (1L, v(40), 1.0),
+      (2L, v(80), 1.0), (3L, v(85), 1.0)).toDF("vec_id", "v", "nrm")
+    val dupPairs = Seq((0L, 1L), (1L, 2L)).toDF("i", "j")
+    val negs = ops.Similarity.hardNegatives(
+      vecs, dupPairs, col("vec_id") === 0L, k = 5).collect()
+    // C (cos 0.174) outranks E (0.087) but sits in A's cluster through
+    // the B chain — only the transitive exclusion removes it; a plain
+    // cos >= 0.45 dup gate would have kept it as a false negative
+    assert(negs.map(_.getLong(2)).toSeq == Seq(3L),
+      s"expected only E(3) as a negative, got ${negs.toSeq}")
+  }
+
   test("minhash-LSH finds exactly the exact-jaccard near-dup pairs") {
     val exact = pairs("dedup_ngram_jaccard")
     val lsh = pairs("dedup_minhash_lsh")
