@@ -1618,6 +1618,47 @@ object RdfOps {
         .orderBy(col("w_from"), col("change"), col("s"), col("o_value"))
     }),
 
+    // CDF CONSUMER — incremental view maintenance: a downstream
+    // aggregate (quad counts per leading o_value letter) materialized
+    // at batch 2 is REFRESHED to batch 4 by folding the (2→4] change
+    // feed into it (+1 per insert, -1 per delete, zero groups dropped)
+    // — never rescanning the store. This is the maintenance algebra a
+    // 100 TB consumer runs on every CDF poll: the refresh join is
+    // change-feed-sized, and equality with the full recompute is
+    // exactly what the oracle checks (it recomputes the batch-4 state
+    // from `nation` directly).
+    "rdf_cdc_refresh" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-cdcr-${System.nanoTime()}"
+      val store = new graft.model.MergeOnReadStore(s, dir)
+      val g = "http://ex/nations"
+      def quads(df: DataFrame, value: Column) = df.select(
+        lit(g).as("graph"),
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+        lit("name").as("p"), value.as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      val nation = Tables.nation(s, d)
+      val key = col("n_nationkey")
+      store.appendDelta(quads(nation, col("n_name")), 1L)
+      store.appendDelta(quads(nation.filter(key % 5 === 0), col("n_name")), 2L, op = "d")
+      store.appendDelta(quads(nation.filter(key % 10 === 0),
+        concat(col("n_name"), lit("#v2"))), 3L)
+      store.appendDelta(quads(nation.filter(key % 4 === 0), col("n_name")), 4L)
+      // group key = value length (the synthetic names vary there;
+      // key suffixes and the #v2 tag spread the histogram)
+      val vlen = length(col("o_value")).cast("long").as("vlen")
+      val base = store.readAsOf(2L).groupBy(vlen)
+        .agg(count(lit(1)).as("n"))
+      val delta = store.changesBetween(2L, 4L).groupBy(vlen)
+        .agg(sum(when(col("change") === "insert", 1L).otherwise(-1L)).as("dn"))
+      base.join(delta, Seq("vlen"), "full")
+        .select(col("vlen"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"))
+        .where(col("n") > 0)
+        .orderBy(col("vlen"))
+    }),
+
     // D-series twin: the same CDF read in ID SPACE on the dict MOR
     // backend — touched keys and both endpoint aggregations run over
     // (graph, 3 never-null longs); the dictionary decodes only the
@@ -2570,6 +2611,21 @@ ORDER BY s, p, o_value""",
              'nation:' || CAST(n_nationkey AS VARCHAR), n_name
            FROM nation WHERE n_nationkey % 20 = 0) t
          ORDER BY w_from, change, s, o_value""",
+    // incremental maintenance ≡ recompute: the expected output is the
+    // batch-4 state's letter histogram computed directly — if the
+    // CDF fold drifted from the recompute by even one group, the hash
+    // would break
+    "rdf_cdc_refresh" ->
+      """SELECT vlen, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT CAST(len(n_name) AS BIGINT) AS vlen
+           FROM nation WHERE n_nationkey % 5 <> 0
+           UNION ALL
+           SELECT CAST(len(n_name) AS BIGINT)
+           FROM nation WHERE n_nationkey % 20 = 0
+           UNION ALL
+           SELECT CAST(len(n_name) + 3 AS BIGINT)
+           FROM nation WHERE n_nationkey % 10 = 0) t
+         GROUP BY vlen ORDER BY vlen""",
     // id-space CDF twin, one (1→4] window: still-tombstoned deletes
     // (k%5==0 minus the revived k%20==0) + the #v2 inserts
     "rdf_dict_cdc" ->

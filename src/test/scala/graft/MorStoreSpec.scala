@@ -72,6 +72,30 @@ class MorStoreSpec extends AnyFunSuite {
     assert(cdc(6L, 6L).isEmpty)
   }
 
+  test("CDF fold maintains an aggregate exactly: base(v) + changes == recompute") {
+    import org.apache.spark.sql.functions._
+    val st = store()
+    st.appendDelta(Seq(q("a", "x1"), q("b", "x2"), q("c", "y1")).toDF(), 1L)
+    st.appendDelta(Seq(q("a", "x1")).toDF(), 2L, op = "d")
+    st.appendDelta(Seq(q("d", "y2"), q("a", "z9")).toDF(), 3L)
+    st.appendDelta(Seq(q("c", "y1")).toDF(), 4L, op = "d")
+    def hist(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.groupBy(substring(col("o_value"), 1, 1).as("k"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((f, t) <- Seq((1L, 3L), (2L, 4L), (1L, 4L))) {
+      val base = hist(st.readAsOf(f))
+      val deltas = st.changesBetween(f, t).collect()
+        .groupBy(_.getAs[String]("o_value").take(1))
+        .view.mapValues(_.map(r =>
+          if (r.getAs[String]("change") == "insert") 1L else -1L).sum).toMap
+      val folded = (base.keySet ++ deltas.keySet).map(k =>
+        k -> (base.getOrElse(k, 0L) + deltas.getOrElse(k, 0L)))
+        .filter(_._2 > 0).toMap
+      assert(folded == hist(st.readAsOf(t)), s"window ($f, $t]")
+    }
+  }
+
   test("changesBetween broadcast-semi-joins the touched identities (O(window) plan)") {
     val st = store()
     st.appendDelta(Seq(q("a", "1"), q("b", "1")).toDF(), 1L)
