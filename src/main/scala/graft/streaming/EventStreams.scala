@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.Trigger
@@ -26,6 +26,13 @@ object EventStreams {
 
   /** state for the stateful-distinct operator (product-encodable) */
   case class SeenTypes(types: Seq[String])
+
+  /** Per-quad liveness state for the streaming CDC derivation: the
+    * latest-wins winner so far (max batch id + its op). Order-
+    * insensitive by construction — micro-batches may deliver delta
+    * FILES in any order, and max-by-batch-id lands on the same state
+    * regardless. */
+  case class QuadLive(bestBatch: Long, live: Boolean)
 
   private val nameCounter = new AtomicInteger
 
@@ -203,6 +210,81 @@ object EventStreams {
       store.readGraphs(Seq(g))
         .groupBy(col("o_value")).agg(count(lit(1)).as("n_events"))
         .orderBy(col("o_value"))
+    }),
+
+    // ---- STREAMING CDC DERIVATION: tail a merge-on-read store's raw
+    // delta directory as a FILE STREAM and derive net change rows with
+    // stateful latest-wins liveness per quad identity — the streaming
+    // twin of MergeOnReadStore.changesBetween, for consumers that want
+    // changes pushed instead of polled. Raw deltas are NOT change rows
+    // (a re-insert of a live quad must net to nothing; a tombstone of a
+    // dead one too), so flatMapGroupsWithState keeps (max batch id, its
+    // op) per identity — order-insensitive, because file streaming
+    // makes no cross-file ordering promise — and emits a row only when
+    // LIVENESS flips. Downstream, the emitted +1/-1 fold into the same
+    // maintained histogram rdf_cdc_refresh builds by polling; flip
+    // sequences cancel, so the fold is batch-boundary- and file-order-
+    // independent (= oracle-checkable: shares rdf_cdc_refresh's
+    // recompute oracle). maxFilesPerTrigger forces several micro-
+    // batches, so state genuinely carries across them.
+    "stream_cdc_tail" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-sctail-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
+      val store = new graft.model.MergeOnReadStore(s, s"$dir/quads")
+      val g = "http://ex/nations"
+      def quads(df: DataFrame, value: Column) = df.select(
+        lit(g).as("graph"),
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+        lit("name").as("p"), value.as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      val nation = Tables.nation(s, d)
+      val key = col("n_nationkey")
+      store.appendDelta(quads(nation, col("n_name")), 1L)
+      store.appendDelta(quads(nation.filter(key % 5 === 0), col("n_name")), 2L, op = "d")
+      store.appendDelta(quads(nation.filter(key % 10 === 0),
+        concat(col("n_name"), lit("#v2"))), 3L)
+      store.appendDelta(quads(nation.filter(key % 4 === 0), col("n_name")), 4L)
+      val deltaSchema = StructType(graft.model.GraphStore.schema.fields ++ Seq(
+        StructField("batch_id", LongType), StructField("op", StringType)))
+      val tail = s.readStream.schema(deltaSchema)
+        .option("basePath", s"$dir/quads")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(s"$dir/quads")
+        .select(
+          concat_ws("\u0001", col("graph"), col("s"), col("p"),
+            col("o_value"), coalesce(col("o_type"), lit("")),
+            coalesce(col("o_lang"), lit("")), col("o_kind")).as("qk"),
+          length(col("o_value")).cast("long").as("vlen"),
+          col("batch_id"), col("op"))
+        .as[(String, Long, Long, String)]
+      val changes = tail.groupByKey(_._1)
+        .flatMapGroupsWithState[QuadLive, (Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (_: String, rows: Iterator[(String, Long, Long, String)],
+           state: GroupState[QuadLive]) =>
+            val batch = rows.toSeq
+            val vlen = batch.head._2
+            val prev = state.getOption
+            val incoming = batch.maxBy(_._3)
+            val best = prev match {
+              case Some(p) if p.bestBatch >= incoming._3 => p
+              case _ => QuadLive(incoming._3, incoming._4 == "i")
+            }
+            state.update(best)
+            val wasLive = prev.exists(_.live)
+            if (best.live == wasLive) Iterator.empty
+            else Iterator((vlen, if (best.live) 1L else -1L))
+        }.toDF("vlen", "dn")
+      runToTable(changes, "append")
+        .groupBy(col("vlen"))
+        .agg(sum(col("dn")).cast("long").as("n"))
+        .where(col("n") > 0)
+        .orderBy(col("vlen"))
     }),
 
     // ---- custom streaming state: flatMapGroupsWithState tracks the
@@ -425,6 +507,19 @@ object EventStreams {
     "stream_mor_ingest" ->
       """SELECT event_type AS o_value, count(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // net change fold from an empty baseline = the final state's
+    // histogram (flip sequences cancel) — rdf_cdc_refresh's recompute
+    "stream_cdc_tail" ->
+      """SELECT vlen, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT CAST(len(n_name) AS BIGINT) AS vlen
+           FROM nation WHERE n_nationkey % 5 <> 0
+           UNION ALL
+           SELECT CAST(len(n_name) AS BIGINT)
+           FROM nation WHERE n_nationkey % 20 = 0
+           UNION ALL
+           SELECT CAST(len(n_name) + 3 AS BIGINT)
+           FROM nation WHERE n_nationkey % 10 = 0) t
+         GROUP BY vlen ORDER BY vlen""",
     "stream_dict_ingest" ->
       """SELECT event_type AS o_value, count(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
