@@ -272,7 +272,24 @@ object Plans {
         "span; the only exchange is the RangePartitioning on z that IS " +
         "the layout write; the read-back scan shows PushedFilters on " +
         "tsu — at lakehouse scale the per-file min/max boxes this " +
-        "query measures are what the table format would prune with."))
+        "query measures are what the table format would prune with."),
+    "rdf_store_cdc" ->
+      ("the change feed is O(window): the window's touched identities " +
+        "enter as the BUILD side of a BroadcastHashJoin LeftSemi over " +
+        "the delta scan — the store history is pruned map-side, no " +
+        "corpus shuffle, and both endpoint-state aggregations run over " +
+        "touched keys only (window-sized exchanges)."),
+    "dedup_suffix_repeats" ->
+      ("one RangePartitioning exchange on the depth-capped suffix key " +
+        "IS the suffix sort; adjacency is a partition-local Window " +
+        "(lead) — no global single-partition sort — and the LCP fold " +
+        "is a codegen'd higher-order aggregate, so the only other " +
+        "exchange is the final tiny repeat groupBy."),
+    "embed_hard_negatives" ->
+      ("both cluster tables enter as BroadcastHashJoins (pair-graph-" +
+        "node-sized); the scoring join broadcasts the query vectors, " +
+        "so the corpus side is scan + dot product in one codegen span " +
+        "with a single window top-k exchange on query_id."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -233,7 +233,8 @@ object Dedup {
     * pair sharing that prefix, so the report is one linear pass over
     * the sorted order. Adjacency = partition-local lead() plus the P-1
     * cross-partition boundary pairs from a P-row min/max aggregate
-    * (driver-tiny). Suffixes shorter than `minRepeat` are dropped
+    * (chained by a row-number self-join, nothing driver-side).
+    * Suffixes shorter than `minRepeat` are dropped
     * up front: they can never carry a qualifying repeat, and every
     * suffix INSIDE a qualifying run keeps >= minRepeat tokens (it
     * starts with the repeated prefix), so the >=minRepeat adjacency
@@ -254,26 +255,26 @@ object Dedup {
       .repartitionByRange(s.sparkContext.defaultParallelism, col("sfx"))
       .sortWithinPartitions(col("sfx"), col("doc_id"), col("pos"))
       .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy(col("pid"))
       .orderBy(col("sfx"), col("doc_id"), col("pos"))
     val within = sorted
       .select(col("sfx"), lead(col("sfx"), 1).over(w).as("nxt"))
       .where(col("nxt").isNotNull)
     // cross-partition seams: each partition's extreme suffixes under
-    // the SAME total order; P rows to the driver, consecutive
-    // non-empty partitions pair hi(i) -> lo(i+1)
+    // the SAME total order (a P-row aggregate), chained hi(i)→lo(i+1)
+    // by a row_number self-join — all inside ONE lazy plan, so both
+    // consumers of the range sort share its exchange (ReusedExchange)
+    // and the partition boundaries are trivially consistent. The
+    // unpartitioned window is over <= P rows — not a data-sized sort.
     val ends = sorted.groupBy(col("pid"))
       .agg(min(struct(col("sfx"), col("doc_id"), col("pos"))).as("lo"),
         max(struct(col("sfx"), col("doc_id"), col("pos"))).as("hi"))
-      .select(col("pid"), col("lo.sfx").as("lo"), col("hi.sfx").as("hi"))
-      .orderBy(col("pid")).collect()
-    import s.implicits._
-    val boundary = ends.toSeq.sliding(2).collect {
-      case scala.collection.Seq(a, b) =>
-        (a.getSeq[String](2), b.getSeq[String](1)) // hi(i), lo(i+1)
-    }.toSeq.toDF("sfx", "nxt")
-    val out = within.unionByName(boundary)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("pid"))))
+    val boundary = ends.alias("a")
+      .join(ends.alias("b"), col("a.rn") + 1 === col("b.rn"))
+      .select(col("a.hi.sfx").as("sfx"), col("b.lo.sfx").as("nxt"))
+    within.unionByName(boundary)
       .select(col("sfx"), tokenLcp(col("sfx"), col("nxt")).as("lcp"))
       .where(col("lcp") >= minRepeat)
       .select(col("lcp").cast("long").as("rep_len"),
@@ -282,11 +283,6 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("rep_len").desc, col("rep"))
       .limit(20)
-    // eager, lineage-cutting materialization (20 rows) so the scan
-    // cache can be dropped before the caller's action
-    val result = out.localCheckpoint()
-    sorted.unpersist(blocking = false)
-    result
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -854,3 +854,79 @@ object DictEngineProbe {
     spark.stop()
   }
 }
+
+/** CHANGE-DATA-FEED scale probe: is [[graft.model.MergeOnReadStore.changesBetween]]
+  * O(window) rather than O(store)? A FIXED-size change window (the 1×
+  * slice's %97 inserts + %193 tombstones) is applied to a base store
+  * grown 1×/3×/10×, and the CDF read's shuffle-write bytes are
+  * measured. The history prune is a broadcast semi-join — map-side, no
+  * shuffle of the base — and both endpoint-state aggregations run over
+  * touched keys only, so bytes must stay flat while the base grows.
+  */
+object CdcScaleProbe {
+
+  private final class ShuffleBytes
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
+  private def measured[T](spark: SparkSession)(f: => T): (T, Long) = {
+    val l = new ShuffleBytes
+    spark.sparkContext.addSparkListener(l)
+    val r = f
+    Thread.sleep(1500)
+    spark.sparkContext.removeSparkListener(l)
+    (r, l.bytes.get)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+      else Seq(1, 3, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName("graft-cdc-scale-probe")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val g = "http://ex/events"
+    val nullS = lit(null).cast("string")
+
+    def quadsOf(ev: org.apache.spark.sql.DataFrame) = ev.select(
+      lit(g).as("graph"),
+      concat(lit("urn:ev:"), col("event_id").cast("string")).as("s"),
+      lit("etype").as("p"), col("event_type").as("o_value"),
+      nullS.as("o_type"), nullS.as("o_lang"), lit("literal").as("o_kind"))
+
+    factors.foreach { f =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-cdcprobe-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
+      val store = new graft.model.MergeOnReadStore(spark, dir)
+      val ev0 = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"))
+      val base = (0 until f).map(r =>
+        ev0.withColumn("event_id", col("event_id") + lit(r * 1000000000L)))
+        .reduce(_ unionAll _)
+      store.appendDelta(quadsOf(base), 1L)
+      // FIXED-size window regardless of factor: new values in, a slice
+      // of the ORIGINAL base out
+      val ins = quadsOf(ev0.filter(pmod(col("event_id"), lit(97)) === 0)
+        .withColumn("event_type", concat(col("event_type"), lit("#late"))))
+      val del = quadsOf(ev0.filter(pmod(col("event_id"), lit(193)) === 0))
+      store.appendDelta(ins, 2L)
+      store.appendDelta(del, 3L, op = "d")
+      val nBase = base.count()
+      val (nChanges, bytes) = measured(spark) {
+        store.changesBetween(1L, 3L).count()
+      }
+      println(s"""{"probe":"cdc_fixed_window","factor":$f,"base_rows":$nBase,""" +
+        s""""change_rows":$nChanges,"cdf_shuffle_bytes":$bytes}""")
+    }
+    spark.stop()
+  }
+}
