@@ -39,6 +39,31 @@ object Relational3 {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // ---- q36: RANGE window frame — a TRUE time-based rolling
+    // aggregate (trailing-hour sum + row count per user), the frame
+    // kind q29's ROW-offset suite can't express: the frame holds every
+    // row within the time bound, however many that is. Epoch-double
+    // ordering keeps the frame arithmetic identical across engines
+    // (both compute micros/1e6; unix_timestamp would TRUNCATE
+    // sub-second parts and shift boundaries), and the summed value is
+    // DECIMAL so the rolling addition is exact — a double sum's
+    // result depends on frame iteration order, which no two engines
+    // share. One hashpartitioning(user_id) exchange, one Window.
+    "q36_rolling_range" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsec"))
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("double").as("tsec"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .withColumn("rolling_1h", sum(col("v")).over(w))
+        .withColumn("n_1h", count(lit(1)).over(w).cast("long"))
+        .select(col("event_id"), col("user_id"), col("rolling_1h"),
+          col("n_1h"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- q30: ordered-event funnel (view -> click -> purchase): each
     // stage keeps users whose first stage-N event strictly follows their
     // first stage-(N-1) event. Three filtered min-aggregations chained
@@ -191,6 +216,17 @@ object Relational3 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // same epoch-double ordering + inclusive RANGE bounds + exact
+    // decimal rolling sum
+    "q36_rolling_range" ->
+      """SELECT event_id, user_id, rolling_1h, n_1h FROM (
+           SELECT event_id, user_id,
+             sum(CAST(value AS DECIMAL(18,2))) OVER w AS rolling_1h,
+             CAST(count(*) OVER w AS BIGINT) AS n_1h
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)) t
+         ORDER BY event_id""",
     // the bucket layout is oracle-invisible: same join, same numbers
     "q35_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
