@@ -36,6 +36,16 @@ final class GraphEngine(val store: QuadStore) {
     this
   }
 
+  /** Plan with the store's PERSISTED stats artifact
+    * ([[graft.sparql.StoreStats]] — written once, refreshed
+    * delta-sized on append): two vocabulary-sized parquet reads, no
+    * store scan — the 100 TB planner-startup path, where statistics
+    * are metadata the store maintains, not a per-engine aggregate. */
+  def withStoredStats(): GraphEngine = {
+    stats = Some(graft.sparql.StoreStats.load(store))
+    this
+  }
+
   /** Run plan construction with this engine's stats in planner scope —
     * and, over a [[graft.model.DictBackend]] store, a fresh per-operation
     * [[graft.sparql.DictContext]] (fresh so the constant-id memo can

@@ -46,6 +46,7 @@ object Profile {
     val ns = "http://localhost/"
     val g = "https://data.example.org/graph/profile_rdf"
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-prof-${System.nanoTime()}"
+    graft.util.TempDirs.deleteOnExit(dir)
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables.events(spark, sfDir).select(to_json(struct(
       col("event_type"), col("user_id"), col("event_id"))).as("json"))

@@ -14,6 +14,10 @@ import org.apache.spark.sql.types._
   */
 trait QuadStore {
   def spark: SparkSession
+  /** The store's root directory — auxiliary artifacts (the cardinality
+    * stats summary, dictionaries) live in underscore-prefixed
+    * subdirectories beside the quad partitions. */
+  def path: String
   def read(): DataFrame
   /** The merge (union) of the given named graphs — SPARQL `USING`. */
   def readGraphs(graphs: Seq[String]): DataFrame
@@ -501,6 +505,7 @@ final class MergeOnReadStore(val spark: SparkSession, val path: String)
 final class SnapshotStore(underlying: MergeOnReadStore, asOf: Long)
     extends QuadStore {
   def spark: SparkSession = underlying.spark
+  def path: String = underlying.path
   def read(): DataFrame = underlying.readAsOf(asOf)
   def readGraphs(graphs: Seq[String]): DataFrame =
     read().where(col("graph").isin(graphs: _*))

@@ -251,10 +251,20 @@ object Dedup {
       .where(size(col("toks")) - col("pos") >= minRepeat)
       .select(col("doc_id"), col("pos"),
         slice(col("toks"), col("pos") + 1, lit(depth)).as("sfx"))
+    // MATERIALIZE the range-sorted frame once (lineage-truncating local
+    // checkpoint, the clusterAssign pattern): `within` and `ends` below
+    // both consume it, and their consistency REQUIRES one physical
+    // partitioning. Relying on ReuseExchange for that is fragile — if
+    // reuse is disabled or canonicalization misses, the two branches
+    // run independent range exchanges whose sampled boundaries (seeded
+    // by RDD id) can differ, so spark_partition_id() disagrees and
+    // seam pairs are missed or duplicated. After the checkpoint both
+    // consumers read the SAME stored blocks by construction.
     val sorted = sfx
       .repartitionByRange(s.sparkContext.defaultParallelism, col("sfx"))
       .sortWithinPartitions(col("sfx"), col("doc_id"), col("pos"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val w = Window.partitionBy(col("pid"))
       .orderBy(col("sfx"), col("doc_id"), col("pos"))
     val within = sorted
@@ -262,10 +272,8 @@ object Dedup {
       .where(col("nxt").isNotNull)
     // cross-partition seams: each partition's extreme suffixes under
     // the SAME total order (a P-row aggregate), chained hi(i)→lo(i+1)
-    // by a row_number self-join — all inside ONE lazy plan, so both
-    // consumers of the range sort share its exchange (ReusedExchange)
-    // and the partition boundaries are trivially consistent. The
-    // unpartitioned window is over <= P rows — not a data-sized sort.
+    // by a row_number self-join. The unpartitioned window is over <= P
+    // rows — not a data-sized sort.
     val ends = sorted.groupBy(col("pid"))
       .agg(min(struct(col("sfx"), col("doc_id"), col("pos"))).as("lo"),
         max(struct(col("sfx"), col("doc_id"), col("pos"))).as("hi"))

@@ -136,6 +136,7 @@ object RdfOps {
     // byte-identical graphs.
     "rdf_mapping_pipeline" -> ((s, _) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-kg-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val store = graft.queries.Fixtures.ingestAll(s, dir)
       val p = new graft.pipeline.Pipeline(store)
       graft.pipeline.ReferenceTexts.loadMappingTexts() match {
@@ -202,6 +203,7 @@ object RdfOps {
     // that grows with the scale factor (unlike the fixture pipeline).
     "rdf_mapping_scale" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-mapscale-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val g = "https://data.example.org/graph/events_rdf"
       val docs = Tables.events(s, d).select(to_json(struct(
         col("event_type"), col("user_id"), col("event_id"))).as("json"))
@@ -285,6 +287,7 @@ object RdfOps {
       val dir = java.nio.file.Files.createTempDirectory("graft-nq")
       java.nio.file.Files.writeString(dir.resolve("data.nq"), nquadsFixture)
       val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft-nqs-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(storeDir)
       val engine = new graft.GraphEngine(new graft.model.GraphStore(s, storeDir))
       engine.update(s"LOAD <file://${dir.resolve("data.nq")}>")
       engine.store.readGraphs(
@@ -315,6 +318,7 @@ object RdfOps {
       val dir = java.nio.file.Files.createTempDirectory("graft-jsonld")
       java.nio.file.Files.writeString(dir.resolve("data.jsonld"), jsonldFixture)
       val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft-jld-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(storeDir)
       val engine = new graft.GraphEngine(new graft.model.GraphStore(s, storeDir))
       engine.update(s"LOAD <file://${dir.resolve("data.jsonld")}>")
       engine.store.readGraphs(
@@ -351,6 +355,7 @@ object RdfOps {
         graft.model.Quad("g", "http://ex/b", "http://ex/note",
           "line1\nline2", null, null, "literal"))
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-xmlrt-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       graft.rdf.RdfXml.write(src.toDS().toDF(), dir)
       graft.rdf.RdfXml.read(s, dir, "g").toDF()
         .select(
@@ -384,6 +389,7 @@ object RdfOps {
         graft.model.Quad("g", "http://ex/b", "http://ex/note",
           "line1\nline2", null, null, "literal"))
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ttlrt-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       graft.rdf.Turtle.write(src.toDS().toDF(), dir)
       graft.rdf.Turtle.read(s, dir, "g").toDF()
         .select(
@@ -417,6 +423,7 @@ object RdfOps {
         graft.model.Quad("http://g/x", "http://ex/b", "http://ex/note",
           "line1\nline2", null, null, "literal"))
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-jldrt-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       graft.rdf.JsonLd.write(src.toDS().toDF(), dir)
       graft.rdf.JsonLd.read(s, dir).toDF()
         .select(col("graph"),
@@ -431,6 +438,7 @@ object RdfOps {
     // bnode paths + BIND, CLEAR, executed by GraphEngine from raw text
     "rdf_sparql_update" -> ((s, _) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-sparql-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val engine = new graft.GraphEngine(new graft.model.GraphStore(s, dir))
       engine.update("""
         PREFIX ex: <http://ex/>
@@ -461,6 +469,7 @@ object RdfOps {
     // reference's posted update files are covered beyond one-op texts.
     "rdf_sparql_update_seq" -> ((s, _) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-seq-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val engine = new graft.GraphEngine(new graft.model.GraphStore(s, dir))
       engine.update("""
         PREFIX ex: <http://ex/>
@@ -507,6 +516,7 @@ object RdfOps {
     // partition-scoped fast path; the oracle pins the final state.
     "rdf_sparql_quad_template" -> ((s, _) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-qt-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val engine = new graft.GraphEngine(new graft.model.GraphStore(s, dir))
       engine.update("""
         INSERT DATA { GRAPH <http://ex/src> {
@@ -535,6 +545,7 @@ object RdfOps {
     // the store's live graph list (a metadata listing, no scan).
     "rdf_clear_scopes" -> ((s, _) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-scopes-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val engine = new graft.GraphEngine(new graft.model.GraphStore(s, dir))
       engine.update("""
         INSERT DATA {
@@ -696,6 +707,7 @@ object RdfOps {
     // rewrite). The oracle recomputes the surviving set from `nation`.
     "rdf_sparql_delete" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-del-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val g = "http://ex/nations"
       val store = new graft.model.GraphStore(s, dir)
       store.append(Tables.nation(s, d).select(
@@ -722,6 +734,7 @@ object RdfOps {
     // hash join; VALUES to a joined literal table.
     "rdf_sparql_minus" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-min-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val g = "http://ex/customers"
       val store = new graft.model.GraphStore(s, dir)
       val cust = Tables.customer(s, d)
@@ -757,6 +770,7 @@ object RdfOps {
     // fractional arithmetic is exercised inside the FILTER instead.
     "rdf_sparql_filter_expr" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-fexpr-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val g = "http://ex/custx"
       val store = new graft.model.GraphStore(s, dir)
       val cust = Tables.customer(s, d)
@@ -793,6 +807,7 @@ object RdfOps {
     // full term identity. Oracle recomputes relationally.
     "rdf_sparql_values_builtins" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-tvals-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val g = "http://ex/custv"
       val store = new graft.model.GraphStore(s, dir)
       val cust = Tables.customer(s, d)
@@ -834,6 +849,7 @@ object RdfOps {
     // one scan; the oracle recomputes from `events` relationally.
     "rdf_sparql_datetime" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-dt-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val g = "http://ex/ev"
       val store = new GraphStore(s, dir)
       val ev = Tables.events(s, d)
@@ -877,6 +893,7 @@ object RdfOps {
     // pitfall). The oracle recomputes relationally from `customer`.
     "rdf_sparql_groupby" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-gby-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val g = "http://ex/custg"
       val store = new graft.model.GraphStore(s, dir)
       val cust = Tables.customer(s, d)
@@ -910,6 +927,7 @@ object RdfOps {
     // was taken whenever no aggregate was projected).
     "rdf_sparql_groupby_noagg" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-gbn-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val g = "http://ex/custn"
       val store = new graft.model.GraphStore(s, dir)
       val cust = Tables.customer(s, d)
@@ -940,6 +958,7 @@ object RdfOps {
     // oracle is DuckDB's ordered string_agg.
     "rdf_sparql_group_concat" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-gc-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val g = "http://ex/nat"
       val store = new GraphStore(s, dir)
       val nat = Tables.nation(s, d)
@@ -968,6 +987,7 @@ object RdfOps {
     // state the oracle reconstructs.
     "rdf_graph_management" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-gm-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val store = new GraphStore(s, dir)
       val engine = new graft.GraphEngine(store)
       def toQuads(df: org.apache.spark.sql.DataFrame, g: String,
@@ -1008,6 +1028,7 @@ object RdfOps {
     // alternative first hop desugars to joins + UNION at parse time.
     "rdf_sparql_path" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-path-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val g = "http://ex/geo"
       val store = new graft.model.GraphStore(s, dir)
       def iriQuads(df: org.apache.spark.sql.DataFrame, sCol: Column,
@@ -1044,6 +1065,7 @@ object RdfOps {
     // 25-node chain, localCheckpoint per round.
     "rdf_sparql_path_closure" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-clos-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val g = "http://ex/chain"
       val store = new graft.model.GraphStore(s, dir)
       store.append(Tables.nation(s, d)
@@ -1101,6 +1123,7 @@ object RdfOps {
     // O(all pairs). Results must equal the unseeded semantics exactly.
     "rdf_sparql_path_seeded" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-seed-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val g = "http://ex/chain"
       val store = new graft.model.GraphStore(s, dir)
       val nat = Tables.nation(s, d).filter(col("n_nationkey") < 24)
@@ -1137,6 +1160,7 @@ object RdfOps {
     // `+` closure query.
     "rdf_sparql_path_star" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-star-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val g = "http://ex/chain"
       val store = new graft.model.GraphStore(s, dir)
       store.append(Tables.nation(s, d)
@@ -1163,6 +1187,7 @@ object RdfOps {
     // enumeration of the predicate vocabulary.
     "rdf_sparql_path_neg" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-neg-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val g = "http://ex/negset"
       val store = new graft.model.GraphStore(s, dir)
       val nat = Tables.nation(s, d)
@@ -1193,6 +1218,7 @@ object RdfOps {
     // subquery; one distinct + one hash anti join on ?c).
     "rdf_sparql_exists" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ex-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val g = "http://ex/sales"
       val store = new graft.model.GraphStore(s, dir)
       val custQ = Tables.customer(s, d).select(
@@ -1232,6 +1258,7 @@ object RdfOps {
     // self-join in user code (the engine plans groupBy + equi-join).
     "rdf_sparql_subquery" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-subq-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val g = "http://ex/custs"
       val store = new graft.model.GraphStore(s, dir)
       store.append(Tables.customer(s, d).select(
@@ -1258,6 +1285,7 @@ object RdfOps {
     // triple; everything else is untouched.
     "rdf_sparql_modify" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-mod-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val g = "http://ex/nations"
       val store = new graft.model.GraphStore(s, dir)
       store.append(Tables.nation(s, d).select(
@@ -1285,6 +1313,7 @@ object RdfOps {
     // inside the scoped group. Oracle derives the graph from parity.
     "rdf_sparql_graph_var" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-gvar-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val store = new graft.model.GraphStore(s, dir)
       store.append(Tables.nation(s, d).select(
         when(col("n_nationkey") % 2 === 0, "http://ex/even")
@@ -1306,6 +1335,7 @@ object RdfOps {
     // only — here the odd partition, so even nations never bind ?g.
     "rdf_sparql_from_named" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-fnam-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val store = new graft.model.GraphStore(s, dir)
       store.append(Tables.nation(s, d).select(
         when(col("n_nationkey") % 2 === 0, "http://ex/even")
@@ -1327,6 +1357,7 @@ object RdfOps {
     // polarities folded into one deterministic row.
     "rdf_sparql_ask" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ask-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val g = "http://ex/nations"
       val store = new graft.model.GraphStore(s, dir)
       store.append(Tables.nation(s, d).select(
@@ -1348,6 +1379,7 @@ object RdfOps {
     // explode pass, same machinery as INSERT); nothing hits the store.
     "rdf_sparql_construct" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-cst-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val g = "http://ex/nations"
       val store = new graft.model.GraphStore(s, dir)
       store.append(Tables.nation(s, d).select(
@@ -1375,6 +1407,7 @@ object RdfOps {
     // anonymous address node so the closure edge is actually exercised.
     "rdf_sparql_describe" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-desc-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val g = "http://ex/nations"
       val store = new graft.model.GraphStore(s, dir)
       val n = Tables.nation(s, d)
@@ -1415,6 +1448,7 @@ object RdfOps {
     // oracle, is identical to rdf_sparql_delete's.
     "rdf_sparql_delete_mor" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-delmor-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val g = "http://ex/nations"
       val store = new graft.model.MergeOnReadStore(s, dir)
       store.appendDistinct(Tables.nation(s, d).select(
@@ -1441,6 +1475,7 @@ object RdfOps {
     // the oracle recomputes the expected merged set from `nation`.
     "rdf_store_mor" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-mor-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val store = new graft.model.MergeOnReadStore(s, dir)
       val g = "http://ex/nations"
       def quads(df: DataFrame, value: Column) = df.select(
@@ -1560,6 +1595,7 @@ object RdfOps {
     // from `nation`.
     "rdf_store_timetravel" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-tt-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val store = new graft.model.MergeOnReadStore(s, dir)
       val g = "http://ex/nations"
       def quads(df: DataFrame, value: Column) = df.select(
@@ -1594,6 +1630,7 @@ object RdfOps {
     // recomputes both windows' net effects from `nation`.
     "rdf_store_cdc" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-cdc-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val store = new graft.model.MergeOnReadStore(s, dir)
       val g = "http://ex/nations"
       def quads(df: DataFrame, value: Column) = df.select(
@@ -1629,6 +1666,7 @@ object RdfOps {
     // from `nation` directly).
     "rdf_cdc_refresh" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-cdcr-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val store = new graft.model.MergeOnReadStore(s, dir)
       val g = "http://ex/nations"
       def quads(df: DataFrame, value: Column) = df.select(
@@ -1667,6 +1705,7 @@ object RdfOps {
     // the #v2 inserts; everything else cancels.
     "rdf_dict_cdc" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-dcdc-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val store = new graft.model.DictMorStore(s, dir)
       val g = "http://ex/nations"
       def quads(df: DataFrame, value: Column) = df.select(
@@ -1696,6 +1735,7 @@ object RdfOps {
     // reads; the snapshot rejects updates loudly (spec).
     "rdf_sparql_asof" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-sasof-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val store = new graft.model.MergeOnReadStore(s, dir)
       val g = "http://ex/nations"
       def quads(df: DataFrame, value: Column) = df.select(
@@ -1728,6 +1768,7 @@ object RdfOps {
     // S6/S9/Q13: store lifecycle — append, clear, re-append, scoped read
     "rdf_store_lifecycle" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-store-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val store = new GraphStore(s, dir)
       // both appends are actions over the same flatten — persist so the
       // JSON parse runs once, not per write

@@ -42,22 +42,25 @@ object Relational3 {
     // ---- q36: RANGE window frame — a TRUE time-based rolling
     // aggregate (trailing-hour sum + row count per user), the frame
     // kind q29's ROW-offset suite can't express: the frame holds every
-    // row within the time bound, however many that is. Epoch-double
-    // ordering keeps the frame arithmetic identical across engines
-    // (both compute micros/1e6; unix_timestamp would TRUNCATE
-    // sub-second parts and shift boundaries), and the summed value is
-    // DECIMAL so the rolling addition is exact — a double sum's
-    // result depends on frame iteration order, which no two engines
-    // share. One hashpartitioning(user_id) exchange, one Window.
+    // row within the time bound, however many that is. INTEGER
+    // MICROSECOND ordering keeps the frame arithmetic identical across
+    // engines: every ts here carries sub-second micros, and epoch-
+    // as-double / epoch-as-truncated-seconds semantics vary across
+    // oracle versions, so only exact integer bounds are portable. The
+    // summed value is DECIMAL so the rolling addition is exact, and
+    // the result is cast back to DECIMAL(18,2) on BOTH sides so no
+    // engine-specific sum-widening (28,2 vs 38,2) enters the hash.
+    // One hashpartitioning(user_id) exchange, one Window.
     "q36_rolling_range" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("tsec"))
-        .rangeBetween(-3600L, 0L)
+        .orderBy(col("tus"))
+        .rangeBetween(-3600000000L, 0L)
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
-          col("ts").cast("double").as("tsec"),
+          unix_micros(col("ts")).as("tus"),
           col("value").cast("decimal(18,2)").as("v"))
-        .withColumn("rolling_1h", sum(col("v")).over(w))
+        .withColumn("rolling_1h",
+          sum(col("v")).over(w).cast("decimal(18,2)"))
         .withColumn("n_1h", count(lit(1)).over(w).cast("long"))
         .select(col("event_id"), col("user_id"), col("rolling_1h"),
           col("n_1h"))
@@ -216,16 +219,21 @@ object Relational3 {
     }))
 
   def oracleSql: Map[String, String] = Map(
-    // same epoch-double ordering + inclusive RANGE bounds + exact
-    // decimal rolling sum
+    // same integer-microsecond ordering + inclusive RANGE bounds +
+    // exact decimal rolling sum cast to the SAME output type as Spark
+    // (epoch_us is BIGINT in every DuckDB version; epoch() flips
+    // between truncating BIGINT and fractional DOUBLE across versions
+    // and every ts here has sub-second micros, which shifted frame
+    // boundaries on some drivers)
     "q36_rolling_range" ->
       """SELECT event_id, user_id, rolling_1h, n_1h FROM (
            SELECT event_id, user_id,
-             sum(CAST(value AS DECIMAL(18,2))) OVER w AS rolling_1h,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w
+               AS DECIMAL(18,2)) AS rolling_1h,
              CAST(count(*) OVER w AS BIGINT) AS n_1h
            FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)) t
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)) t
          ORDER BY event_id""",
     // the bucket layout is oracle-invisible: same join, same numbers
     "q35_bucketed_join" ->

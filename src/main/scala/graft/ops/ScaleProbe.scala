@@ -395,9 +395,14 @@ object RetrievalScaleProbe {
             (x, i) => when(i === 0, x + lit(rep * 1e-3f)).otherwise(x))
             .as("embedding"))
       }.reduce(_ unionAll _)
-      val ((ivfCand, nEmbQ, nVecs), tIvf) = timed {
-        Similarity.ivfProbeVolume(emb, dim)
+      // one training, two query populations: ann search (% 250) and
+      // hard-negative mining (% 28) — embed_hard_negatives' index-served
+      // candidate volume is probed by the same machinery it serves from
+      val ((vols, nVecs), tIvf) = timed {
+        Similarity.ivfProbeVolumes(emb, dim, Seq(250, 28))
       }
+      val (ivfCand, nEmbQ) = vols(250)
+      val (hnCand, nHnQ) = vols(28)
 
       println(s"""{"factor":$f,"docs":$nDocs,"posting_rows":$nPost,""" +
         s""""vocab":$vocab,"max_df":$maxDf,"stop_terms":$stopTerms,""" +
@@ -405,6 +410,8 @@ object RetrievalScaleProbe {
         s""""capped_join_rows":$capped,"bm25_scored_pairs":$nRanked,""" +
         s""""bm25_sec":${f"$tBm25%.2f"},"ivf_candidates":$ivfCand,""" +
         s""""ivf_brute_pairs":${nEmbQ * nVecs},""" +
+        s""""hn_candidates":$hnCand,""" +
+        s""""hn_brute_pairs":${nHnQ * nVecs},""" +
         s""""ivf_sec":${f"$tIvf%.2f"}}""")
     }
     spark.stop()

@@ -165,6 +165,16 @@ object CardEstimator {
       pred, csets)
   }
 
+  /** Estimator from already-gathered summary tables — the
+    * [[StoreStats]] artifact-load path (no store scan). */
+  def fromTables(pred: Map[String, (Long, Long, Long)],
+      csets: Seq[(Set[String], Long)]): CardEstimator =
+    new CardEstimator(
+      pred.valuesIterator.map(_._1).sum,
+      pred.valuesIterator.map(_._2).sum,
+      pred.valuesIterator.map(_._3).sum,
+      pred, csets)
+
   /** Test/inspection helper: the greedy order the compiler will choose
     * for a pattern batch under this estimator — estimate-sorted, then
     * connectivity-first with characteristic-set conditional refinement

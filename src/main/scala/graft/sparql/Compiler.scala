@@ -499,15 +499,26 @@ object Compiler {
               })
             texts match {
               case None => None // unshippable bindings → full fetch
+              // empty local side: the join result is KNOWN empty — a
+              // zero-row VALUES block is grammatically legal but
+              // rejected by some endpoints and always a wasted round
+              // trip, so answer locally with the empty bindings frame
+              case Some(vals) if vals.isEmpty =>
+                Some(Some(HttpService.emptyBindings(
+                  quads.sparkSession, inner.vars.toSeq.sorted)))
               case Some(vals) =>
                 val projVars = inner.vars.toSeq.sorted
-                val q = HttpService.boundPatternQuery(
-                  bgpPats, projVars, bjShared, vals)
-                try Some(Some(HttpService.selectBindings(
-                  quads.sparkSession, iri, q, projVars)))
-                catch {
-                  case scala.util.control.NonFatal(e) =>
-                    if (silent) Some(None) else throw e
+                HttpService.boundPatternQuery(
+                    bgpPats, projVars, bjShared, vals) match {
+                  // unserializable pattern IRI → full fetch
+                  case None => None
+                  case Some(q) =>
+                    try Some(Some(HttpService.selectBindings(
+                      quads.sparkSession, iri, q, projVars)))
+                    catch {
+                      case scala.util.control.NonFatal(e) =>
+                        if (silent) Some(None) else throw e
+                    }
                 }
             }
           }

@@ -96,9 +96,19 @@ final class DictContext(val dict: DataFrame) {
       .map(_.name).toIndexedSeq.filterNot(keepIds)
     usage match {
       case Some(u) =>
-        val (drop, dec) = longCols.partition(v =>
-          !u.usedOutsidePatterns(v) &&
-            u.patternSlots.getOrElse(v, -1) == blockSlots.getOrElse(v, 0))
+        def slotsAllHere(v: String) =
+          u.patternSlots.getOrElse(v, -1) == blockSlots.getOrElse(v, 0)
+        val (drop, live) = longCols.partition(v =>
+          !u.usedOutsidePatterns(v) && slotsAllHere(v))
+        // COUNT-only vars stay RAW ids: COUNT/COUNT DISTINCT need
+        // binding presence (and id-distinctness ≡ term-distinctness —
+        // the dictionary is a bijection), never the term text, so the
+        // vocabulary-sized decode join would broadcast a dictionary
+        // projection that decodes nothing. Only safe when every pattern
+        // slot of the var sits in THIS block — otherwise a later block
+        // (or a SERVICE frame) could re-bind it as a term struct and
+        // the long column would no longer align.
+        val (_, dec) = live.partition(v => u.countOnly(v) && slotsAllHere(v))
         decode(df.drop(drop: _*), dec)
       case None => decode(df, longCols)
     }
@@ -181,9 +191,14 @@ object DictContext {
     * anything OTHER than a pattern slot references (projections,
     * expressions, VALUES, closure endpoints, graph names, service
     * bodies). A var outside both sets for a given block is dead after
-    * that block's join. */
+    * that block's join. `countOnly` ⊆ usedOutsidePatterns: vars whose
+    * ONLY non-pattern use is as a plain COUNT([DISTINCT] ?v) argument —
+    * they must survive the block (the aggregate consumes them) but
+    * never need the decode join (COUNT sees presence; DISTINCT in id
+    * space equals DISTINCT in term space). */
   final case class VarUsage(patternSlots: Map[String, Int],
-      usedOutsidePatterns: Set[String])
+      usedOutsidePatterns: Set[String],
+      countOnly: Set[String] = Set.empty)
 
   /** Variables an expression references — stops at EXISTS bodies (those
     * are walked as groups, so their PRIVATE vars stay droppable). */
@@ -204,6 +219,7 @@ object DictContext {
   def usageOf(g: Group, needs: Set[String]): Option[VarUsage] = {
     val slots = scala.collection.mutable.Map.empty[String, Int]
     val used = Set.newBuilder[String]
+    val countArgs = Set.newBuilder[String]
     used ++= needs
     var keepAll = false
     def addSlot(n: Node): Unit = n match {
@@ -225,6 +241,9 @@ object DictContext {
       if (q.projection.isEmpty) keepAll = true // SELECT *
       q.projection.foreach {
         case PVar(n) => used += n
+        // plain COUNT([DISTINCT] ?v): record separately — if nothing
+        // else references ?v it can stay a raw id (no decode join)
+        case PAgg("COUNT", Some(VarRef(n)), _, _, _) => countArgs += n
         case PAgg(_, arg, _, _, _) => arg.foreach(a => used ++= exprVars(a))
         case PExpr(e, _) => used ++= exprVars(e)
       }
@@ -257,6 +276,13 @@ object DictContext {
         walk(inner)
     }
     walk(g)
-    if (keepAll) None else Some(VarUsage(slots.toMap, used.result()))
+    if (keepAll) None
+    else {
+      val usedSet = used.result()
+      // count-only = counted somewhere AND referenced nowhere else;
+      // still "used outside patterns" (the aggregate needs the column)
+      val countOnly = countArgs.result() -- usedSet
+      Some(VarUsage(slots.toMap, usedSet ++ countOnly, countOnly))
+    }
   }
 }

@@ -103,47 +103,87 @@ object HttpService {
       case c => c.toString
     }
 
-  private[sparql] def nodeText(n: Algebra.Node): String = n match {
-    case Algebra.V(name) => "?" + name
-    case Algebra.I(iri) => s"<$iri>"
+  /** `<…>`-serializable IRI check (RFC 3987 / SPARQL 1.1 §19.8
+    * IRIREF): angle brackets have NO escape inside an IRIREF, so a
+    * stored "IRI" value containing any forbidden character — `<>"{}|^\``
+    * backslash, space, or a control char — would produce a malformed or
+    * SEMANTICS-ALTERING query when shipped to an external endpoint
+    * (injection across a trust boundary). Such terms are simply not
+    * addressable over the wire; callers fall back to the full fetch,
+    * the same adjudication as bnodes. */
+  private[sparql] def validIri(s: String): Boolean =
+    s.nonEmpty && s.forall(c =>
+      c > ' ' && c != '<' && c != '>' && c != '"' && c != '{' &&
+        c != '}' && c != '|' && c != '^' && c != '`' && c != '\\' &&
+        c != 0x7f)
+
+  /** One pattern node as SPARQL text — None when an IRI node cannot be
+    * serialized safely (see [[validIri]]); the caller falls back to the
+    * whole-dataset fetch. */
+  private[sparql] def nodeText(n: Algebra.Node): Option[String] = n match {
+    case Algebra.V(name) => Some("?" + name)
+    case Algebra.I(iri) => if (validIri(iri)) Some(s"<$iri>") else None
     case Algebra.L(v, dt, lang) =>
       val base = "\"" + escapeLit(v) + "\""
-      if (lang != null) base + "@" + lang
-      else if (dt != null) base + "^^<" + dt + ">"
-      else base
+      if (lang != null) Some(base + "@" + lang)
+      else if (dt == null) Some(base)
+      else if (validIri(dt)) Some(base + "^^<" + dt + ">")
+      else None
   }
 
   /** One locally-bound term as SPARQL text for the VALUES block. Bnode
     * labels are scoped to their originating store (RDF 1.1 §3.4) — not
     * addressable across engines — so a bnode binding returns None and
-    * the caller falls back to the whole-dataset fetch. */
+    * the caller falls back to the whole-dataset fetch; IRI (and
+    * datatype-IRI) bindings that fail [[validIri]] return None for the
+    * same reason. */
   private[sparql] def termText(
       v: String, k: String, dt: String, lg: String): Option[String] =
     k match {
-      case Quad.KindIri => Some(s"<$v>")
+      case Quad.KindIri => if (validIri(v)) Some(s"<$v>") else None
       case Quad.KindLiteral =>
-        Some("\"" + escapeLit(v) + "\"" +
-          (if (lg != null) "@" + lg
-          else if (dt != null) "^^<" + dt + ">"
-          else ""))
+        val base = "\"" + escapeLit(v) + "\""
+        if (lg != null) Some(base + "@" + lg)
+        else if (dt == null) Some(base)
+        else if (validIri(dt)) Some(base + "^^<" + dt + ">")
+        else None
       case _ => None
     }
 
   /** The bound-join request: the SERVICE group's BGP with the local
     * bindings injected as a trailing VALUES block (SPARQL 1.1 Fed §2.4
     * evaluation restricted to the incoming solutions — what FedX ships
-    * per block, batched into one request). */
+    * per block, batched into one request). None when any pattern node
+    * is unserializable (caller falls back to the full fetch). */
   private[sparql] def boundPatternQuery(
       patterns: Seq[Algebra.TriplePattern], projVars: Seq[String],
-      sharedVars: Seq[String], rows: Seq[Seq[String]]): String = {
-    val pats = patterns
-      .map(tp => s"  ${nodeText(tp.s)} ${nodeText(tp.p)} ${nodeText(tp.o)} .")
-      .mkString("\n")
-    val vals = rows.map(_.mkString("(", " ", ")")).mkString(" ")
-    s"""SELECT ${projVars.map("?" + _).mkString(" ")} WHERE {
-       |$pats
-       |  VALUES (${sharedVars.map("?" + _).mkString(" ")}) { $vals }
-       |}""".stripMargin
+      sharedVars: Seq[String], rows: Seq[Seq[String]]): Option[String] = {
+    val patTexts = patterns.map { tp =>
+      for (s <- nodeText(tp.s); p <- nodeText(tp.p); o <- nodeText(tp.o))
+        yield s"  $s $p $o ."
+    }
+    if (patTexts.exists(_.isEmpty)) None
+    else {
+      val pats = patTexts.flatten.mkString("\n")
+      val vals = rows.map(_.mkString("(", " ", ")")).mkString(" ")
+      Some(s"""SELECT ${projVars.map("?" + _).mkString(" ")} WHERE {
+         |$pats
+         |  VALUES (${sharedVars.map("?" + _).mkString(" ")}) { $vals }
+         |}""".stripMargin)
+    }
+  }
+
+  /** A zero-row bindings frame with [[selectBindings]]'s exact output
+    * schema — the known-empty join result when the local binding side
+    * is empty (no request is worth sending for it). */
+  def emptyBindings(spark: SparkSession, vars: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType(vars.map(v => StructField(v, StructType(Seq(
+      StructField("v", StringType), StructField("k", StringType),
+      StructField("dt", StringType), StructField("lg", StringType))))))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
   }
 
   /** POST an arbitrary SELECT and return its bindings as one

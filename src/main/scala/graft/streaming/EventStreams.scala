@@ -131,6 +131,7 @@ object EventStreams {
       val ns = "http://localhost/"
       val g = "https://data.example.org/graph/stream_events"
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-singest-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val store = new graft.model.GraphStore(s, s"$dir/quads")
       val stream = eventsStream(s, d)
         .select(to_json(struct(col("event_type"), col("user_id"))).as("json"))
@@ -157,6 +158,7 @@ object EventStreams {
     "stream_mor_ingest" -> ((s, d) => {
       val g = "http://ex/stream_mor"
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-smor-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
       val store = new graft.model.MergeOnReadStore(s, s"$dir/quads")
       val quads = eventsStream(s, d).select(
         lit(g).as("graph"),

@@ -34,4 +34,65 @@ class RdfStatsSpec extends AnyFunSuite {
     val r = SparkEntry.queries("rdf_cset_estimate")(spark, sf).collect().head
     assert(r.getLong(0) == r.getLong(1) && r.getInt(2) == 1)
   }
+
+  test("persisted stats artifact: load without scan matches the scan-path ordering") {
+    import org.apache.spark.sql.functions._
+    import graft.sparql.{Algebra, CardEstimator, StoreStats}
+    val dir = java.nio.file.Files.createTempDirectory("stats-art").toString
+    val store = new graft.model.GraphStore(spark, dir + "/store")
+    val g = "http://ex/g"
+    // skewed fixture: p_common on every subject, p_rare on a few — the
+    // estimator must rank a p_rare pattern cheaper than p_common
+    import spark.implicits._
+    val quads = (1 to 200).map(i => (g, s"urn:s$i", "http://ex/p_common",
+        s"v${i % 7}", null: String, null: String, "literal")) ++
+      (1 to 5).map(i => (g, s"urn:s$i", "http://ex/p_rare",
+        s"r$i", null: String, null: String, "literal"))
+    store.appendDistinct(quads.toDF(
+      "graph", "s", "p", "o_value", "o_type", "o_lang", "o_kind"),
+      Some(Seq(g)))
+    StoreStats.write(store)
+    val fromScan = CardEstimator.fromQuads(store.read())
+    val fromArtifact = StoreStats.load(store)
+    val tps = Seq(
+      Algebra.TriplePattern(Algebra.V("s"),
+        Algebra.I("http://ex/p_common"), Algebra.V("a")),
+      Algebra.TriplePattern(Algebra.V("s"),
+        Algebra.I("http://ex/p_rare"), Algebra.V("b")))
+    assert(CardEstimator.orderOf(fromArtifact, tps) ==
+      CardEstimator.orderOf(fromScan, tps),
+      "artifact-loaded estimator ordered the BGP differently")
+    // exact counts survive the sketch round-trip exactly; NDVs within
+    // HLL tolerance (both estimate 7 and 5 here — tiny cardinalities
+    // are exact in both sketches)
+    assert(fromArtifact.estimate(tps(1)) < fromArtifact.estimate(tps(0)))
+  }
+
+  test("stats refresh folds a delta exactly (counts) and keeps shapes consistent") {
+    import org.apache.spark.sql.functions._
+    import graft.sparql.StoreStats
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stats-ref").toString
+    val store = new graft.model.GraphStore(spark, dir + "/store")
+    val g = "http://ex/g"
+    def df(rows: Seq[(String, String, String)]) = rows.map { case (s, p, o) =>
+      (g, s, p, o, null: String, null: String, "literal")
+    }.toDF("graph", "s", "p", "o_value", "o_type", "o_lang", "o_kind")
+    val base = df(Seq(("urn:a", "p1", "x"), ("urn:b", "p1", "y")))
+    // delta gives urn:a a SECOND predicate — its shape must migrate
+    // from {p1} to {p1,p2} in the refreshed cset table
+    val delta = df(Seq(("urn:a", "p2", "z"), ("urn:c", "p1", "w")))
+    store.appendDistinct(base, Some(Seq(g)))
+    StoreStats.write(store)
+    val pre = store.read().localCheckpoint()
+    store.appendDistinct(delta, Some(Seq(g)))
+    StoreStats.refresh(store, pre, delta)
+    val preds = StoreStats.predSummary(spark, store).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(preds == Map("p1" -> 3L, "p2" -> 1L), s"merged counts: $preds")
+    val csets = StoreStats.csetSummary(spark, store).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(csets == Map("p1" -> 2L, "p1,p2" -> 1L),
+      s"refreshed shapes: $csets")
+  }
 }
