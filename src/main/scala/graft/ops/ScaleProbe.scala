@@ -937,3 +937,132 @@ object CdcScaleProbe {
     spark.stop()
   }
 }
+
+/** HOT-ID SKEW probe for id-space joins (VERDICT r10 #6): dictionary
+  * encoding shrinks shuffle ROWS to 8-byte ids, but
+  * `hashpartitioning(o_id)` still concentrates a hot object id — every
+  * real graph has its `rdf:type`-shaped hot terms — onto one task. The
+  * probe plants a hot category object on 70% of a fact-sized pattern
+  * side, grows the data 1×/3×/10×, runs a REAL 2-pattern dict BGP
+  * (`?a p:cat ?c . ?c p:meta ?m` — the o_id↔s_id dimension-join shape)
+  * through the encoded compiler path, and measures per-task
+  * shuffle-read skew on the join stage plus wall time.
+  *
+  * AQE's skew-join split is the production mitigation; its default
+  * trigger (256 MB skewed-partition threshold) never fires at probe
+  * scale, so the thresholds are scaled down (64 KB) to exercise the
+  * MECHANISM exactly as a 100 TB run would — what's being validated is
+  * that the encoded join's skew is the kind AQE can split (one hot
+  * partition on the fact side, a duplicable dimension row on the
+  * other), not a both-sides-hot output explosion (q34's salted-join
+  * territory). Verdict rule: wire `util.Skew.saltedJoin` into the
+  * encoded path ONLY if this measures non-flat.
+  */
+object DictSkewProbe {
+
+  /** Per-task shuffle-read record counts, grouped by stage. */
+  private final class TaskSkew
+      extends org.apache.spark.scheduler.SparkListener {
+    val byStage = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        val recs = m.shuffleReadMetrics.recordsRead
+        if (recs > 0) {
+          byStage.computeIfAbsent(te.stageId,
+            _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+            .add(recs)
+          ()
+        }
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+      else Seq(1, 3, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName("graft-dict-skew-probe")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      // scale AQE's skew-split trigger to probe data volume (the 256 MB
+      // default is sized for real executors); mechanism, not magnitude
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ev0 = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"))
+    val nullS = lit(null).cast("string")
+    val g = lit(graft.model.Quad.DefaultGraph).as("graph")
+
+    val sparql = """
+      PREFIX p: <http://ex/p/>
+      SELECT ?m (COUNT(?a) AS ?n) WHERE {
+        ?a p:cat ?c .
+        ?c p:meta ?m .
+      } GROUP BY ?m ORDER BY ?m"""
+
+    factors.foreach { f =>
+      val ev = (0 until f).map(r =>
+        ev0.withColumn("event_id", col("event_id") + lit(r * 1000000000L)))
+        .reduce(_ unionAll _)
+      // fact side: 70% of subjects point at cat/0 (the hot object);
+      // the rest spread over user-derived cats. Dimension side: ONE
+      // p:meta row per cat object.
+      val catOf = when(pmod(col("event_id"), lit(10)) < 7, lit(0L))
+        .otherwise(pmod(col("user_id"), lit(997)) + 1)
+      val facts = ev.select(g,
+        concat(lit("http://ex/ev/"), col("event_id")).as("s"),
+        lit("http://ex/p/cat").as("p"),
+        concat(lit("http://ex/cat/"), catOf).as("o_value"),
+        nullS.as("o_type"), nullS.as("o_lang"), lit("iri").as("o_kind"))
+      val dims = facts.select(col("o_value")).distinct()
+        .select(g, col("o_value").as("s"),
+          lit("http://ex/p/meta").as("p"),
+          concat(col("o_value"), lit("/m")).as("o_value"),
+          nullS.as("o_type"), nullS.as("o_lang"), lit("iri").as("o_kind"))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-skew-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(base)
+      val store = new graft.model.DictQuadStore(spark, base)
+      store.appendDistinct(facts.unionByName(dims))
+      val engine = new graft.GraphEngine(store)
+
+      val l = new TaskSkew
+      spark.sparkContext.addSparkListener(l)
+      val t0 = System.nanoTime()
+      val df = engine.select(sparql)
+      val rows = df.collect().length
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500)
+      spark.sparkContext.removeSparkListener(l)
+      // did AQE's skew-split actually fire on the final plan?
+      val plan = df.queryExecution.executedPlan.toString
+      val skewSplit = plan.contains("skew=true")
+
+      // the join stage = the stage with the largest total shuffle read
+      import scala.jdk.CollectionConverters._
+      val stages = l.byStage.asScala.map { case (sid, q) =>
+        val xs = q.asScala.toSeq
+        (sid, xs.sum, xs.max, xs.sum.toDouble / xs.size, xs.size)
+      }.toSeq
+      val (sid, total, mx, mean, nTasks) =
+        if (stages.isEmpty) (-1, 0L, 0L, 0.0, 0)
+        else stages.maxBy(_._2)
+      println(s"""{"factor":$f,"result_rows":$rows,""" +
+        s""""join_stage":$sid,"join_stage_tasks":$nTasks,""" +
+        s""""stage_records":$total,"task_records_max":$mx,""" +
+        f""""task_records_mean":$mean%.0f,""" +
+        f""""skew_ratio":${if (mean > 0) mx / mean else 0.0}%.2f,""" +
+        s""""aqe_skew_split":$skewSplit,""" +
+        f""""sec":$sec%.2f}""")
+    }
+    spark.stop()
+  }
+}

@@ -532,9 +532,9 @@ object Compiler {
             val svcData = registered.orElse {
               if (!isHttp) None
               else if (silent)
-                scala.util.Try(HttpService.fetchQuads(quads.sparkSession, iri))
+                scala.util.Try(HttpService.fetchDataset(quads.sparkSession, iri))
                   .toOption
-              else Some(HttpService.fetchQuads(quads.sparkSession, iri))
+              else Some(HttpService.fetchDataset(quads.sparkSession, iri))
             }
             svcData match {
               case Some(svcQuads) =>

@@ -220,10 +220,13 @@ object HttpService {
           col(v + "__dt").as("dt"), col(v + "__lg").as("lg"))).as(v)): _*)
   }
 
-  /** Fetch the endpoint's full dataset as the engine's quad schema. */
-  def fetchQuads(spark: SparkSession, endpoint: String): DataFrame = {
-    val root = mapper.readTree(fetchResultsJson(endpoint, FetchQuery))
-    val rows = root.path("results").path("bindings").elements().asScala
+  /** One results-JSON document's `?g ?s ?p ?o` bindings as quads —
+    * shared by the single-fetch and per-page parsers (the latter runs
+    * on EXECUTORS; everything here is object-level and
+    * serialization-free). */
+  private[sparql] def parseQuadBindings(json: String): Seq[Quad] = {
+    val root = mapper.readTree(json)
+    root.path("results").path("bindings").elements().asScala
       .map { b =>
         val g = Option(b.get("g")).map(_.get("value").asText())
           .getOrElse(Quad.DefaultGraph)
@@ -232,7 +235,69 @@ object HttpService {
         val (o, dt, lang, kind) = termOf(b.get("o"))
         Quad(g, s, p, o, dt, lang, kind)
       }.toSeq
+  }
+
+  /** Fetch the endpoint's full dataset as the engine's quad schema —
+    * ONE results document through the driver (protocol-inherent for an
+    * unpaged endpoint; see [[fetchQuadsPaged]] for the opt-out). */
+  def fetchQuads(spark: SparkSession, endpoint: String): DataFrame = {
+    val rows = parseQuadBindings(fetchResultsJson(endpoint, FetchQuery))
     import spark.implicits._
     spark.createDataset(rows).toDF()
   }
+
+  /** Default rows per page for [[fetchQuadsPaged]]. */
+  val DefaultFetchPageSize = 10000
+
+  /** The dataset size the pager divides into pages. */
+  private[sparql] val CountQuery =
+    """SELECT (COUNT(*) AS ?n) WHERE {
+      |  { ?s ?p ?o }
+      |  UNION
+      |  { GRAPH ?g { ?s ?p ?o } }
+      |}""".stripMargin
+
+  /** One page of the full fetch. ORDER BY over all four positions is
+    * what makes LIMIT/OFFSET well-defined in SPARQL — without it the
+    * solution sequence is unordered and pages could overlap or skip. */
+  private[sparql] def pagedFetchQuery(pageSize: Int, offset: Long): String =
+    s"""SELECT ?g ?s ?p ?o WHERE {
+       |  { ?s ?p ?o }
+       |  UNION
+       |  { GRAPH ?g { ?s ?p ?o } }
+       |} ORDER BY ?g ?s ?p ?o LIMIT $pageSize OFFSET $offset""".stripMargin
+
+  /** DISTRIBUTED full fetch (VERDICT r10 #8): the driver asks the
+    * endpoint ONLY for its row count; the pages themselves are fetched
+    * and parsed by executor tasks (one LIMIT/OFFSET request per page
+    * index), so no single process ever materializes the remote
+    * dataset. Snapshot caveat inherent to paging a live endpoint: the
+    * N requests are not one transaction — a concurrent remote update
+    * can tear across pages, which is why this is per-endpoint opt-in
+    * ([[Services.enablePagedFetch]]), not the default. */
+  def fetchQuadsPaged(spark: SparkSession, endpoint: String,
+      pageSize: Int = DefaultFetchPageSize): DataFrame = {
+    val countRoot = mapper.readTree(fetchResultsJson(endpoint, CountQuery))
+    val n = countRoot.path("results").path("bindings").elements().asScala
+      .toSeq.headOption
+      .map(_.get("n").get("value").asText().toLong).getOrElse(0L)
+    val nPages = ((n + pageSize - 1) / pageSize).toInt
+    import spark.implicits._
+    if (nPages == 0) return spark.emptyDataset[Quad].toDF()
+    val pages = spark.sparkContext
+      .parallelize(0 until nPages, nPages)
+      .flatMap { pg =>
+        parseQuadBindings(fetchResultsJson(endpoint,
+          pagedFetchQuery(pageSize, pg.toLong * pageSize)))
+      }
+    spark.createDataset(pages).toDF()
+  }
+
+  /** The full-fetch entry the compiler uses: paged when the endpoint
+    * opted in, single-document otherwise. */
+  def fetchDataset(spark: SparkSession, endpoint: String): DataFrame =
+    Services.pagedFetchPageSize(endpoint) match {
+      case Some(ps) => fetchQuadsPaged(spark, endpoint, ps)
+      case None => fetchQuads(spark, endpoint)
+    }
 }

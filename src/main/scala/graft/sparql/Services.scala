@@ -35,7 +35,9 @@ object Services {
   def lookup(iri: String): Option[DataFrame] =
     Option(reg.get(iri)).map(_.apply())
 
-  def clear(): Unit = { reg.clear(); boundJoinIris.clear() }
+  def clear(): Unit = {
+    reg.clear(); boundJoinIris.clear(); pagedIris.clear()
+  }
 
   /** Endpoints opted into FEDERATED BOUND JOINS (FedX-style VALUES
     * injection): instead of fetching the endpoint's whole dataset, the
@@ -51,4 +53,23 @@ object Services {
   def enableBoundJoin(iri: String): Unit = { boundJoinIris.add(iri); () }
   def disableBoundJoin(iri: String): Unit = { boundJoinIris.remove(iri); () }
   def boundJoinEnabled(iri: String): Boolean = boundJoinIris.contains(iri)
+
+  /** Endpoints opted into PAGED full fetches: the whole-dataset fetch
+    * becomes LIMIT/OFFSET pages fetched BY EXECUTOR TASKS
+    * ([[HttpService.fetchQuadsPaged]]) — the driver only sees the
+    * count, so an endpoint larger than driver memory is reachable.
+    * Opt-in because it multiplies the request count and assumes the
+    * endpoint serves a stable order for ORDER BY ?g ?s ?p ?o (the
+    * SPARQL-level guarantee paging requires). */
+  private val pagedIris = new ConcurrentHashMap[String, Int]()
+
+  def enablePagedFetch(iri: String,
+      pageSize: Int = HttpService.DefaultFetchPageSize): Unit = {
+    require(pageSize > 0, s"pageSize must be positive: $pageSize")
+    pagedIris.put(iri, pageSize)
+    ()
+  }
+  def disablePagedFetch(iri: String): Unit = { pagedIris.remove(iri); () }
+  def pagedFetchPageSize(iri: String): Option[Int] =
+    Option(pagedIris.get(iri))
 }

@@ -161,6 +161,71 @@ class HttpServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("opt-in paged fetch: executors pull LIMIT/OFFSET pages; quads ≡ single fetch") {
+    import java.net.URLDecoder
+    // 7 canonical rows, page size 3 → count + 3 page requests
+    val data = (1 to 7).map(i =>
+      (s"urn:s$i", "http://ex/p", s"v$i"))
+    def bindingJson(rows: Seq[(String, String, String)]): String = {
+      val bs = rows.map { case (s, p, o) =>
+        s"""{"s": {"type": "uri", "value": "$s"},
+           | "p": {"type": "uri", "value": "$p"},
+           | "o": {"type": "literal", "value": "$o"}}""".stripMargin
+      }.mkString(",\n")
+      s"""{"head": {"vars": ["g","s","p","o"]},
+         | "results": {"bindings": [$bs]}}""".stripMargin
+    }
+    withServer { (server, port) =>
+      val queries = scala.collection.mutable.ArrayBuffer.empty[String]
+      server.createContext("/sparql", (exch: HttpExchange) => {
+        val posted = new String(exch.getRequestBody.readAllBytes(), "UTF-8")
+        val q = URLDecoder.decode(posted.stripPrefix("query="), "UTF-8")
+        queries.synchronized { queries += q; () }
+        val body =
+          if (q.contains("COUNT("))
+            s"""{"head": {"vars": ["n"]}, "results": {"bindings": [
+               |  {"n": {"type": "literal", "value": "${data.length}",
+               |   "datatype": "http://www.w3.org/2001/XMLSchema#integer"}}
+               |]}}""".stripMargin
+          else if (q.contains("OFFSET")) {
+            val limit = "LIMIT (\\d+)".r.findFirstMatchIn(q).get.group(1).toInt
+            val offset = "OFFSET (\\d+)".r.findFirstMatchIn(q).get.group(1).toInt
+            bindingJson(data.slice(offset, offset + limit))
+          } else bindingJson(data)
+        val bytes = body.getBytes("UTF-8")
+        exch.getResponseHeaders.set(
+          "Content-Type", "application/sparql-results+json")
+        exch.sendResponseHeaders(200, bytes.length)
+        exch.getResponseBody.write(bytes); exch.close()
+      })
+      val endpoint = s"http://127.0.0.1:$port/sparql"
+      val single = graft.sparql.HttpService.fetchQuads(spark, endpoint)
+        .collect().map(_.toSeq).toSet
+      val paged = graft.sparql.HttpService
+        .fetchQuadsPaged(spark, endpoint, pageSize = 3)
+        .collect().map(_.toSeq).toSet
+      assert(paged == single, "paged fetch diverged from the single fetch")
+      assert(paged.size == 7)
+      // the pages really were LIMIT/OFFSET requests (count + 3 pages)
+      val pageReqs = queries.synchronized(queries.toSeq).filter(_.contains("OFFSET"))
+      assert(pageReqs.length == 3, s"expected 3 page requests: $queries")
+      assert(pageReqs.forall(_.contains("ORDER BY ?g ?s ?p ?o")),
+        "pages must be totally ordered for LIMIT/OFFSET to be well-defined")
+      // and the compiler routes through the pager when the endpoint opted in
+      graft.sparql.Services.enablePagedFetch(endpoint, pageSize = 3)
+      try {
+        queries.synchronized(queries.clear())
+        val engine = freshEngine()
+        val got = engine.select(s"""
+          SELECT ?s WHERE {
+            SERVICE <$endpoint> { ?s <http://ex/p> "v5" } }""").collect()
+        assert(got.length == 1 && got.head.getString(0) == "urn:s5")
+        assert(queries.synchronized(queries.toSeq).exists(_.contains("OFFSET")),
+          "SERVICE full fetch did not page despite the opt-in")
+      } finally graft.sparql.Services.disablePagedFetch(endpoint)
+    }
+  }
+
   test("SILENT bound join on a dead endpoint degrades to the unit table") {
     val deadPort = {
       val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
