@@ -72,7 +72,10 @@ object Plans {
         "block boundary — ABOVE every BGP exchange, so they are block-" +
         "result-sized and no term string enters an intermediate join " +
         "shuffle; the EXISTS semi-join and the aggregation run over the " +
-        "decoded bindings above them."),
+        "decoded bindings above them. Since round 11 COUNT(?e) consumes " +
+        "the RAW id column — exactly ONE dict decode join (?u) in the " +
+        "whole plan; the vocabulary-sized decode broadcast for the " +
+        "aggregate-only var is gone (round-10 verdict #4)."),
     "text_chunk_overlap" ->
       ("context-window chunking is map-side: scan → Generate explode of " +
         "the per-row start sequence → slice/hash projection — no " +
@@ -286,10 +289,14 @@ object Plans {
         "is a codegen'd higher-order aggregate, so the only other " +
         "exchange is the final tiny repeat groupBy."),
     "embed_hard_negatives" ->
-      ("both cluster tables enter as BroadcastHashJoins (pair-graph-" +
-        "node-sized); the scoring join broadcasts the query vectors, " +
-        "so the corpus side is scan + dot product in one codegen span " +
-        "with a single window top-k exchange on query_id."))
+      ("INDEX-SERVED since round 11: candidates come from the persisted " +
+        "cell-partitioned IVFADC index — look for the scan of " +
+        "graft-ivfserve with the cell partition column and 8-byte code " +
+        "columns (never the raw corpus per query), the broadcast of the " +
+        "query vectors into the cell equi-join, the ADC top-250 window, " +
+        "ONE exact re-rank join back to true vectors, and both cluster " +
+        "tables entering as BroadcastHashJoins (pair-graph-node-sized) " +
+        "BETWEEN the re-rank and the top-k cut."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
