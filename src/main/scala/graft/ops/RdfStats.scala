@@ -130,6 +130,43 @@ object RdfStats {
         .select(lit("cset").as("kind"), col("pset").as("key"),
           col("n_subj").as("n"))
       preds.unionByName(csets).orderBy(col("kind"), col("key"))
+    }),
+
+    // ---- the same lifecycle on the DICT backend: build + refresh run
+    // entirely IN ID SPACE (8-byte groupBy/NDV-sketch, delta encoded
+    // once through the frozen dictionary; only the ≤1024 final shapes
+    // and the vocabulary-sized predicate key decode) — but the ARTIFACT
+    // is term-keyed, so the oracle is the identical from-scratch
+    // rebuild the string twin uses. Proves the stats pass never needs
+    // the decoded view at any corpus size.
+    "rdf_dict_stats_artifact" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-dstatsart-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
+      val store = new graft.model.DictQuadStore(s, dir)
+      val g = "http://ex/stats"
+      def quadsOf(stmts: DataFrame) = stmts.select(
+        lit(g).as("graph"), col("s"), col("p"), col("o").as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit(graft.model.Quad.KindLiteral).as("o_kind"))
+      val ev = Tables.events(s, d)
+      val base = quadsOf(shapedStatementsOf(
+        ev.filter(pmod(col("event_id"), lit(5)) =!= 0)))
+      val delta = quadsOf(shapedStatementsOf(
+        ev.filter(pmod(col("event_id"), lit(5)) === 0)))
+      store.appendDistinct(base)
+      graft.sparql.StoreStats.write(store)
+      // dict stores pin the pre-append state in their NATIVE (encoded)
+      // representation — the id-space refresh reads it directly
+      val pre = store.readEncoded().localCheckpoint()
+      store.appendDistinct(delta)
+      graft.sparql.StoreStats.refresh(store, pre, delta)
+      val preds = graft.sparql.StoreStats.predSummary(s, store)
+        .select(lit("pred").as("kind"), col("p").as("key"), col("n"))
+      val csets = graft.sparql.StoreStats.csetSummary(s, store)
+        .select(lit("cset").as("kind"), col("pset").as("key"),
+          col("n_subj").as("n"))
+      preds.unionByName(csets).orderBy(col("kind"), col("key"))
     }))
 
   private val statementsCte =
@@ -180,6 +217,18 @@ object RdfStats {
     // the incrementally-refreshed artifact vs a FROM-SCRATCH build over
     // the full statement set — equality proves the delta fold exact
     "rdf_stats_artifact" ->
+      s"""WITH $statementsCte,
+          pred AS (SELECT p AS key, count(*) AS n FROM stmts GROUP BY p),
+          cs AS (SELECT pset AS key, count(*) AS n
+                 FROM per_subject GROUP BY pset)
+          SELECT 'pred' AS kind, key, CAST(n AS BIGINT) AS n FROM pred
+          UNION ALL
+          SELECT 'cset' AS kind, key, CAST(n AS BIGINT) AS n FROM cs
+          ORDER BY kind, key""",
+
+    // the id-space build+refresh must land on the SAME term-keyed
+    // artifact — the oracle is the identical from-scratch rebuild
+    "rdf_dict_stats_artifact" ->
       s"""WITH $statementsCte,
           pred AS (SELECT p AS key, count(*) AS n FROM stmts GROUP BY p),
           cs AS (SELECT pset AS key, count(*) AS n

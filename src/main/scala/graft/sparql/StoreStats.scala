@@ -39,40 +39,80 @@ object StoreStats {
   def statsDir(store: QuadStore): String = store.path + "/_stats"
 
   /** Full (re)build of the artifact from the store's current state —
-    * the once-per-bulk-load pass; appends afterwards use [[refresh]]. */
-  def write(store: QuadStore): Unit =
-    writeTables(statsDir(store), predTable(store.read()),
-      csetTable(store.read()))
+    * the once-per-bulk-load pass; appends afterwards use [[refresh]].
+    * On a dict backend the whole pass runs IN ID SPACE (grouping and
+    * NDV-sketching 8-byte ids, never the three decode joins a decoded
+    * view would cost — the [[CardEstimator.fromDictStore]] discipline);
+    * the artifact itself is TERM-keyed either way (one vocabulary-sized
+    * predicate decode at write time), so [[load]] is backend-agnostic. */
+  def write(store: QuadStore): Unit = store match {
+    case d: graft.model.DictBackend =>
+      val enc = d.readEncoded(); val dict = d.readDict()
+      writeTables(statsDir(store), predTableDict(enc, dict),
+        csetTableDict(enc, dict))
+    case _ =>
+      writeTables(statsDir(store), predTable(store.read()),
+        csetTable(store.read()))
+  }
 
   /** Delta-sized refresh after an append: `pre` is the store state the
-    * append saw (read BEFORE appending), `delta` the appended quads.
-    * Per-predicate rows merge by count-addition + sketch-union; shape
-    * counts change only for the delta's subjects, so both state reads
-    * are semi-join-pruned to them. Set semantics note: `delta` must be
-    * the effectively-inserted quads (appendDistinct's anti-joined
-    * batch) — re-inserted duplicates would double-count. */
-  def refresh(store: QuadStore, pre: DataFrame, delta: DataFrame): Unit = {
+    * append saw — read BEFORE appending, in the store's NATIVE
+    * representation (`read()` on string stores, `readEncoded()` on
+    * dict stores, localCheckpointed so the append's file mutation can't
+    * reach back through the lazy plan) — and `delta` the appended
+    * string quads. Per-predicate rows merge by count-addition +
+    * sketch-union; shape counts change only for the delta's subjects,
+    * so both state reads are semi-join-pruned to them. Set semantics
+    * note: `delta` must be the effectively-inserted quads
+    * (appendDistinct's anti-joined batch) — re-inserted duplicates
+    * would double-count. Sketch domains are per-backend (strings vs
+    * ids — NDV-equal, the dictionary is a bijection) and write/refresh
+    * dispatch on the same store type, so an artifact never mixes them. */
+  def refresh(store: QuadStore, pre: DataFrame, delta: DataFrame): Unit =
+    store match {
+      case ds: graft.model.DictBackend =>
+        // the post-append dictionary holds every delta term — encode
+        // the delta once and fold in id space
+        val dict = ds.readDict()
+        val dEnc = graft.model.TermDictionary.encode(delta, dict)
+          .localCheckpoint()
+        refreshFrom(store,
+          predTableDict(dEnc, dict),
+          pre.select(col("s_id").as("s"), col("p_id").as("p")),
+          dEnc.select(col("s_id").as("s"), col("p_id").as("p")),
+          idsToTerms(_, dict))
+      case _ =>
+        val d = delta.select(col("p"), col("s"), col("o_value"))
+          .localCheckpoint() // consumed 3× below; cut the caller's lineage
+        refreshFrom(store, predTable(d),
+          pre.select(col("s"), col("p")), d.select(col("s"), col("p")),
+          identity)
+    }
+
+  /** The shared fold: `predDelta` is the delta's TERM-keyed predicate
+    * summary; `preSP`/`deltaSP` are (s, p) edges in one consistent key
+    * space (terms or ids — shapes only need equality); `psetToTerms`
+    * maps the recounted shape keys to the artifact's term psets. */
+  private def refreshFrom(store: QuadStore, predDelta: DataFrame,
+      preSP: DataFrame, deltaSP: DataFrame,
+      psetToTerms: DataFrame => DataFrame): Unit = {
     val spark = store.spark
     val dir = statsDir(store)
-    val d = delta.select(col("p"), col("s"), col("o_value"))
-      .localCheckpoint() // consumed 4× below; cut the caller's lineage
     // ---- per-predicate: stored rows ∪ delta rows, one merge aggregate
     val merged = spark.read.parquet(s"$dir/pred")
-      .unionByName(predTable(d))
+      .unionByName(predDelta)
       .groupBy(col("p")).agg(
         sum(col("n")).as("n"),
         hll_union_agg(col("ds_sk")).as("ds_sk"),
         hll_union_agg(col("do_sk")).as("do_sk"))
     // ---- characteristic sets: shapes of TOUCHED subjects, before/after
-    val touched = d.select(col("s")).distinct()
-    def shapesOf(quads: DataFrame) = quads
+    val touched = deltaSP.select(col("s")).distinct()
+    def shapesOf(sp: DataFrame) = psetToTerms(sp
       .join(broadcast(touched), Seq("s"), "left_semi")
       .groupBy(col("s")).agg(sort_array(collect_set(col("p"))).as("pset"))
-      .groupBy(col("pset")).agg(count(lit(1)).as("d"))
-    val oldShapes = shapesOf(pre.select(col("s"), col("p")))
-      .select(col("pset"), (-col("d")).as("d"))
-    val newShapes = shapesOf(
-      pre.select(col("s"), col("p")).unionByName(d.select(col("s"), col("p"))))
+      .groupBy(col("pset")).agg(count(lit(1)).as("d")))
+    val oldShapes = shapesOf(preSP).select(col("pset"), (-col("d")).as("d"))
+    val newShapes = shapesOf(preSP.unionByName(deltaSP))
     val csets = spark.read.parquet(s"$dir/csets")
       .select(col("pset"), col("n_subj").as("d"))
       .unionByName(oldShapes).unionByName(newShapes)
@@ -82,6 +122,20 @@ object StoreStats {
       .limit(CardEstimator.MaxCsets)
     writeTables(dir, merged, csets)
   }
+
+  /** Rewrite a `(pset: array<id>, d)` shape frame's key to the
+    * artifact's term psets — shape-summary-sized (≤ MaxCsets rows
+    * explode against the predicate slice of the dictionary). The
+    * original id pset stays the grouping key (it is the row identity;
+    * grouping by `d` alone would merge distinct shapes that happen to
+    * share a count), then drops. */
+  private def idsToTerms(shapes: DataFrame, dict: DataFrame): DataFrame =
+    shapes.select(col("pset").as("_idpset"), col("d"),
+        explode(col("pset")).as("pid"))
+      .join(dict.select(col("id").as("pid"), col("term")), Seq("pid"))
+      .groupBy(col("_idpset"), col("d"))
+      .agg(sort_array(collect_set(col("term"))).as("pset"))
+      .select(col("pset"), col("d"))
 
   /** [[CardEstimator]] off the artifact: two vocabulary-sized parquet
     * reads, NO store scan — the 100 TB planner-startup path. */
@@ -120,6 +174,32 @@ object StoreStats {
       count(lit(1)).as("n"),
       hll_sketch_agg(col("s")).as("ds_sk"),
       hll_sketch_agg(col("o_value")).as("do_sk"))
+
+  /** Id-space twin of [[predTable]]: groups and NDV-sketches 8-byte
+    * ids, decodes only the vocabulary-sized predicate key. (Object NDV
+    * counts term identities rather than lexical forms — the
+    * fromDictStore adjudication: if anything the better signal.) */
+  private def predTableDict(enc: DataFrame, dict: DataFrame): DataFrame =
+    enc.groupBy(col("p_id")).agg(
+        count(lit(1)).as("n"),
+        hll_sketch_agg(col("s_id")).as("ds_sk"),
+        hll_sketch_agg(col("o_id")).as("do_sk"))
+      .join(dict.select(col("id"), col("term").as("p")),
+        col("p_id") === col("id"))
+      .select(col("p"), col("n"), col("ds_sk"), col("do_sk"))
+
+  /** Id-space twin of [[csetTable]]: the subject-keyed aggregation runs
+    * over longs; only the ≤ MaxCsets FINAL shapes decode their
+    * predicate ids to the artifact's term psets. */
+  private def csetTableDict(enc: DataFrame, dict: DataFrame): DataFrame = {
+    val shapes = enc.groupBy(col("s_id"))
+      .agg(sort_array(collect_set(col("p_id"))).as("pset"))
+      .groupBy(col("pset")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("pset"))
+      .limit(CardEstimator.MaxCsets)
+    idsToTerms(shapes, dict)
+      .select(col("pset"), col("d").as("n_subj"))
+  }
 
   private def csetTable(quads: DataFrame): DataFrame =
     quads.groupBy(col("s"))
