@@ -124,6 +124,16 @@ object RdfStats {
       val pre = store.read().localCheckpoint()
       store.appendDistinct(delta, Some(Seq(g)))
       graft.sparql.StoreStats.refresh(store, pre, delta)
+      // …and the DELETE leg: drop every `code` statement and fold the
+      // removal in (exact count decrement + touched-subject shape
+      // recount — error-event shapes merge into their codeless twins).
+      // The oracle rebuilds over the post-delete statement set, so a
+      // stale count or unmigrated shape is a hash mismatch.
+      val del = quadsOf(shapedStatementsOf(ev)
+        .filter(col("p") === ns + "code"))
+      val pre2 = store.read().localCheckpoint()
+      store.deleteQuads(del, Some(Seq(g)))
+      graft.sparql.StoreStats.refreshDelete(store, pre2, del)
       val preds = graft.sparql.StoreStats.predSummary(s, store)
         .select(lit("pred").as("kind"), col("p").as("key"), col("n"))
       val csets = graft.sparql.StoreStats.csetSummary(s, store)
@@ -214,13 +224,17 @@ object RdfStats {
             CAST(estimated = actual AS INT) AS exact
           FROM est CROSS JOIN act""",
 
-    // the incrementally-refreshed artifact vs a FROM-SCRATCH build over
-    // the full statement set — equality proves the delta fold exact
+    // the incrementally-refreshed artifact (append + DELETE legs) vs a
+    // FROM-SCRATCH build over the post-delete statement set — equality
+    // proves both delta folds exact
     "rdf_stats_artifact" ->
       s"""WITH $statementsCte,
-          pred AS (SELECT p AS key, count(*) AS n FROM stmts GROUP BY p),
-          cs AS (SELECT pset AS key, count(*) AS n
-                 FROM per_subject GROUP BY pset)
+          post AS (SELECT s, p FROM stmts WHERE p <> '${ns}code'),
+          ps2 AS (
+            SELECT s, string_agg(DISTINCT p, ',' ORDER BY p) AS pset
+            FROM post GROUP BY s),
+          pred AS (SELECT p AS key, count(*) AS n FROM post GROUP BY p),
+          cs AS (SELECT pset AS key, count(*) AS n FROM ps2 GROUP BY pset)
           SELECT 'pred' AS kind, key, CAST(n AS BIGINT) AS n FROM pred
           UNION ALL
           SELECT 'cset' AS kind, key, CAST(n AS BIGINT) AS n FROM cs

@@ -89,6 +89,77 @@ object StoreStats {
           identity)
     }
 
+  /** Delta-sized refresh after a DELETE: `pre` is the store state the
+    * delete saw (native representation, localCheckpointed — same
+    * contract as [[refresh]]) and `deleted` the removed string quads
+    * (store set semantics: each was present exactly once). Counts
+    * decrement EXACTLY and shape counts recount over the touched
+    * subjects (a subject keeps a predicate in its shape while ANY quad
+    * carries it, so shapes recompute from the full quad identity, not
+    * (s,p) pairs). HLL sketches cannot subtract — the NDV sketches pass
+    * through unchanged as UPPER bounds, which is the safe direction
+    * for ordering (an overestimated NDV only makes constant-slot
+    * patterns look more selective than they are, never less); a
+    * periodic [[write]] rebuild tightens them. */
+  def refreshDelete(store: QuadStore, pre: DataFrame,
+      deleted: DataFrame): Unit = store match {
+    case ds: graft.model.DictBackend =>
+      // the dictionary is append-only: deleted terms keep their ids,
+      // so the delete encodes through the same frozen mapping
+      val dict = ds.readDict()
+      val dEnc = graft.model.TermDictionary.encode(deleted, dict)
+        .localCheckpoint()
+      refreshDeleteFrom(store,
+        dEnc.groupBy(col("p_id")).agg(count(lit(1)).as("d"))
+          .join(dict.select(col("id"), col("term").as("p")),
+            col("p_id") === col("id"))
+          .select(col("p"), col("d")),
+        pre.select(col("s_id").as("s"), col("p_id").as("p"),
+          col("o_id").cast("string").as("o")),
+        dEnc.select(col("s_id").as("s"), col("p_id").as("p"),
+          col("o_id").cast("string").as("o")),
+        idsToTerms(_, dict))
+    case _ =>
+      // full object identity as a struct — the quad's set-semantics key
+      def oKey(df: DataFrame) = df.select(col("s"), col("p"),
+        struct(col("o_value"), col("o_type"), col("o_lang")).as("o"))
+      val d = oKey(deleted).localCheckpoint()
+      refreshDeleteFrom(store,
+        d.groupBy(col("p")).agg(count(lit(1)).as("d")),
+        oKey(pre), d, identity)
+  }
+
+  /** The delete fold: exact count decrement (rows reaching 0 drop),
+    * touched-subject shape recount where post = pre ∖ deleted in full
+    * (s, p, o) quad identity. */
+  private def refreshDeleteFrom(store: QuadStore, delPred: DataFrame,
+      preQ: DataFrame, delQ: DataFrame,
+      psetToTerms: DataFrame => DataFrame): Unit = {
+    val spark = store.spark
+    val dir = statsDir(store)
+    val merged = spark.read.parquet(s"$dir/pred")
+      .join(delPred.withColumnRenamed("d", "_del_n"), Seq("p"), "left")
+      .select(col("p"),
+        (col("n") - coalesce(col("_del_n"), lit(0L))).as("n"),
+        col("ds_sk"), col("do_sk"))
+      .where(col("n") > 0)
+    val touched = delQ.select(col("s")).distinct()
+    def shapesOf(q: DataFrame) = psetToTerms(q
+      .join(broadcast(touched), Seq("s"), "left_semi")
+      .groupBy(col("s")).agg(sort_array(collect_set(col("p"))).as("pset"))
+      .groupBy(col("pset")).agg(count(lit(1)).as("d")))
+    val oldShapes = shapesOf(preQ).select(col("pset"), (-col("d")).as("d"))
+    val newShapes = shapesOf(preQ.except(delQ))
+    val csets = spark.read.parquet(s"$dir/csets")
+      .select(col("pset"), col("n_subj").as("d"))
+      .unionByName(oldShapes).unionByName(newShapes)
+      .groupBy(col("pset")).agg(sum(col("d")).as("n_subj"))
+      .where(col("n_subj") > 0)
+      .orderBy(col("n_subj").desc, col("pset"))
+      .limit(CardEstimator.MaxCsets)
+    writeTables(dir, merged, csets)
+  }
+
   /** The shared fold: `predDelta` is the delta's TERM-keyed predicate
     * summary; `preSP`/`deltaSP` are (s, p) edges in one consistent key
     * space (terms or ids — shapes only need equality); `psetToTerms`

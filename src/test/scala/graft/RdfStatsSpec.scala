@@ -68,6 +68,69 @@ class RdfStatsSpec extends AnyFunSuite {
     assert(fromArtifact.estimate(tps(1)) < fromArtifact.estimate(tps(0)))
   }
 
+  test("stats delete-refresh: counts decrement exactly, shapes recount from full quad identity") {
+    import org.apache.spark.sql.functions._
+    import graft.sparql.StoreStats
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stats-del").toString
+    val store = new graft.model.GraphStore(spark, dir + "/store")
+    val g = "http://ex/g"
+    def df(rows: Seq[(String, String, String)]) = rows.map { case (s, p, o) =>
+      (g, s, p, o, null: String, null: String, "literal")
+    }.toDF("graph", "s", "p", "o_value", "o_type", "o_lang", "o_kind")
+    // urn:a carries p1 TWICE (two objects): deleting one p1 quad must
+    // NOT remove p1 from its shape — the (s,p)-pair shortcut would
+    store.appendDistinct(df(Seq(
+      ("urn:a", "p1", "x"), ("urn:a", "p1", "y"), ("urn:a", "p2", "z"),
+      ("urn:b", "p1", "w"))), Some(Seq(g)))
+    StoreStats.write(store)
+    def state() = (
+      StoreStats.predSummary(spark, store).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap,
+      StoreStats.csetSummary(spark, store).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val del1 = df(Seq(("urn:a", "p1", "x")))
+    val pre1 = store.read().localCheckpoint()
+    store.deleteQuads(del1, Some(Seq(g)))
+    StoreStats.refreshDelete(store, pre1, del1)
+    assert(state() == (Map("p1" -> 2L, "p2" -> 1L),
+      Map("p1,p2" -> 1L, "p1" -> 1L)), s"after 1st delete: ${state()}")
+    val del2 = df(Seq(("urn:a", "p1", "y")))
+    val pre2 = store.read().localCheckpoint()
+    store.deleteQuads(del2, Some(Seq(g)))
+    StoreStats.refreshDelete(store, pre2, del2)
+    // now urn:a's shape migrates {p1,p2} -> {p2}
+    assert(state() == (Map("p1" -> 1L, "p2" -> 1L),
+      Map("p2" -> 1L, "p1" -> 1L)), s"after 2nd delete: ${state()}")
+  }
+
+  test("dict store: delete-refresh folds in id space onto the same term-keyed artifact") {
+    import org.apache.spark.sql.functions._
+    import graft.sparql.StoreStats
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stats-ddel").toString
+    val store = new graft.model.DictQuadStore(spark, dir + "/store")
+    val g = "http://ex/g"
+    def df(rows: Seq[(String, String, String)]) = rows.map { case (s, p, o) =>
+      (g, s, p, o, null: String, null: String, "literal")
+    }.toDF("graph", "s", "p", "o_value", "o_type", "o_lang", "o_kind")
+    store.appendDistinct(df(Seq(
+      ("urn:a", "p1", "x"), ("urn:a", "p1", "y"), ("urn:a", "p2", "z"),
+      ("urn:b", "p1", "w"))))
+    StoreStats.write(store)
+    val del = df(Seq(("urn:a", "p1", "x"), ("urn:b", "p1", "w")))
+    val pre = store.readEncoded().localCheckpoint()
+    store.deleteQuads(del)
+    StoreStats.refreshDelete(store, pre, del)
+    val preds = StoreStats.predSummary(spark, store).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(preds == Map("p1" -> 1L, "p2" -> 1L), s"preds: $preds")
+    val csets = StoreStats.csetSummary(spark, store).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // urn:b lost its only quad and leaves the summary entirely
+    assert(csets == Map("p1,p2" -> 1L), s"csets: $csets")
+  }
+
   test("stats refresh folds a delta exactly (counts) and keeps shapes consistent") {
     import org.apache.spark.sql.functions._
     import graft.sparql.StoreStats
