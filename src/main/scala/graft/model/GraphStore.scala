@@ -181,6 +181,30 @@ final class GraphStore(val spark: SparkSession, val path: String) extends QuadSt
     if (fs.exists(src)) fs.rename(src, partitionDir(graph))
     fs.delete(tmp, true)
   }
+
+  /** Range-CLUSTERED maintenance twin of [[compact]]: rewrite one graph
+    * partition RANGE-partitioned on SUBJECT — every output file covers
+    * a disjoint s-range (the range exchange assigns a key to exactly
+    * one partition), so a constant-subject probe (the DESCRIBE /
+    * per-entity-lookup shape, the other dominant SPARQL scan) touches
+    * exactly ONE file by construction, where [[compact]]'s p-led
+    * within-file sort only row-group-skips. At 100 TB the per-file
+    * min/max boxes ARE the file-statistics index an entity-centric
+    * workload needs — a lookup opens 1 of N files instead of all of
+    * them. (p, o_value) trail the within-file sort so predicate runs
+    * stay row-group-skippable inside each subject range. The staged
+    * write + directory swap is [[compact]]'s crash discipline. */
+  def clusterGraph(graph: String, numFiles: Int = 16): Unit = {
+    val quads = readGraphs(Seq(graph))
+      .repartitionByRange(numFiles, col("s"))
+      .sortWithinPartitions("graph", "s", "p", "o_value")
+    val tmp = new Path(path + s".cluster-${System.nanoTime()}")
+    quads.write.partitionBy("graph").parquet(tmp.toString)
+    clearGraph(graph)
+    val src = new Path(tmp, "graph=" + ExternalCatalogUtils.escapePathName(graph))
+    if (fs.exists(src)) fs.rename(src, partitionDir(graph))
+    fs.delete(tmp, true)
+  }
 }
 
 object GraphStore {

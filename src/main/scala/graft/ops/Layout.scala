@@ -133,6 +133,50 @@ object Layout {
         .orderBy(col("event_id"))
     }),
 
+    // ---- SUBJECT-clustered quad-store layout (GraphStore.clusterGraph,
+    // the entity-lookup index): a fragmented round-robin ingest (16
+    // full-range files — every file's s-box spans the whole corpus, so
+    // a constant-subject probe must open all 16) is rewritten
+    // range-partitioned on s. Ranges are DISJOINT by construction, so
+    // the same probe now touches exactly ONE file — measured from the
+    // per-file min/max boxes, the statistics a lakehouse file index
+    // keeps. Row output = the probed subject's own quads read back
+    // THROUGH the clustered store (content preserved), with both gates
+    // as oracle-checked columns.
+    "layout_cluster_subjects" -> ((s, d) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-cluster-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(tmp)
+      val store = new graft.model.GraphStore(s, s"$tmp/store")
+      val g = "http://ex/events"
+      val ev = Tables.events(s, d)
+      val nullS = lit(null).cast("string")
+      val subj = concat(lit("http://ex/ev/"), col("event_id")).as("s")
+      val quads = ev.select(lit(g).as("graph"), subj,
+          lit("http://ex/p/type").as("p"), col("event_type").as("o_value"),
+          nullS.as("o_type"), nullS.as("o_lang"), lit("literal").as("o_kind"))
+        .unionByName(ev.filter(col("user_id").isNotNull)
+          .select(lit(g).as("graph"), subj, lit("http://ex/p/user").as("p"),
+            concat(lit("http://ex/u/"), col("user_id")).as("o_value"),
+            nullS.as("o_type"), nullS.as("o_lang"), lit("iri").as("o_kind")))
+      store.append(quads.repartition(16)) // round-robin = full-range files
+      val probeS = s"http://ex/ev/${ev.agg(min(col("event_id"))).head.getLong(0)}"
+      def sBoxes = s.read.parquet(s"$tmp/store")
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+      def hitsFor(subject: String): Long =
+        sBoxes.filter(col("lo") <= subject && col("hi") >= subject).count()
+      val before = hitsFor(probeS)
+      store.clusterGraph(g, numFiles = 8)
+      val after = hitsFor(probeS)
+      store.readGraphs(Seq(g)).filter(col("s") === probeS)
+        .select(col("p"), col("o_value"))
+        .withColumn("clustered_prunes",
+          lit(if (after < before) 1 else 0).cast("int"))
+        .withColumn("pruned_to_one",
+          lit(if (after == 1L) 1 else 0).cast("int"))
+        .orderBy(col("p"), col("o_value"))
+    }),
+
     // ---- small-file compaction (the OPTIMIZE bin-packing half of
     // lakehouse table maintenance; the MOR store has its own in
     // rdf_store_compact — this is the raw-table twin). A fragmented
@@ -179,6 +223,21 @@ object Layout {
          FROM events, box
          WHERE epoch_us(ts) >= tlo AND epoch_us(ts) <= thi
          ORDER BY event_id""",
+    // the probed subject's quads from the raw table + both pruning
+    // gates as checked constants — a clustered rewrite that lost a quad
+    // OR failed to prune to one file is a hash mismatch
+    "layout_cluster_subjects" ->
+      """WITH pid AS (SELECT min(event_id) AS k FROM events)
+         SELECT p, o_value, 1 AS clustered_prunes, 1 AS pruned_to_one
+         FROM (
+           SELECT 'http://ex/p/type' AS p, e.event_type AS o_value
+           FROM events e, pid WHERE e.event_id = pid.k
+           UNION ALL
+           SELECT 'http://ex/p/user',
+                  'http://ex/u/' || CAST(e.user_id AS VARCHAR)
+           FROM events e, pid
+           WHERE e.event_id = pid.k AND e.user_id IS NOT NULL)
+         ORDER BY p, o_value""",
     // compaction is content-invisible: the aggregate over the
     // compacted files must equal the raw table's
     "layout_compact_files" ->

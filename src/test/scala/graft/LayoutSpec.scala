@@ -38,4 +38,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Int]("zorder_prunes") == 1),
       "z-order worst-case hit count must be below the linear layout's")
   }
+
+  test("clusterGraph: file subject-ranges are pairwise disjoint, content preserved") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cluster").toString
+    val store = new graft.model.GraphStore(spark, dir + "/store")
+    val g = "http://ex/g"
+    val quads = (1 to 500).map(i =>
+      (g, f"urn:s$i%04d", "p", s"v$i", null: String, null: String, "literal"))
+      .toDF("graph", "s", "p", "o_value", "o_type", "o_lang", "o_kind")
+    store.append(quads.repartition(8))
+    val before = store.read().orderBy("s").collect().map(_.getString(1)).toSeq
+    store.clusterGraph(g, numFiles = 4)
+    val after = store.read().orderBy("s").collect().map(_.getString(1)).toSeq
+    assert(after == before, "cluster rewrite changed the content")
+    val boxes = spark.read.parquet(dir + "/store")
+      .groupBy(input_file_name()).agg(min(col("s")), max(col("s")))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(boxes.length > 1, "expected a multi-file layout")
+    // disjoint: sorted by lo, each file's hi < the next file's lo
+    val sorted = boxes.sortBy(_._1).toSeq
+    sorted.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"overlapping file ranges: $sorted")
+      case _ => ()
+    }
+  }
 }
