@@ -62,18 +62,35 @@ object Compiler {
     * `graphVar`: inside `GRAPH ?g {}` every pattern also binds ?g from
     * the quad's graph column, so shared-var joins stay graph-aligned. */
   private[sparql] def compilePattern(quads: DataFrame, tp: TriplePattern,
-      graphVar: Option[String] = None): DataFrame = {
-    if (isEncoded(quads)) return compilePatternEncoded(quads, tp, graphVar)
+      graphVar: Option[String] = None,
+      valuesIn: Map[String, Seq[Node]] = Map.empty): DataFrame = {
+    if (isEncoded(quads))
+      return compilePatternEncoded(quads, tp, graphVar, valuesIn)
     var df = quads
+    // VALUES-pushdown (semijoin reduction): a variable slot whose var a
+    // same-group ground VALUES binds can only ever take those constants
+    // — the inner join with the VALUES table eliminates everything else
+    // later anyway, so an IN-filter on the SCAN is free pruning (pushed
+    // to parquet; the join still runs for multiplicity/other vars).
+    def slotIn(name: String, iriCond: Seq[Node] => Column): Unit =
+      valuesIn.get(name).foreach { nodes => df = df.where(iriCond(nodes)) }
     // constant filters (these reach the parquet scan as pushed predicates)
     tp.s match {
       case I(iri) => df = df.where(col("s") === iri)
       case L(_, _, _) => throw new IllegalArgumentException("literal subject")
-      case V(_) =>
+      case V(n) => slotIn(n, nodes => {
+        val iris = nodes.collect { case I(iri) => iri }
+        if (iris.isEmpty) lit(false) // literal-only VALUES: no subject
+        else col("s").isin(iris: _*)
+      })
     }
     tp.p match {
       case I(iri) => df = df.where(col("p") === iri)
-      case V(_) =>
+      case V(n) => slotIn(n, nodes => {
+        val iris = nodes.collect { case I(iri) => iri }
+        if (iris.isEmpty) lit(false)
+        else col("p").isin(iris: _*)
+      })
       case _ => throw new IllegalArgumentException("literal predicate")
     }
     tp.o match {
@@ -84,7 +101,15 @@ object Compiler {
           col("o_value") === value &&
           col("o_type") <=> Option(dt).map(lit).getOrElse(nullStr) &&
           col("o_lang") <=> Option(lang).map(lit).getOrElse(nullStr))
-      case V(_) =>
+      case V(n) => slotIn(n, nodes => nodes.map {
+        case I(iri) =>
+          col("o_kind") === Quad.KindIri && col("o_value") === iri
+        case L(value, dt, lang) =>
+          col("o_kind") === Quad.KindLiteral && col("o_value") === value &&
+            col("o_type") <=> Option(dt).map(lit).getOrElse(nullStr) &&
+            col("o_lang") <=> Option(lang).map(lit).getOrElse(nullStr)
+        case V(_) => lit(false) // unreachable: VALUES terms are ground
+      }.reduceOption(_ || _).getOrElse(lit(false)))
     }
     // project variables as term structs
     val pairs: Seq[(String, Column)] = (Seq(
@@ -115,16 +140,28 @@ object Compiler {
     * `o_kind === ... && o_value === ... && o_type <=> ...` collapses to
     * one `o_id === const`. */
   private def compilePatternEncoded(quads: DataFrame, tp: TriplePattern,
-      graphVar: Option[String]): DataFrame = {
+      graphVar: Option[String],
+      valuesIn: Map[String, Seq[Node]] = Map.empty): DataFrame = {
     val ctx = DictContext.required
     var df = quads
-    def constFilter(c: Column, n: Node): Unit =
-      DictContext.keyOf(n).foreach { key =>
-        df = ctx.idOf(key) match {
-          case Some(id) => df.where(c === id)
-          case None => df.where(lit(false))
+    def constFilter(c: Column, n: Node): Unit = n match {
+      // VALUES-pushdown, id space: the ground terms become one In(ids)
+      // long filter on the encoded scan — plan-time dictionary lookups,
+      // terms the store never saw drop from the list (they can match
+      // nothing), an all-unknown list short-circuits the scan
+      case V(name) if valuesIn.contains(name) =>
+        val ids = valuesIn(name)
+          .flatMap(DictContext.keyOf).flatMap(ctx.idOf)
+        df = if (ids.isEmpty) df.where(lit(false))
+          else df.where(c.isin(ids: _*))
+      case _ =>
+        DictContext.keyOf(n).foreach { key =>
+          df = ctx.idOf(key) match {
+            case Some(id) => df.where(c === id)
+            case None => df.where(lit(false))
+          }
         }
-      }
+    }
     tp.s match {
       case L(_, _, _) => throw new IllegalArgumentException("literal subject")
       case n => constFilter(col("s_id"), n)
@@ -287,6 +324,31 @@ object Compiler {
     var acc: Option[DataFrame] = outer.map(_._1)
     var nullable: Set[String] = outer.map(_._2).getOrElse(Set.empty)
 
+    // VALUES-pushdown scope: vars a SAME-GROUP ground VALUES fully
+    // binds (no UNDEF rows, ≤100 rows — past that an IN-list stops
+    // being a scan win). These restrict this group's DIRECT pattern
+    // slots only; Opt/Union/Minus/EXISTS bodies compile through their
+    // own group call and collect their own VALUES — an outer
+    // restriction must never leak into an anti-joined or optional
+    // subtree, where eliminating a scan row changes semantics instead
+    // of just pre-applying the join. Multiple VALUES on one var
+    // intersect (each is a necessary condition).
+    val valuesIn: Map[String, Seq[Node]] = {
+      val m = scala.collection.mutable.Map.empty[String, Seq[Node]]
+      group.elems.foreach {
+        case ValuesE(vars, rows) if rows.nonEmpty && rows.length <= 100 =>
+          vars.zipWithIndex.foreach { case (v, i) =>
+            val colTerms = rows.map(_(i))
+            if (colTerms.forall(_.isDefined)) {
+              val nodes = colTerms.flatten.distinct
+              m(v) = m.get(v).map(_.intersect(nodes)).getOrElse(nodes)
+            }
+          }
+        case _ => ()
+      }
+      m.toMap
+    }
+
     def joinPatternBatch(batch: Seq[TriplePattern]): Unit = {
       if (batch.isEmpty) return
       val encoded = isEncoded(quads)
@@ -326,7 +388,7 @@ object Compiler {
           case (V(v), I(p)) => starPreds(v) = starPreds(v) + p
           case _ => ()
         }
-        val pat0 = compilePattern(quads, tp, graphVar)
+        val pat0 = compilePattern(quads, tp, graphVar, valuesIn)
         val pat = if (encoded && !idBlock)
           DictContext.required.decodeBlock(pat0, slotCounts(Seq(tp)), idVars)
           else pat0

@@ -174,7 +174,9 @@ object DictContext {
       case FilterE(e) => expr(e)
       case UnionE(bs) => bs.foreach(walk)
       case MinusE(inner) => walk(inner)
-      case ValuesE(_, _) => () // VALUES joins in term space
+      // VALUES joins in term space, but its ground terms also feed the
+      // pushed In(ids) scan filter — preload them with the batch
+      case ValuesE(_, rows) => rows.foreach(_.foreach(_.foreach(node)))
       case c: ClosureE => node(c.s); node(c.o); walk(c.edges)
       case GraphE(_, inner) => walk(inner)
       case SubSelectE(q) => walk(q.where)

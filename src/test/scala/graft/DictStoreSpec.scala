@@ -372,6 +372,22 @@ class DictStoreSpec extends AnyFunSuite {
       WHERE { ?s ex:name ?n0 }""")
   }
 
+  test("VALUES pushdown reaches the encoded scan as a long In() filter (r11)") {
+    // ground same-group VALUES restrict their pattern slots at the
+    // SCAN: the ids go down as one In(s_id, [...]) pushed predicate
+    // (semijoin reduction — the VALUES join still runs above)
+    val q = """
+      PREFIX ex: <http://ex/>
+      SELECT ?n WHERE {
+        ?s ex:name ?n .
+        VALUES ?s { ex:alice ex:bob }
+      } ORDER BY ?n"""
+    parity("values_push", q)
+    val plan = dict.select(q).queryExecution.executedPlan.toString
+    assert("In\\(s_id, \\[".r.findFirstIn(plan).isDefined,
+      s"no pushed In(s_id) filter in:\n$plan")
+  }
+
   test("the pattern block really runs in id space (pushed long filters)") {
     val plan = dict.select("""
       PREFIX ex: <http://ex/>

@@ -89,6 +89,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(p,") || p.contains("IsNotNull(p)"), p.take(800))
   }
 
+  test("VALUES pushdown: ground same-group VALUES become In() scan filters (r11)") {
+    import spark.implicits._
+    val store = new graft.model.GraphStore(spark,
+      Files.createTempDirectory("valpush").toString + "/quads")
+    store.append((1 to 50).map(i =>
+      Quad.lit("http://g/m", s"urn:s$i", "http://ex/p", s"v$i")).toDF())
+    val engine = new GraphEngine(store)
+    val df = engine.select("""
+      SELECT ?o WHERE {
+        ?s <http://ex/p> ?o .
+        VALUES ?s { <urn:s3> <urn:s7> }
+      } ORDER BY ?o""")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("In(s, ["),
+      s"VALUES restriction did not reach the scan:\n${p.take(1500)}")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("v3", "v7"))
+  }
+
   test("token_vocab: top-k is TakeOrdered, not a global sort") {
     val p = plan("token_vocab")
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
