@@ -288,6 +288,13 @@ object Plans {
         "(lead) — no global single-partition sort — and the LCP fold " +
         "is a codegen'd higher-order aggregate, so the only other " +
         "exchange is the final tiny repeat groupBy."),
+    "layout_cluster_subjects" ->
+      ("subject-clustered store maintenance (round 11): ONE range " +
+        "exchange on s feeds the rewrite (RangePartitioning in the " +
+        "write job); the probe read-back shows PushedFilters " +
+        "EqualTo(s,<probe-iri>) on the clustered files — with disjoint " +
+        "per-file s-ranges the filter opens 1 of 8 files, the gate the " +
+        "query's pruned_to_one column checks from the min/max boxes."),
     "embed_hard_negatives" ->
       ("INDEX-SERVED since round 11: candidates come from the persisted " +
         "cell-partitioned IVFADC index — look for the scan of " +
