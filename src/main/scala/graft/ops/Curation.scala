@@ -159,6 +159,37 @@ object Curation {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- deterministic EPOCH SHUFFLE (the training-loader order): per
+    // epoch every doc gets a pseudo-random position md5(epoch ":" id) —
+    // a pure function, so the order is reproducible on any cluster
+    // layout and DIFFERENT across epochs with no seed plumbing or
+    // true random shuffle (a 100 TB global randomization is one
+    // map-side hash + one (epoch, shard) exchange, never a random-key
+    // sort that can't be replayed after a failure). Shard = hash-prefix
+    // bucket (deterministic, unlike range-sampled boundaries); order
+    // within a shard = the hash. The output fingerprints each shard's
+    // ORDER (Σ doc_id·rank — order-sensitive) so the oracle checks the
+    // exact permutation, not just membership.
+    "corpus_epoch_shuffle" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val epochs = Seq(0, 1).map(e => docs.withColumn("epoch", lit(e)))
+        .reduce(_ unionAll _)
+      val keyed = epochs.withColumn("h", md5(concat(
+          col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))))
+        .withColumn("shard",
+          expr("instr('0123456789abcdef', substring(h, 1, 1)) % 8")
+            .cast("int"))
+      val w = Window.partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("h"), col("doc_id"))
+      keyed.withColumn("rk", row_number().over(w))
+        .groupBy(col("epoch"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id") * col("rk")).cast("long").as("order_fp"))
+        .orderBy(col("epoch"), col("shard"))
+    }),
+
     // ---- tokenizer vocabulary: top-k tokens by corpus frequency,
     // deterministic ties (count DESC, token ASC). The word-count shape:
     // map-side partial aggregation absorbs the explode, the shuffle
@@ -414,6 +445,28 @@ object Curation {
       """SELECT doc_id, lang FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
          ORDER BY doc_id""",
+    // the full permutation replayed: same hash, same shard rule, same
+    // within-shard order — an order-sensitive fingerprint per shard
+    "corpus_epoch_shuffle" ->
+      """WITH k AS (
+           SELECT e.epoch, d.doc_id,
+             md5(CAST(e.epoch AS VARCHAR) || ':'
+               || CAST(d.doc_id AS VARCHAR)) AS h
+           FROM documents d
+           CROSS JOIN (SELECT 0 AS epoch UNION ALL SELECT 1) e),
+         sh AS (
+           SELECT epoch, doc_id, h,
+             CAST(strpos('0123456789abcdef', substr(h, 1, 1)) % 8 AS INT)
+               AS shard
+           FROM k),
+         rk AS (
+           SELECT epoch, shard, doc_id,
+             row_number() OVER (PARTITION BY epoch, shard
+               ORDER BY h, doc_id) AS rk
+           FROM sh)
+         SELECT epoch, shard, count(*) AS n_docs,
+           CAST(sum(doc_id * rk) AS BIGINT) AS order_fp
+         FROM rk GROUP BY epoch, shard ORDER BY epoch, shard""",
     "token_vocab" ->
       """SELECT token, count(*) AS n
          FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token

@@ -111,4 +111,24 @@ class CurationSpec extends AnyFunSuite {
     // every representative is a member of its own cluster
     clusters.values.foreach(rep => assert(clusters(rep) == rep))
   }
+
+  test("epoch shuffle: full coverage per epoch, orders differ across epochs") {
+    val rows = SparkEntry.queries("corpus_epoch_shuffle")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val nDocs = graft.util.Tables.documents(spark, TestSpark.sf).count()
+    // each epoch's shards partition the whole corpus
+    Seq(0, 1).foreach { e =>
+      assert(rows.filter(_._1 == e).map(_._3).sum == nDocs,
+        s"epoch $e shards do not cover the corpus")
+    }
+    // the permutation really changes between epochs: per shard, the
+    // order fingerprints must differ (md5 re-keys every position)
+    val byShard = rows.groupBy(_._2)
+    byShard.foreach { case (shard, rs) =>
+      val fps = rs.sortBy(_._1).map(_._4)
+      assert(fps.distinct.length == fps.length,
+        s"shard $shard kept the same order across epochs: $rs")
+    }
+  }
 }

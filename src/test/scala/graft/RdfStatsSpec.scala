@@ -131,6 +131,35 @@ class RdfStatsSpec extends AnyFunSuite {
     assert(csets == Map("p1,p2" -> 1L), s"csets: $csets")
   }
 
+  test("dict-MOR store: the stats artifact rides the latest-wins encoded read") {
+    // the MERGE-ON-READ dict backend reconstructs set semantics at
+    // read time — StoreStats.write must see the reconstructed state,
+    // not raw deltas/tombstones
+    import graft.sparql.StoreStats
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stats-dmor").toString
+    val store = new graft.model.DictMorStore(spark, dir + "/store")
+    val g = "http://ex/g"
+    def df(rows: Seq[(String, String, String)]) = rows.map { case (s, p, o) =>
+      (g, s, p, o, null: String, null: String, "literal")
+    }.toDF("graph", "s", "p", "o_value", "o_type", "o_lang", "o_kind")
+    store.appendDistinct(df(Seq(
+      ("urn:a", "p1", "x"), ("urn:a", "p2", "z"), ("urn:b", "p1", "w"))))
+    // delete one quad THROUGH the tombstone path, then build stats:
+    // the artifact must reflect the reconstructed (post-delete) state
+    store.deleteQuads(df(Seq(("urn:b", "p1", "w"))))
+    StoreStats.write(store)
+    val preds = StoreStats.predSummary(spark, store).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(preds == Map("p1" -> 1L, "p2" -> 1L), s"preds: $preds")
+    val csets = StoreStats.csetSummary(spark, store).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(csets == Map("p1,p2" -> 1L), s"csets: $csets")
+    // and the estimator loads off the artifact with no scan
+    val est = StoreStats.load(store)
+    assert(est.starSubjects(Set("p1", "p2")).contains(1L))
+  }
+
   test("stats refresh folds a delta exactly (counts) and keeps shapes consistent") {
     import org.apache.spark.sql.functions._
     import graft.sparql.StoreStats
