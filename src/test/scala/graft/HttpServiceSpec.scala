@@ -226,6 +226,31 @@ class HttpServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("paged fetch on a dead endpoint: SILENT degrades, non-SILENT is loud") {
+    val deadPort = {
+      val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      val p = s.getAddress.getPort; s.stop(0); p
+    }
+    val endpoint = s"http://127.0.0.1:$deadPort/sparql"
+    graft.sparql.Services.enablePagedFetch(endpoint, pageSize = 3)
+    try {
+      val engine = freshEngine()
+      // the count request fails EAGERLY on the driver, so SILENT's
+      // Try still catches it (pages themselves are lazy/executor-side)
+      val silent = engine.select(s"""
+        SELECT ?s FROM <http://g/main>
+        WHERE { ?s <${ex}type> ?t .
+                SERVICE SILENT <$endpoint> { ?m <${ex}etype> ?t } }""")
+        .collect()
+      assert(silent.length == 2)
+      intercept[Exception] {
+        engine.select(s"""
+          SELECT ?s WHERE {
+            SERVICE <$endpoint> { ?s <${ex}p> ?o } }""").collect()
+      }
+    } finally graft.sparql.Services.disablePagedFetch(endpoint)
+  }
+
   test("SILENT bound join on a dead endpoint degrades to the unit table") {
     val deadPort = {
       val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
