@@ -37,6 +37,55 @@ object Classify {
     floor(log(x) * lit(1000000.0) + lit(0.5)).cast("long")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- CCNet-style REFERENCE-model perplexity bucketing (Wenzek et
+    // al. 2020 shape): a bigram LM is trained on a reference slice
+    // (doc_id % 10 < 3 — at production scale the curated "clean"
+    // corpus), every document scores its average negative
+    // log-likelihood under THAT model, and the corpus splits into
+    // head/middle/tail terciles — the standard quality-bucketing a
+    // pretraining pipeline runs. Unlike text_unigram/bigram_surprise
+    // (self-corpus statistics), the model here is EXTERNAL to the
+    // scored document, which is what makes low perplexity mean
+    // "looks like the reference" rather than "is repetitive".
+    // Cross-engine exactness: per-bigram log-likelihoods quantize to
+    // micro-nats (the NB discipline) so the integer sums are
+    // order-free; Laplace-1 over (c1 + V). Scale: counts are two
+    // map-side-combined aggregations over reference bigrams; scoring
+    // is one broadcast-or-shuffle join per bigram table; the final
+    // tercile ntile is a presentation-sized global window here — at
+    // 100 TB the two boundaries become a computed artifact (the
+    // percentile pattern) applied map-side.
+    "text_ref_perplexity" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      val bi = toks.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val ref = bi.filter(pmod(col("doc_id"), lit(10)) < 3)
+      val c2 = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = ref.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val v = ref.select(col("w1").as("w"))
+        .unionAll(ref.select(col("w2").as("w")))
+        .distinct().agg(count(lit(1)).as("v"))
+      val contrib = bi
+        .join(c2, Seq("w1", "w2"), "left").na.fill(0L, Seq("c2"))
+        .join(c1, Seq("w1"), "left").na.fill(0L, Seq("c1"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), qln((col("c2") + 1).cast("double")
+          / (col("c1") + col("v")).cast("double")).as("q"))
+      val scored = contrib.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          TextOps.round4(-(sum(col("q")).cast("double")
+            / count(lit(1))) / 1e6).as("nll"))
+      scored.withColumn("bucket", ntile(3).over(
+          Window.orderBy(col("nll"), col("doc_id"))))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multinomial Naive Bayes, trained on the corpus's own source
     // labels and evaluated on it (the mechanics, not a holdout claim):
     // Laplace-1 smoothing, priors from document counts. Output is the
@@ -115,6 +164,40 @@ object Classify {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // the whole reference-LM pipeline replayed: same bigrams, same
+    // Laplace-1 micro-nat quantization, same double division order,
+    // same tercile tie-break
+    "text_ref_perplexity" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         bi AS (
+           SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                 FROM toks WHERE len(t) >= 2) x),
+         ref AS (SELECT * FROM bi WHERE doc_id % 10 < 3),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM ref GROUP BY w1, w2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM ref GROUP BY w1),
+         v AS (SELECT count(DISTINCT w) AS v FROM (
+                 SELECT w1 AS w FROM ref
+                 UNION ALL SELECT w2 FROM ref) u),
+         contrib AS (
+           SELECT b.doc_id,
+             CAST(floor(ln((COALESCE(c2.c2, 0) + 1) * 1.0
+               / (COALESCE(c1.c1, 0) + v.v)) * 1000000.0 + 0.5) AS BIGINT)
+               AS q
+           FROM bi b
+           LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+           LEFT JOIN c1 ON b.w1 = c1.w1
+           CROSS JOIN v),
+         sc AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+             floor((-(CAST(sum(q) AS DOUBLE) / count(*)) / 1e6)
+               * 10000 + 0.5) / 10000 AS nll
+           FROM contrib GROUP BY doc_id)
+         SELECT doc_id, n_bigrams, nll,
+           CAST(ntile(3) OVER (ORDER BY nll, doc_id) AS INT) AS bucket
+         FROM sc ORDER BY doc_id""",
     "text_classify_nb" ->
       """WITH toks AS (
            SELECT doc_id, source,
