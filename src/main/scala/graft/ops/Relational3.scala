@@ -50,7 +50,13 @@ object Relational3 {
     // summed value is DECIMAL so the rolling addition is exact, and
     // the result is cast back to DECIMAL(18,2) on BOTH sides so no
     // engine-specific sum-widening (28,2 vs 38,2) enters the hash.
-    // One hashpartitioning(user_id) exchange, one Window.
+    // One hashpartitioning(user_id) exchange, one Window. The rolling
+    // sum is computed in exact DECIMAL, then leaves the operator as
+    // INTEGER CENTS (BIGINT): the DECIMAL(18,2) sum is exact, so
+    // cents are exact integers, and the hash surface compares BIGINTs
+    // only — decimal stringification/dtype differences across oracle
+    // environments (Decimal('5.50') vs float64 5.5) can no longer
+    // produce a value-hash mismatch on value-identical rows.
     "q36_rolling_range" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("tus"))
@@ -59,12 +65,35 @@ object Relational3 {
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("tus"),
           col("value").cast("decimal(18,2)").as("v"))
-        .withColumn("rolling_1h",
-          sum(col("v")).over(w).cast("decimal(18,2)"))
+        .withColumn("cents_1h",
+          (sum(col("v")).over(w) * 100).cast("long"))
         .withColumn("n_1h", count(lit(1)).over(w).cast("long"))
-        .select(col("event_id"), col("user_id"), col("rolling_1h"),
+        .select(col("event_id"), col("user_id"), col("cents_1h"),
           col("n_1h"))
         .orderBy(col("event_id"))
+    }),
+
+    // ---- q36 diagnostic twin: per-user min/max/sum of the INTEGER
+    // microsecond timestamps q36's frame orders by, plus integer-cent
+    // value sums. If q36 ever diverges under an oracle environment,
+    // this row pinpoints WHICH joint moved (timestamp read vs value
+    // read vs frame arithmetic) from the driver artifact alone —
+    // every column is BIGINT, so no canonicalization can enter.
+    "q36_ts_diag" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          (col("value").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        .groupBy(col("user_id"))
+        // the sum is of micros-WITHIN-DAY: it still witnesses any
+        // sub-second truncation divergence while staying far from
+        // Long overflow (8.64e10 x rows), and the oracle side casts
+        // back to BIGINT because DuckDB widens integer sums to HUGEINT
+        .agg(min(col("tus")).as("min_tus"), max(col("tus")).as("max_tus"),
+          sum(pmod(col("tus"), lit(86400000000L))).as("sum_day_tus"),
+          sum(col("cents")).as("sum_cents"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
     }),
 
     // ---- q30: ordered-event funnel (view -> click -> purchase): each
@@ -220,21 +249,30 @@ object Relational3 {
 
   def oracleSql: Map[String, String] = Map(
     // same integer-microsecond ordering + inclusive RANGE bounds +
-    // exact decimal rolling sum cast to the SAME output type as Spark
-    // (epoch_us is BIGINT in every DuckDB version; epoch() flips
-    // between truncating BIGINT and fractional DOUBLE across versions
-    // and every ts here has sub-second micros, which shifted frame
-    // boundaries on some drivers)
+    // exact decimal rolling sum, emitted as INTEGER CENTS so the hash
+    // surface is BIGINT-only (epoch_us is BIGINT in every DuckDB
+    // version; epoch() flips between truncating BIGINT and fractional
+    // DOUBLE across versions and every ts here has sub-second micros,
+    // which shifted frame boundaries on some drivers; DECIMAL output
+    // canonicalization also varies across oracle stacks — cents don't)
     "q36_rolling_range" ->
-      """SELECT event_id, user_id, rolling_1h, n_1h FROM (
+      """SELECT event_id, user_id, cents_1h, n_1h FROM (
            SELECT event_id, user_id,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w
-               AS DECIMAL(18,2)) AS rolling_1h,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w * 100
+               AS BIGINT) AS cents_1h,
              CAST(count(*) OVER w AS BIGINT) AS n_1h
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)) t
          ORDER BY event_id""",
+    "q36_ts_diag" ->
+      """SELECT user_id,
+           min(epoch_us(ts)) AS min_tus, max(epoch_us(ts)) AS max_tus,
+           CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_day_tus,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS sum_cents,
+           count(*) AS n
+         FROM events GROUP BY user_id ORDER BY user_id""",
     // the bucket layout is oracle-invisible: same join, same numbers
     "q35_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
