@@ -101,50 +101,52 @@ object Curation {
     }),
 
     // ---- approx per-language percentiles — the 100 TB path. Exact
-    // `percentile` buffers every group value; approx_percentile is a
-    // one-pass MERGEABLE sketch with bounded memory per group, so the
-    // same plan holds when a language has 1e10 documents. Sketch output
-    // is engine-specific (rows-only); the audit twin below pins its
-    // rank error against exact quantiles and IS oracle-checked.
-    "corpus_percentiles_approx" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("lang"), size(TextOps.tokens(col("text"))).as("n_tokens"))
-        .groupBy(col("lang"))
-        .agg(expr(
-          "approx_percentile(n_tokens, array(0.25, 0.5, 0.75, 0.95), 1000)")
-          .as("q"))
-        .select(col("lang"), col("q")(0).as("p25"), col("q")(1).as("p50"),
-          col("q")(2).as("p75"), col("q")(3).as("p95"))
-        .orderBy(col("lang"))
-    }),
+    // `percentile` buffers every group value; this is a one-pass
+    // MERGEABLE log-quantized histogram sketch (the HdrHistogram idea,
+    // Gil Tene — public; also the shape of DataSketches' REQ bins):
+    // each value keeps its top 4 significant binary digits
+    // (qv = (x >> s) << s with s = max(floor(log2 x) - 3, 0)), giving
+    // ≤ 8 bins per octave × 64 octaves — a few-hundred-row histogram
+    // per group whose counts ADD under merge, so the same plan holds
+    // when a language has 1e10 documents (relative value error < 1/8,
+    // and the reported quantile is exactly the quantized value of the
+    // true nearest-rank element — the audit twin's theorem). Unlike
+    // approx_percentile's engine-private KLL sketch, every step is
+    // integer arithmetic, so the oracle replays histogram, ranks, and
+    // output bit-for-bit. Rank tests use cross-multiplied integers
+    // (b*cum >= a*tot <=> cum >= ceil(a*tot/b)) — no doubles anywhere.
+    "corpus_percentiles_approx" -> ((s, d) => Curation.pctSketch(s, d)),
 
-    // ---- audit twin: every approx quantile must land inside a
-    // nearest-rank envelope at ±5% rank (generous vs the sketch's 1/1000
-    // bound). The envelope is built from NON-interpolated quantiles —
-    // approx_percentile at accuracy 100000 returns actual data values
-    // with rank error ≤ 1/100000, i.e. nearest-rank exact — because an
-    // INTERPOLATED p20 on a tiny group (2 rows) can exceed the sketch's
-    // actual-value p25 and flip the verdict. Both sides select real data
-    // values ordered by rank, so lo ≤ q ≤ hi holds at any group size.
-    // All-true output; the oracle asserts the same shape.
+    // ---- audit twin: the sketch's guarantee as a checked THEOREM —
+    // the exact nearest-rank quantile (value at rank ceil(q*n)) lies
+    // in the reported bin [qv, qv + 2^s): quantization is monotone, so
+    // the first bin whose cumulative count reaches rank r is exactly
+    // the bin of the rank-r element. Booleans computed in-engine; the
+    // oracle REPLAYS the whole derivation (sketch + exact ranks), not
+    // just the all-true shape.
     "corpus_percentiles_approx_audit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, d)
-        .select(col("lang"), size(TextOps.tokens(col("text"))).as("n_tokens"))
-      val approx = toks.groupBy(col("lang"))
-        .agg(expr(
-          "approx_percentile(n_tokens, array(0.25, 0.5, 0.75, 0.95), 1000)")
-          .as("q"))
-      val envelope = toks.groupBy(col("lang"))
-        .agg(expr(
-          "approx_percentile(n_tokens, array(0.20, 0.45, 0.70, 0.90), 100000)")
-          .as("lo"),
-          expr(
-          "approx_percentile(n_tokens, array(0.30, 0.55, 0.80, 1.00), 100000)")
-          .as("hi"))
-      approx.join(envelope, "lang")
-        .select(col("lang") +: (0 until 4).map(i =>
-          (col("q")(i) >= col("lo")(i) && col("q")(i) <= col("hi")(i))
-            .as(s"ok_q$i")): _*)
+        .select(col("lang"), size(TextOps.tokens(col("text")))
+          .cast("long").as("nt"))
+      val sk = Curation.pctSketch(s, d)
+      val exact = toks
+        .withColumn("rn", row_number()
+          .over(Window.partitionBy(col("lang")).orderBy(col("nt"))))
+        .withColumn("tot", count(lit(1))
+          .over(Window.partitionBy(col("lang"))))
+        .groupBy(col("lang"))
+        .agg(
+          min(when(col("rn") * 4 >= col("tot"), col("nt"))).as("e25"),
+          min(when(col("rn") * 2 >= col("tot"), col("nt"))).as("e50"),
+          min(when(col("rn") * 4 >= col("tot") * 3, col("nt"))).as("e75"),
+          min(when(col("rn") * 20 >= col("tot") * 19, col("nt"))).as("e95"))
+      def inBin(p: String, e: String) =
+        (col(p) <= col(e)) && (col(e) < expr(Curation.binHiSql(p)))
+      sk.join(exact, "lang")
+        .select(col("lang"),
+          inBin("p25", "e25").as("ok_q0"), inBin("p50", "e50").as("ok_q1"),
+          inBin("p75", "e75").as("ok_q2"), inBin("p95", "e95").as("ok_q3"))
         .orderBy(col("lang"))
     }),
 
@@ -377,7 +379,87 @@ object Curation {
         floor(col("cumb") / budget).cast("long").as("shard"))
   }
 
+  /** Spark-SQL text of the log-quantization `qv = (x >> s) << s`,
+    * `s = max(floor(log2 x) - 3, 0)` (floor(log2 x) = length(bin(x))-1
+    * — both engines print minimal-length binary strings). Shared as
+    * TEXT because the shift distance is a column, which the
+    * `functions.shiftright(Column, Int)` overload can't express. */
+  private[graft] def logQuantizeSql(c: String): String =
+    s"""CASE WHEN $c <= 0 THEN CAST(0 AS BIGINT)
+       |ELSE CAST(shiftleft(shiftright(CAST($c AS BIGINT),
+       |  greatest(length(bin($c)) - 4, 0)),
+       |  greatest(length(bin($c)) - 4, 0)) AS BIGINT) END""".stripMargin
+
+  /** Exclusive upper bound of the bin whose lower bound is `p`:
+    * p + 2^s (the quantized value keeps x's top bit, so s derives from
+    * p the same way); bin 0 is exactly {0..0}, hi = 1. */
+  private[graft] def binHiSql(p: String): String =
+    s"""CASE WHEN $p <= 0 THEN CAST(1 AS BIGINT)
+       |ELSE $p + CAST(shiftleft(CAST(1 AS BIGINT),
+       |  greatest(length(bin($p)) - 4, 0)) AS BIGINT) END""".stripMargin
+
+  /** The log-quantized histogram percentile sketch (see the
+    * `corpus_percentiles_approx` comment): ONE groupBy over a
+    * few-hundred-bin histogram, two window passes over histogram-sized
+    * data (never row-sized), integer-only rank tests. */
+  private[graft] def pctSketch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(s, d)
+      .select(col("lang"), size(TextOps.tokens(col("text"))).as("nt"))
+      .selectExpr("lang", logQuantizeSql("nt") + " AS qv")
+      .groupBy(col("lang"), col("qv"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c"))
+        .over(Window.partitionBy(col("lang")).orderBy(col("qv"))))
+      .withColumn("tot", sum(col("c"))
+        .over(Window.partitionBy(col("lang"))))
+    cum.groupBy(col("lang"))
+      .agg(
+        min(when(col("cum") * 4 >= col("tot"), col("qv"))).as("p25"),
+        min(when(col("cum") * 2 >= col("tot"), col("qv"))).as("p50"),
+        min(when(col("cum") * 4 >= col("tot") * 3, col("qv"))).as("p75"),
+        min(when(col("cum") * 20 >= col("tot") * 19, col("qv"))).as("p95"))
+      .orderBy(col("lang"))
+  }
+
+  /** DuckDB replay of the quantization (dialect: `>>`/`<<` operators
+    * instead of shiftleft/shiftright). */
+  private def logQuantizeDuck(c: String): String =
+    s"""CASE WHEN $c <= 0 THEN CAST(0 AS BIGINT)
+       |ELSE CAST((($c >> greatest(length(bin($c)) - 4, 0))
+       |  << greatest(length(bin($c)) - 4, 0)) AS BIGINT) END""".stripMargin
+
+  private def binHiDuck(p: String): String =
+    s"""CASE WHEN $p <= 0 THEN CAST(1 AS BIGINT)
+       |ELSE $p + CAST((1 << greatest(length(bin($p)) - 4, 0))
+       |  AS BIGINT) END""".stripMargin
+
+  /** The sketch's full DuckDB replay, shared by the main oracle and
+    * the audit oracle's CTE. */
+  private def pctSketchDuck: String =
+    s"""WITH toks AS (
+       |  SELECT lang,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS nt
+       |  FROM documents),
+       |qz AS (SELECT lang, ${logQuantizeDuck("nt")} AS qv FROM toks),
+       |hist AS (SELECT lang, qv, count(*) AS c FROM qz GROUP BY 1, 2),
+       |cum AS (SELECT lang, qv,
+       |    sum(c) OVER (PARTITION BY lang ORDER BY qv) AS cum,
+       |    sum(c) OVER (PARTITION BY lang) AS tot
+       |  FROM hist)
+       |SELECT lang,
+       |  CAST(min(CASE WHEN 4*cum >= tot THEN qv END) AS BIGINT) AS p25,
+       |  CAST(min(CASE WHEN 2*cum >= tot THEN qv END) AS BIGINT) AS p50,
+       |  CAST(min(CASE WHEN 4*cum >= 3*tot THEN qv END) AS BIGINT) AS p75,
+       |  CAST(min(CASE WHEN 20*cum >= 19*tot THEN qv END) AS BIGINT) AS p95
+       |FROM cum GROUP BY lang""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // full sketch replay — histogram, cumulative ranks, output
+    "corpus_percentiles_approx" ->
+      (pctSketchDuck + " ORDER BY lang"),
     "corpus_report" ->
       """WITH docs AS (
            SELECT doc_id, source, lang,
@@ -434,13 +516,33 @@ object Curation {
          FROM (SELECT lang, len(string_split_regex(trim(text), '\s+'))
                  AS n_tokens FROM documents) t
          GROUP BY lang ORDER BY lang""",
-    // the audit's verdicts are engine-independent facts (approx must sit
-    // in the exact-rank envelope), so the oracle just states the
-    // expected all-true shape per language
+    // full replay of the audit's derivation: sketch CTE + exact
+    // nearest-rank quantiles + the bin-containment theorem booleans
     "corpus_percentiles_approx_audit" ->
-      """SELECT lang, true AS ok_q0, true AS ok_q1, true AS ok_q2,
-           true AS ok_q3
-         FROM documents GROUP BY lang ORDER BY lang""",
+      s"""WITH sk AS ($pctSketchDuck),
+          toks AS (
+            SELECT lang,
+              CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                AS nt
+            FROM documents),
+          ranked AS (
+            SELECT lang, nt,
+              row_number() OVER (PARTITION BY lang ORDER BY nt) AS rn,
+              count(*) OVER (PARTITION BY lang) AS tot
+            FROM toks),
+          exact AS (
+            SELECT lang,
+              min(CASE WHEN 4*rn >= tot THEN nt END) AS e25,
+              min(CASE WHEN 2*rn >= tot THEN nt END) AS e50,
+              min(CASE WHEN 4*rn >= 3*tot THEN nt END) AS e75,
+              min(CASE WHEN 20*rn >= 19*tot THEN nt END) AS e95
+            FROM ranked GROUP BY lang)
+          SELECT sk.lang,
+            (p25 <= e25 AND e25 < ${binHiDuck("p25")}) AS ok_q0,
+            (p50 <= e50 AND e50 < ${binHiDuck("p50")}) AS ok_q1,
+            (p75 <= e75 AND e75 < ${binHiDuck("p75")}) AS ok_q2,
+            (p95 <= e95 AND e95 < ${binHiDuck("p95")}) AS ok_q3
+          FROM sk JOIN exact USING (lang) ORDER BY sk.lang""",
     "sample_hash_bernoulli" ->
       """SELECT doc_id, lang FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
