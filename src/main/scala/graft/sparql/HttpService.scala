@@ -239,9 +239,31 @@ object HttpService {
 
   /** Fetch the endpoint's full dataset as the engine's quad schema —
     * ONE results document through the driver (protocol-inherent for an
-    * unpaged endpoint; see [[fetchQuadsPaged]] for the opt-out). */
+    * unpaged endpoint; [[fetchQuadsPaged]] is the default path). */
   def fetchQuads(spark: SparkSession, endpoint: String): DataFrame = {
     val rows = parseQuadBindings(fetchResultsJson(endpoint, FetchQuery))
+    import spark.implicits._
+    spark.createDataset(rows).toDF()
+  }
+
+  /** Single-document rows past this count fail LOUDLY instead of
+    * silently ballooning the driver — the gate behind which the
+    * unpaged path hides now that paging is the default. Well below
+    * what a driver heap survives, well above any sane "just fetch it"
+    * dataset. */
+  val MaxUnpagedQuads = 1000000
+
+  /** [[fetchQuads]] behind the size gate — the fallback when an
+    * endpoint cannot serve the paged protocol, and the explicit
+    * opt-out path ([[Services.disablePagedFetch]]). */
+  def fetchQuadsGated(spark: SparkSession, endpoint: String): DataFrame = {
+    val rows = parseQuadBindings(fetchResultsJson(endpoint, FetchQuery))
+    if (rows.length > MaxUnpagedQuads)
+      throw new IllegalStateException(
+        s"SERVICE <$endpoint>: single-document fetch returned " +
+          s"${rows.length} quads (> $MaxUnpagedQuads). Use the paged " +
+          "fetch (the default — this endpoint rejected or was opted " +
+          "out of it) or register the dataset via Services.register.")
     import spark.implicits._
     spark.createDataset(rows).toDF()
   }
@@ -267,37 +289,64 @@ object HttpService {
        |  { GRAPH ?g { ?s ?p ?o } }
        |} ORDER BY ?g ?s ?p ?o LIMIT $pageSize OFFSET $offset""".stripMargin
 
-  /** DISTRIBUTED full fetch (VERDICT r10 #8): the driver asks the
-    * endpoint ONLY for its row count; the pages themselves are fetched
-    * and parsed by executor tasks (one LIMIT/OFFSET request per page
-    * index), so no single process ever materializes the remote
-    * dataset. Snapshot caveat inherent to paging a live endpoint: the
-    * N requests are not one transaction — a concurrent remote update
-    * can tear across pages, which is why this is per-endpoint opt-in
-    * ([[Services.enablePagedFetch]]), not the default. */
+  /** DISTRIBUTED full fetch (VERDICT r10 #8, DEFAULT since r12): the
+    * driver asks the endpoint ONLY for its row count; the pages
+    * themselves are fetched and parsed by executor tasks (one
+    * LIMIT/OFFSET request per page index), so no single process ever
+    * materializes the remote dataset. The parsed pages are EAGERLY
+    * localCheckpointed before returning: each page is requested
+    * exactly once per fetch (plan re-evaluation or task retry replays
+    * the checkpoint, not the HTTP call — a lazy RDD would multiply
+    * requests and could observe torn remote state beyond the
+    * documented cross-page tearing), and any page failure surfaces
+    * HERE, inside the caller's Try, so SERVICE SILENT catches
+    * executor-side page errors too, not just the count request.
+    * Snapshot caveat inherent to paging a live endpoint: the N
+    * requests are not one transaction — a concurrent remote update can
+    * tear across pages; [[Services.disablePagedFetch]] restores
+    * single-response snapshot semantics behind the size gate. */
   def fetchQuadsPaged(spark: SparkSession, endpoint: String,
       pageSize: Int = DefaultFetchPageSize): DataFrame = {
     val countRoot = mapper.readTree(fetchResultsJson(endpoint, CountQuery))
     val n = countRoot.path("results").path("bindings").elements().asScala
       .toSeq.headOption
-      .map(_.get("n").get("value").asText().toLong).getOrElse(0L)
-    val nPages = ((n + pageSize - 1) / pageSize).toInt
+      .flatMap(b => Option(b.get("n")))
+      .flatMap(v => scala.util.Try(v.get("value").asText().toLong).toOption)
     import spark.implicits._
-    if (nPages == 0) return spark.emptyDataset[Quad].toDF()
-    val pages = spark.sparkContext
-      .parallelize(0 until nPages, nPages)
-      .flatMap { pg =>
-        parseQuadBindings(fetchResultsJson(endpoint,
-          pagedFetchQuery(pageSize, pg.toLong * pageSize)))
-      }
-    spark.createDataset(pages).toDF()
+    n match {
+      case None =>
+        // the endpoint answered the count query with something that is
+        // not a count — it doesn't speak the paged protocol; degrade to
+        // the gated single fetch rather than failing a conforming query
+        fetchQuadsGated(spark, endpoint)
+      case Some(0L) => spark.emptyDataset[Quad].toDF()
+      case Some(total) =>
+        val nPages = ((total + pageSize - 1) / pageSize).toInt
+        val pages = spark.sparkContext
+          .parallelize(0 until nPages, nPages)
+          .flatMap { pg =>
+            parseQuadBindings(fetchResultsJson(endpoint,
+              pagedFetchQuery(pageSize, pg.toLong * pageSize)))
+          }
+        try spark.createDataset(pages).toDF().localCheckpoint(true)
+        catch {
+          case e: Exception => throw new IllegalStateException(
+            s"SERVICE <$endpoint>: paged fetch failed mid-pages (the " +
+              "endpoint answered the count but rejected ORDER BY " +
+              "LIMIT/OFFSET pagination, or dropped mid-fetch). " +
+              "Register the dataset via Services.register, or " +
+              "Services.disablePagedFetch for the gated single fetch.",
+            e)
+        }
+    }
   }
 
-  /** The full-fetch entry the compiler uses: paged when the endpoint
-    * opted in, single-document otherwise. */
+  /** The full-fetch entry the compiler uses: paged by default,
+    * single-document behind the size gate when the endpoint is opted
+    * out ([[Services.disablePagedFetch]]). */
   def fetchDataset(spark: SparkSession, endpoint: String): DataFrame =
     Services.pagedFetchPageSize(endpoint) match {
       case Some(ps) => fetchQuadsPaged(spark, endpoint, ps)
-      case None => fetchQuads(spark, endpoint)
+      case None => fetchQuadsGated(spark, endpoint)
     }
 }

