@@ -1340,12 +1340,62 @@ object Similarity {
                  <> coalesce(cn.rep, s.neighbor))
          SELECT query_id, CAST(rn AS INT) AS rank, neighbor, cos
          FROM kept WHERE rn <= 5 ORDER BY query_id, rank""",
-    // at verification SF every query keeps a full top-5 after the
-    // exclusion (the exact pass returns exactly 5 per query), so the
-    // audit's n_exact is 5 × |queries|; recall_ok asserts the floor
+    // the audit fully REPLAYED (ADVICE r11): the exact brute-force
+    // pass (scored, excluded, cut — the same contract as the Spark
+    // side's hardNegatives), the index-served pass (the shared search
+    // CTEs + closure exclusion), and the recall comparison itself —
+    // n_exact and recall_ok are DERIVED, not fixture constants, so a
+    // fixture or k change surfaces as a recall failure, not an opaque
+    // hash mismatch
     "embed_hard_negatives_audit" ->
-      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
-         FROM embeddings WHERE vec_id % 28 = 0""",
+      s"""WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS i, b.vec_id AS j
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+         bi AS (SELECT i AS a, j AS b FROM pairs
+                UNION SELECT j, i FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM bi
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN bi e ON r.b = e.a),
+         cl AS (SELECT a AS id, least(a, min(b)) AS rep
+                FROM reach GROUP BY a),
+         ${ivfadcSearchCtes("TRUE", "vec_id % 28 = 0", 250)},
+         served AS (
+           SELECT query_id, neighbor FROM (
+             SELECT s.query_id, s.neighbor,
+               row_number() OVER (PARTITION BY s.query_id
+                 ORDER BY s.cos DESC, s.neighbor) AS rn
+             FROM rer s
+             LEFT JOIN cl cq ON cq.id = s.query_id
+             LEFT JOIN cl cn ON cn.id = s.neighbor
+             WHERE coalesce(cq.rep, s.query_id)
+                   <> coalesce(cn.rep, s.neighbor)) t
+           WHERE rn <= 5),
+         ex_scored AS (
+           SELECT q.vec_id AS query_id, b.vec_id AS neighbor,
+             round(CAST(list_cosine_similarity(q.embedding, b.embedding)
+               AS DOUBLE), 4) AS cos
+           FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
+           WHERE q.vec_id % 28 = 0),
+         ex_kept AS (
+           SELECT query_id, neighbor FROM (
+             SELECT s.query_id, s.neighbor,
+               row_number() OVER (PARTITION BY s.query_id
+                 ORDER BY s.cos DESC, s.neighbor) AS rn
+             FROM ex_scored s
+             LEFT JOIN cl cq ON cq.id = s.query_id
+             LEFT JOIN cl cn ON cn.id = s.neighbor
+             WHERE coalesce(cq.rep, s.query_id)
+                   <> coalesce(cn.rep, s.neighbor)) t
+           WHERE rn <= 5),
+         hits AS (
+           SELECT e.query_id FROM ex_kept e JOIN served v
+           ON v.query_id = e.query_id AND v.neighbor = e.neighbor)
+         SELECT CAST((SELECT count(*) FROM ex_kept) AS BIGINT) AS n_exact,
+           CAST(CASE WHEN (SELECT count(*) FROM hits)
+                 >= 0.7 * (SELECT count(*) FROM ex_kept)
+               THEN 1 ELSE 0 END AS INT) AS recall_ok""",
     "embed_neardup" ->
       """SELECT a.vec_id AS i, b.vec_id AS j,
            round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos

@@ -105,24 +105,31 @@ object StoreStats {
       deleted: DataFrame): Unit = store match {
     case ds: graft.model.DictBackend =>
       // the dictionary is append-only: deleted terms keep their ids,
-      // so the delete encodes through the same frozen mapping
+      // so the delete encodes through the same frozen mapping. The
+      // except key is the FULL quad identity (graph, s, p, o) — an
+      // identical triple surviving in another named graph must keep
+      // the predicate in the subject's shape (store-wide shapes group
+      // by subject ACROSS graphs, exactly like a write() rebuild).
       val dict = ds.readDict()
       val dEnc = graft.model.TermDictionary.encode(deleted, dict)
         .localCheckpoint()
+      def idKey(df: DataFrame) = df.select(col("graph").as("g"),
+        col("s_id").as("s"), col("p_id").as("p"), col("o_id").as("o"))
       refreshDeleteFrom(store,
         dEnc.groupBy(col("p_id")).agg(count(lit(1)).as("d"))
           .join(dict.select(col("id"), col("term").as("p")),
             col("p_id") === col("id"))
           .select(col("p"), col("d")),
-        pre.select(col("s_id").as("s"), col("p_id").as("p"),
-          col("o_id").cast("string").as("o")),
-        dEnc.select(col("s_id").as("s"), col("p_id").as("p"),
-          col("o_id").cast("string").as("o")),
+        idKey(pre), idKey(dEnc),
         idsToTerms(_, dict))
     case _ =>
-      // full object identity as a struct — the quad's set-semantics key
-      def oKey(df: DataFrame) = df.select(col("s"), col("p"),
-        struct(col("o_value"), col("o_type"), col("o_lang")).as("o"))
+      // full quad identity: graph + the object's complete term key
+      // (value, type, lang, KIND — an IRI and a literal with equal
+      // lexical form are different quads)
+      def oKey(df: DataFrame) = df.select(col("graph").as("g"),
+        col("s"), col("p"),
+        struct(col("o_value"), col("o_type"), col("o_lang"),
+          col("o_kind")).as("o"))
       val d = oKey(deleted).localCheckpoint()
       refreshDeleteFrom(store,
         d.groupBy(col("p")).agg(count(lit(1)).as("d")),
@@ -131,7 +138,7 @@ object StoreStats {
 
   /** The delete fold: exact count decrement (rows reaching 0 drop),
     * touched-subject shape recount where post = pre ∖ deleted in full
-    * (s, p, o) quad identity. */
+    * (graph, s, p, o) quad identity. */
   private def refreshDeleteFrom(store: QuadStore, delPred: DataFrame,
       preQ: DataFrame, delQ: DataFrame,
       psetToTerms: DataFrame => DataFrame): Unit = {
@@ -226,8 +233,15 @@ object StoreStats {
     CardEstimator.fromTables(pred, csets)
   }
 
-  def exists(store: QuadStore): Boolean =
-    new java.io.File(statsDir(store) + "/pred").exists()
+  /** Artifact presence via the store's Hadoop FileSystem — correct on
+    * hdfs://, s3a://, … like every other store operation (a
+    * java.io.File probe would report false there and force a needless
+    * full rebuild). */
+  def exists(store: QuadStore): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(statsDir(store) + "/pred")
+    p.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+      .exists(p)
+  }
 
   /** The artifact as queryable DataFrames (pred summary with estimated
     * NDVs, cset summary) — for inspection and the oracle-checked

@@ -104,6 +104,56 @@ class RdfStatsSpec extends AnyFunSuite {
       Map("p2" -> 1L, "p1" -> 1L)), s"after 2nd delete: ${state()}")
   }
 
+  test("delete-refresh keys on FULL quad identity: cross-graph twins and o_kind twins survive") {
+    // ADVICE r11 (medium): a (s,p,o)-keyed except would collapse an
+    // identical triple living in TWO named graphs — deleting one copy
+    // must keep the predicate in the subject's shape while the other
+    // survives; likewise an IRI/literal pair with equal lexical form.
+    // Oracle per store kind: refreshDelete ≡ a from-scratch write().
+    import graft.sparql.StoreStats
+    import spark.implicits._
+    val g1 = "http://ex/g1"; val g2 = "http://ex/g2"
+    def fixture = Seq(
+      (g1, "urn:a", "p1", "x", null: String, null: String, "literal"),
+      (g2, "urn:a", "p1", "x", null: String, null: String, "literal"),
+      (g1, "urn:a", "p2", "z", null: String, null: String, "literal"),
+      // o_kind twin: same lexical form, IRI vs literal — two quads
+      (g1, "urn:k", "p3", "x", null: String, null: String, "literal"),
+      (g1, "urn:k", "p3", "x", null: String, null: String, "iri"))
+      .toDF("graph", "s", "p", "o_value", "o_type", "o_lang", "o_kind")
+    // delete g1's copy of (urn:a,p1,x) and the LITERAL (urn:k,p3,x)
+    def del = Seq(
+      (g1, "urn:a", "p1", "x", null: String, null: String, "literal"),
+      (g1, "urn:k", "p3", "x", null: String, null: String, "literal"))
+      .toDF("graph", "s", "p", "o_value", "o_type", "o_lang", "o_kind")
+    def check(store: graft.model.QuadStore, pre: => org.apache.spark.sql.DataFrame): Unit = {
+      StoreStats.write(store)
+      val p = pre.localCheckpoint()
+      store.deleteQuads(del, Some(Seq(g1, g2)))
+      StoreStats.refreshDelete(store, p, del)
+      def state() = (
+        StoreStats.predSummary(spark, store).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap,
+        StoreStats.csetSummary(spark, store).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap)
+      val incremental = state()
+      // both survivors keep their predicates in the shapes
+      assert(incremental._2 == Map("p1,p2" -> 1L, "p3" -> 1L),
+        s"shapes after cross-graph delete: $incremental")
+      StoreStats.write(store) // from-scratch rebuild = the oracle
+      assert(state() == incremental,
+        s"incremental $incremental != rebuild ${state()}")
+    }
+    val d1 = java.nio.file.Files.createTempDirectory("stats-xg").toString
+    val s1 = new graft.model.GraphStore(spark, d1 + "/store")
+    s1.appendDistinct(fixture, Some(Seq(g1, g2)))
+    check(s1, s1.read())
+    val d2 = java.nio.file.Files.createTempDirectory("stats-xgd").toString
+    val s2 = new graft.model.DictQuadStore(spark, d2 + "/store")
+    s2.appendDistinct(fixture)
+    check(s2, s2.readEncoded())
+  }
+
   test("dict store: delete-refresh folds in id space onto the same term-keyed artifact") {
     import org.apache.spark.sql.functions._
     import graft.sparql.StoreStats
