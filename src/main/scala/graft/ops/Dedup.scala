@@ -50,6 +50,8 @@ object Dedup {
     shingleCache.clear()
     neardupCache.forEach((_, v) => v.unpersist(blocking = false))
     neardupCache.clear()
+    clusterCache.forEach((_, v) => v.unpersist(blocking = false))
+    clusterCache.clear()
   }
 
   /** Exact >=0.8-Jaccard near-dup pairs (i, j, jac), memoized+persisted
@@ -58,6 +60,23 @@ object Dedup {
     * the most expensive single stage in the dedup family. */
   private val neardupCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  /** Cluster representatives of the near-dup pair graph, memoized +
+    * persisted per (session, dir): three lifecycle queries (cluster
+    * listing, canonical compaction, leakage-free split) consume the
+    * SAME connected-components result — at 100 TB you compute CC over
+    * a corpus once and every downstream decision reads the label map,
+    * you don't re-run the fixpoint per consumer (the round-12 cause of
+    * split_leakage_free's floor drift: it re-ran clusterAssign's
+    * multi-round iteration after dedup_clusters already had). */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private[ops] def clusterReps(s: SparkSession, d: String): DataFrame =
+    clusterCache.computeIfAbsent((s, d), { _ =>
+      clusterAssign(neardupPairs(s, d).select(col("i"), col("j")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
   private[ops] def neardupPairs(s: SparkSession, d: String): DataFrame =
     neardupCache.computeIfAbsent((s, d), { _ =>
       val (ex, counts) = shingleTables(s, d)
@@ -452,8 +471,7 @@ object Dedup {
     // diameter) rounds of one equi-join + agg each; dup clusters are
     // shallow (diameter ~2-3 even at corpus scale) so the loop is short.
     "dedup_clusters" -> ((s, d) =>
-      clusterAssign(neardupPairs(s, d).select(col("i"), col("j")))
-        .orderBy(col("doc_id"))),
+      clusterReps(s, d).orderBy(col("doc_id"))),
 
     // ---- Canonical corpus: the dedup family's end product — drop
     // every non-representative member of each near-dup cluster (keep
@@ -461,7 +479,7 @@ object Dedup {
     // is (cluster members minus reps), a small fraction of the corpus,
     // so the rewrite is scan + broadcast-anti-join at any scale.
     "dedup_canonical" -> ((s, d) => {
-      val reps = clusterAssign(neardupPairs(s, d).select(col("i"), col("j")))
+      val reps = clusterReps(s, d)
       val drop = reps.filter(col("cluster_rep") =!= col("doc_id"))
         .select(col("doc_id"))
       Tables.documents(s, d)
@@ -480,7 +498,7 @@ object Dedup {
     // dup-cluster-sized (broadcastable — clusters are a small fraction
     // of any deduped corpus), singleton docs default to their own id.
     "split_leakage_free" -> ((s, d) => {
-      val reps = clusterAssign(neardupPairs(s, d).select(col("i"), col("j")))
+      val reps = clusterReps(s, d)
       Tables.documents(s, d).select(col("doc_id"))
         .join(reps, Seq("doc_id"), "left")
         .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
