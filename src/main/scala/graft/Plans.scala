@@ -33,6 +33,21 @@ object Plans {
       ("lag/lead/ntile/percent_rank/first share one " +
         "hashpartitioning(o_custkey) exchange despite landing in " +
         "frame-specific Window operators."),
+    "q36_rolling_range" ->
+      ("the RANGE-frame rolling sum is one hashpartitioning(user_id) " +
+        "exchange + one Window over integer-microsecond bounds; the " +
+        "exact DECIMAL sum leaves the operator as BIGINT cents, so " +
+        "nothing decimal crosses the output boundary."),
+    "q25_approx_distinct" ->
+      ("the KMV sketch is ONE ObjectHashAggregate with map-side " +
+        "partial sketches (k-long sorted buffers merging at the " +
+        "exchange) — no NDV-sized distinct shuffle, no window; the " +
+        "estimate is a scalar projection of the final buffer."),
+    "corpus_percentiles_approx" ->
+      ("the log-quantized histogram groupBy reduces the corpus to a " +
+        "few hundred (lang, bin) rows map-side; both Window passes and " +
+        "the rank tests run over histogram-sized data — the corpus is " +
+        "touched exactly once."),
     "text_decontaminate" ->
       ("the eval-set shingles broadcast; the corpus side is scan + " +
         "explode + BroadcastHashJoin + partial count — no corpus shuffle " +
