@@ -507,7 +507,7 @@ object Retrieval {
       val hits = exact.join(served, Seq("query_id", "doc_id"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
-        .select(col("n_exact"),
+        .select(col("n_exact"), col("n_hit"),
           (col("n_hit") >= col("n_exact") * 0.7).cast("int").as("recall_ok"))
     }))
 
@@ -620,11 +620,41 @@ object Retrieval {
                    WHERE a.doc_id <> p.query_id)
          SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_occur
          FROM hits GROUP BY query_id, doc_id ORDER BY query_id, doc_id""",
-    // query-point count is SQL, depth is 20, and the 0.7 recall floor
-    // is a deterministic property of the fixed trained model on this
-    // corpus — the audit row is fully checkable
+    // the audit fully REPLAYED (the Similarity-audit fix applied here
+    // too — the last hardcoded audit oracle): exact brute-force
+    // top-FuseDepth, the index-served search (the shared IVFADC CTEs),
+    // and the recall comparison itself — n_exact/n_hit/recall_ok are
+    // all DERIVED, so a fixture or depth change surfaces as a recall
+    // failure, never an opaque hash mismatch
     "retrieval_dense_recall" ->
-      s"""SELECT CAST($FuseDepth * count(*) AS BIGINT) AS n_exact,
-            1 AS recall_ok
-          FROM embeddings WHERE vec_id % $QueryMod = 0""")
+      s"""WITH ${Similarity.ivfadcSearchCtes(
+              "TRUE", s"vec_id % $QueryMod = 0", 250)},
+          served AS (
+            SELECT query_id, neighbor AS doc_id FROM (
+              SELECT query_id, neighbor,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor) AS rank
+              FROM rer) t
+            WHERE rank <= $FuseDepth),
+          ex_scored AS (
+            SELECT q.vec_id AS query_id, b.vec_id AS doc_id,
+              round(CAST(list_cosine_similarity(q.embedding, b.embedding)
+                AS DOUBLE), 4) AS cos
+            FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
+            WHERE q.vec_id % $QueryMod = 0),
+          ex AS (
+            SELECT query_id, doc_id FROM (
+              SELECT query_id, doc_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, doc_id) AS rank
+              FROM ex_scored) t
+            WHERE rank <= $FuseDepth),
+          hits AS (
+            SELECT e.query_id FROM ex e JOIN served v
+            ON v.query_id = e.query_id AND v.doc_id = e.doc_id)
+          SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+            CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hit,
+            CAST(CASE WHEN (SELECT count(*) FROM hits)
+                  >= 0.7 * (SELECT count(*) FROM ex)
+                THEN 1 ELSE 0 END AS INT) AS recall_ok""")
 }

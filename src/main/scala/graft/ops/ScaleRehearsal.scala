@@ -137,8 +137,34 @@ object ScaleRehearsal {
       case Seq("gen", src, out) => generate(spark, src, out, 10)
       case Seq("gen", src, out, f) => generate(spark, src, out, f.toInt)
       case Seq("run", a, b, regex) => run(spark, a, b, regex)
+      // recall-vs-probes sweep at a given scale: the IVF trade surfaced
+      // by the sf1 rehearsal, measured instead of argued
+      // (`spark.graft.ivf.probes` is the session knob being swept)
+      // each entry is probes[:adcDepth]; "default" leaves both unset
+      case Seq("probes", dir, list) =>
+        list.split(",").foreach { spec =>
+          val (p, depth) = spec.split(":") match {
+            case Array(a, b) => (a, Some(b))
+            case Array(a) => (a, None)
+          }
+          spark.conf.unset("spark.graft.ivf.adcDepth")
+          depth.foreach(spark.conf.set("spark.graft.ivf.adcDepth", _))
+          if (p == "default") spark.conf.unset("spark.graft.ivf.probes")
+          else spark.conf.set("spark.graft.ivf.probes", p)
+          val t0 = System.nanoTime()
+          val row = graft.SparkEntry.queries("retrieval_dense_recall")(
+            spark, dir).collect().head
+          val dt = (System.nanoTime() - t0) / 1e9
+          val (ne, nh) = (row.getLong(0), row.getLong(1))
+          println(f"""{"probes":"$p","adc_depth":"${depth.getOrElse("default")}",""" +
+            f""""n_exact":$ne,"n_hit":$nh,""" +
+            f""""recall":${nh.toDouble / ne}%.3f,"sec":$dt%.2f}""")
+        }
+        spark.conf.unset("spark.graft.ivf.probes")
+        spark.conf.unset("spark.graft.ivf.adcDepth")
       case other => sys.error(s"usage: gen <src> <out> [factor] | " +
-        s"run <dirA> <dirB> <nameRegex>; got: $other")
+        s"run <dirA> <dirB> <nameRegex> | probes <dir> <p1,p2,...>; " +
+        s"got: $other")
     }
     spark.stop()
   }

@@ -124,6 +124,7 @@ object Similarity {
     pqCbCache.clear()
     ivfCbCache.clear()
     servedIndexCache.clear()
+    vecCountCache.clear()
   }
 
   private[ops] def lshVerifiedPairs(s: SparkSession, d: String): DataFrame =
@@ -793,12 +794,16 @@ object Similarity {
     * exclusion between the re-rank and the cut. */
   private def adcRerank(s: SparkSession, d: String, adc: DataFrame,
       depth: Int): DataFrame = {
+    // the candidate window scales with the corpus (see adcDepthFor) —
+    // this is the single funnel every ADC path passes through, so the
+    // Spark side and every ivfadc SQL oracle stay depth-consistent
+    val effDepth = adcDepthFor(s, d, depth)
     val scored = adc.withColumn("adist",
       round(col("rr") - lit(2.0) * dot(col("r"), col("qv")), 6))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("vec_id"))
     val cands = scored.withColumn("arn", row_number().over(wAdc))
-      .filter(col("arn") <= depth)
+      .filter(col("arn") <= effDepth)
       .select(col("query_id"), col("vec_id"), col("qv"), col("qn"))
     cands.join(vecsN(s, d), "vec_id")
       .withColumn("cos",
@@ -860,7 +865,7 @@ object Similarity {
       queryPred: Column => Column,
       tombstones: Option[DataFrame]): DataFrame = {
     val base = vecsN(s, d)
-    val cells = ivfCellsFor(base.count())
+    val cells = ivfCellsFor(vecCount(s, d))
     val probes = ivfProbesFor(cells)
     val centroids = ivfCentroids(s, d, cells)
     val (sd, cb) = pqCodebook(s, d)
@@ -883,6 +888,29 @@ object Similarity {
     coded.join(broadcast(qvecs), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
   }
+
+  /** Effective ADC candidate window: the passed `floor` (the bench-SF
+    * depth the oracles also floor at) grown to 1/8 of the corpus —
+    * a fixed FRACTION, not a fixed count. The sf1 rehearsal showed the
+    * window is the recall-bearing knob at scale: a FIXED 250 is 12.5%
+    * of the bench corpus but 1.25% at 10×, and dense recall on
+    * rotation-grown data fell 0.7→0.37 (0.39 even with probes
+    * exhausted); at the bench fractions (probes=cells/2, depth=n/8)
+    * 10× recall reads 0.81. Every ivfadc SQL oracle computes the SAME
+    * `greatest(floor, ceil(n/8))` from its own count, so Spark and
+    * oracle stay bit-consistent at every SF; at sf0.01/sf0.1 the floor
+    * binds and nothing changes. `spark.graft.ivf.adcDepth` overrides
+    * for measurement sweeps (the oracle does NOT see the conf — run
+    * the correctness gate with it unset). */
+  private def adcDepthFor(s: SparkSession, d: String, floor: Int): Int =
+    scala.util.Try(s.conf.get("spark.graft.ivf.adcDepth")).toOption
+      .flatMap(_.toIntOption).filter(_ > 0)
+      .getOrElse(math.max(floor, ((vecCount(s, d) + 7) / 8).toInt))
+
+  private val vecCountCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]
+  private[ops] def vecCount(s: SparkSession, d: String): Long =
+    vecCountCache.computeIfAbsent((s, d), _ => vecsN(s, d).count())
 
   private[ops] def ivfadcServedRanks(s: SparkSession, d: String,
       queryPred: Column => Column, adcDepth: Int,
@@ -991,8 +1019,30 @@ object Similarity {
     * recall explicitly — the knob is this one function. */
   private[ops] def ivfCellsFor(n: Long): Int =
     math.max(IvfCells, math.ceil(math.sqrt(n / 8.0)).toInt)
-  private[ops] def ivfProbesFor(cells: Int): Int =
-    math.max(IvfProbes, cells / 4)
+
+  /** Probes per IVF query: max(8, ceil(cells/2)) — half the cells,
+    * the PROBED-FRACTION the 0.7 recall floor was measured at (bench
+    * SF probes 8 of 16). The round-12 sf1 rehearsal demonstrated the
+    * earlier cells/4 policy shrank that fraction as the corpus grew
+    * and recall decayed with it on maximally-novel (rotation-grown)
+    * data: 0.37 at 12/50; restoring the bench fractions (25/50 + the
+    * n/8 ADC window) reads 0.81 at 10×. Identical to the old policy at
+    * sf0.01/sf0.1 (floor binds), and every ivfadc SQL oracle computes
+    * the same formula from its own cell count. The pruning win at
+    * scale comes from cells ~ sqrt(n/8): probed candidates per query
+    * are probes×n/cells ~ sqrt(n)/2-ish of the corpus, still shrinking
+    * as a fraction. `spark.graft.ivf.probes` overrides for measurement
+    * sweeps (clamped to [1, cells]; the oracle does not see the conf —
+    * run the correctness gate with it unset). */
+  private[ops] def ivfProbesFor(cells: Int): Int = {
+    val default = math.max(IvfProbes, (cells + 1) / 2)
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => scala.util.Try(
+        s.conf.get("spark.graft.ivf.probes")).toOption)
+      .flatMap(_.toIntOption)
+      .map(p => math.min(math.max(p, 1), cells))
+      .getOrElse(default)
+  }
   /** Integer form of ceil(log2(n/125)) — the smallest r with
     * 125·2^r >= n. Exact integer arithmetic instead of fp logs so the
     * SQL oracle (`ann_lsh_bucketed`) computes the identical width with
@@ -1266,7 +1316,7 @@ object Similarity {
           qprobes AS (
             SELECT vec_id AS query_id, cell FROM ranked
             WHERE ($queryPred)
-              AND rnk <= (SELECT greatest(8, k // 4) FROM kk)),
+              AND rnk <= (SELECT greatest(8, (k + 1) // 2) FROM kk)),
           recon AS (
             SELECT co.vec_id, flatten(list(c.cv ORDER BY co.m)) AS r
             FROM codes co JOIN c2 c ON c.m = co.m AND c.k = co.c
@@ -1289,7 +1339,8 @@ object Similarity {
                 row_number() OVER (PARTITION BY query_id
                   ORDER BY adist, vec_id) AS arn
               FROM adc) t
-            WHERE arn <= $adcDepth),
+            WHERE arn <= greatest($adcDepth,
+              (SELECT (count(*) + 7) // 8 FROM vv))),
           rer AS (
             SELECT t.query_id, t.vec_id AS neighbor,
               round(CAST(list_cosine_similarity(qe.embedding, be.embedding)
@@ -1539,7 +1590,8 @@ object Similarity {
                 row_number() OVER (PARTITION BY query_id
                   ORDER BY adist, vec_id) AS arn
               FROM adc) t
-            WHERE arn <= 250),
+            WHERE arn <= greatest(250,
+              (SELECT (count(*) + 7) // 8 FROM fv))),
           rer AS (
             SELECT t.query_id, t.vec_id AS neighbor,
               round(CAST(list_cosine_similarity(qe.embedding, be.embedding)
@@ -1604,7 +1656,7 @@ object Similarity {
           qprobes AS (
             SELECT vec_id AS query_id, cell FROM ranked
             WHERE vec_id % 250 = 0
-              AND rnk <= (SELECT greatest(8, k // 4) FROM kk)),
+              AND rnk <= (SELECT greatest(8, (k + 1) // 2) FROM kk)),
           cand AS (
             SELECT q.query_id, b.vec_id AS neighbor,
               round(CAST(list_cosine_similarity(qe.embedding, be.embedding)
