@@ -36,23 +36,35 @@ object EventStreams {
 
   private val nameCounter = new AtomicInteger
 
+  /** Layout-aware streaming file source for `<d>/<table>.parquet`: a
+    * DIRECTORY of part files (every production layout) streams from
+    * the table path itself; the driver testdata's single-FILE layout
+    * keeps the parent-dir + pathGlobFilter construction (the file
+    * source's basePath must be a directory). The sf1 rehearsal caught
+    * the glob-only construction feeding ZERO files to a stream over a
+    * directory table — the filter matches leaf file names, never
+    * `dir/part-*.parquet`. */
+  private def tableStream(s: SparkSession, d: String,
+      table: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fileSchema = s.read.parquet(p.toString).schema
+    val rs = s.readStream.schema(fileSchema)
+    if (fs.getFileStatus(p).isDirectory) rs.parquet(p.toString)
+    else rs.option("pathGlobFilter", s"$table.parquet").parquet(d)
+  }
+
   /** Streaming read of the events parquet with the same ts handling as
     * `Tables.events` (nanos-as-long or TIMESTAMP_NTZ → TIMESTAMP). */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = s.read.parquet(s"$d/events.parquet").schema
-    // file-source streams need a directory; glob-filter to the one table
-    val raw = s.readStream.schema(fileSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-    graft.util.Tables.normalizeTs(raw)
+    graft.util.Tables.normalizeTs(tableStream(s, d, "events"))
   }
 
   /** Streaming read of the documents parquet (corpus-as-a-stream: the
     * shape a continuously-crawled training corpus arrives in). */
   private def documentsStream(s: SparkSession, d: String): DataFrame = {
-    val fileSchema = s.read.parquet(s"$d/documents.parquet").schema
-    s.readStream.schema(fileSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    tableStream(s, d, "documents")
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and
