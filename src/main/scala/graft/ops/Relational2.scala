@@ -41,7 +41,8 @@ object Relational2 {
     "q22_big_spenders" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_custkey"))
-        .agg(round(sum(col("o_totalprice")), 2).as("total_spend"),
+        .agg(round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("total_spend"),
           count(lit(1)).as("n_orders"))
         .filter(col("total_spend") > 3000000.0)
         .orderBy(col("o_custkey"))
@@ -63,7 +64,8 @@ object Relational2 {
       Tables.customer(s, d)
         .groupBy(col("c_nationkey"))
         .pivot("c_mktsegment", segs)
-        .agg(round(sum(col("c_acctbal")), 2))
+        .agg(round(sum(col("c_acctbal").cast("decimal(18,4)")), 2)
+          .cast("double"))
         .orderBy(col("c_nationkey"))
     }),
 
@@ -161,10 +163,13 @@ object Relational2 {
          EXCEPT SELECT s_nationkey FROM supplier
          ORDER BY nationkey""",
     "q22_big_spenders" ->
-      """SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+      """SELECT o_custkey,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+             AS DOUBLE) AS total_spend,
            count(*) AS n_orders
          FROM orders GROUP BY o_custkey
-         HAVING round(sum(o_totalprice), 2) > 3000000.0
+         HAVING CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+           AS DOUBLE) > 3000000.0
          ORDER BY o_custkey""",
     "q23_above_avg_parts" ->
       """SELECT p_partkey, round(p_retailprice, 2) AS price
@@ -173,11 +178,11 @@ object Relational2 {
          ORDER BY p_partkey""",
     "q24_segment_pivot" ->
       """SELECT c_nationkey,
-           round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END), 2) AS "AUTOMOBILE",
-           round(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END), 2) AS "BUILDING",
-           round(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN c_acctbal END), 2) AS "FURNITURE",
-           round(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN c_acctbal END), 2) AS "HOUSEHOLD",
-           round(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END), 2) AS "MACHINERY"
+           CAST(round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(c_acctbal AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS "AUTOMOBILE",
+           CAST(round(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(c_acctbal AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS "BUILDING",
+           CAST(round(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN CAST(c_acctbal AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS "FURNITURE",
+           CAST(round(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN CAST(c_acctbal AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS "HOUSEHOLD",
+           CAST(round(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN CAST(c_acctbal AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS "MACHINERY"
          FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
     // full replay: the oracle rebuilds the KMV min-k order statistic
     // and the integer estimate from the same polynomial hash

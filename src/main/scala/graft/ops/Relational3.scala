@@ -149,7 +149,9 @@ object Relational3 {
         "q35_orders_b", "o_orderkey", 8)
       graft.util.Bucketing.writeBucketed(
         Tables.lineitem(s, d).select(col("l_orderkey"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev")),
+          (col("l_extendedprice").cast("decimal(18,4)")
+            * (lit(1).cast("decimal(18,4)")
+               - col("l_discount").cast("decimal(18,4)"))).as("rev")),
         "q35_lineitem_b", "l_orderkey", 8)
       // at verification SF the orders side fits a broadcast, which
       // would bypass (and hide) the bucket layout; at the design-point
@@ -161,7 +163,7 @@ object Relational3 {
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lines"),
-          round(sum(col("rev")), 2).as("revenue"))
+          round(sum(col("rev")), 2).cast("double").as("revenue"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -276,7 +278,9 @@ object Relational3 {
     // the bucket layout is oracle-invisible: same join, same numbers
     "q35_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS revenue
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q34_skew_salted_join" ->
