@@ -25,20 +25,28 @@ import graft.util.Tables
   */
 object Relational {
 
-  /** Money arithmetic rides EXACT DECIMAL, not float: a sum of
+  /** Money arithmetic rides EXACT INTEGER CENTS, not float: a sum of
     * millions of binary-inexact cent values is association-order
     * sensitive, and Spark's partial-aggregate order differs from a
     * sequential oracle's — at 10× bench data q05's revenue crossed a
     * half-cent boundary and hash-diverged (sf1 sweep, round 12). The
-    * inputs carry ≤2 decimals so the (18,4) cast is unambiguous in
-    * both engines; sums in decimal are exact and associative; rounded
-    * aggregates cast BACK to double so no DECIMAL reaches the hash
-    * surface (the q36 lesson). */
-  private def money(c: Column): Column = c.cast("decimal(18,4)")
+    * inputs carry ≤2 decimals, so both engines recover the TRUE cents
+    * from the same binary double; long sums are exact, associative,
+    * AND as cheap as doubles (the DECIMAL(18,4) variant of this class
+    * measured 2-3× on the 6M-row aggregates — sum(decimal) widens past
+    * the compact-long fast path). Outputs return to double as
+    * integer/100.0, so nothing non-double reaches the hash surface. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  /** revenue term in 1e-4 dollars: cents × (100 − discount-cents);
+    * long×long stays < 2^61 until ~10^14 dollars per group. */
   private def disc(c: Column): Column =
-    money(c) * (lit(1).cast("decimal(18,4)") - money(col("l_discount")))
-  /** round-to-cents of an exact decimal aggregate, as double. */
-  private def cents2(c: Column): Column = round(c, 2).cast("double")
+    cents(c) * (lit(100L) - cents(col("l_discount")))
+  /** 1e-4-dollar sum → dollars at cent precision (half-up). Integer
+    * until the two exact divisions — deterministic in both engines. */
+  private def q4ToDollars(c: Column): Column =
+    floor((c + lit(50L)) / lit(100.0)) / lit(100.0)
+  /** cent sum → dollars, exact. */
+  private def cToDollars(c: Column): Column = c / lit(100.0)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- q01: TPC-H Q1-style pricing summary (hash agg, map-side partial)
@@ -48,8 +56,10 @@ object Relational {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          cents2(sum(money(col("l_extendedprice")))).as("sum_base_price"),
-          cents2(sum(disc(col("l_extendedprice")))).as("sum_disc_price"),
+          cToDollars(sum(cents(col("l_extendedprice"))))
+            .as("sum_base_price"),
+          q4ToDollars(sum(disc(col("l_extendedprice"))))
+            .as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_extendedprice")), 4).as("avg_price"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -74,7 +84,7 @@ object Relational {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(cents2(sum(disc(col("l_extendedprice")))).as("revenue"))
+        .agg(q4ToDollars(sum(disc(col("l_extendedprice")))).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
@@ -106,7 +116,7 @@ object Relational {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(cents2(sum(disc(col("l_extendedprice")))).as("revenue"))
+        .agg(q4ToDollars(sum(disc(col("l_extendedprice")))).as("revenue"))
         .orderBy(col("n_name"))
     }),
 
@@ -117,8 +127,8 @@ object Relational {
           col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
-        .agg(cents2(sum(money(col("l_extendedprice"))
-          * money(col("l_discount")))).as("revenue"))
+        .agg(q4ToDollars(sum(cents(col("l_extendedprice"))
+          * cents(col("l_discount")))).as("revenue"))
     }),
 
     // ---- q07: NOT EXISTS → left-anti join
@@ -161,7 +171,7 @@ object Relational {
       Tables.orders(s, d)
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
           .as("month"))
-        .agg(cents2(sum(money(col("o_totalprice")))).as("revenue"),
+        .agg(cToDollars(sum(cents(col("o_totalprice")))).as("revenue"),
           count(lit(1)).as("n_orders"))
         .orderBy(col("month"))
     }),
@@ -203,7 +213,7 @@ object Relational {
       val p = Tables.part(s, d)
       val l = Tables.lineitem(s, d)
       l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        // no `otherwise`: a double 0.0 would coerce the decimal branch
+        // no `otherwise`: a double 0.0 would coerce the long branch
         // back to float; sum skips the nulls and stays exact
         .agg(round(
           sum(when(col("p_type").startsWith("PROMO"),
@@ -216,7 +226,8 @@ object Relational {
     "q15_top_supplier" -> ((s, d) => {
       val rev = Tables.lineitem(s, d)
         .groupBy(col("l_suppkey"))
-        .agg(cents2(sum(disc(col("l_extendedprice")))).as("total_revenue"))
+        .agg(q4ToDollars(sum(disc(col("l_extendedprice"))))
+          .as("total_revenue"))
       val top = rev.agg(max(col("total_revenue")).as("mx"))
       rev.join(broadcast(top), col("total_revenue") === col("mx"))
         .join(broadcast(Tables.supplier(s, d)),
@@ -258,9 +269,9 @@ object Relational {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
-         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
-           AS DOUBLE) AS sum_base_price,
-         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+           AS sum_base_price,
+         floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) / 100.0) / 100.0 AS sum_disc_price,
          round(avg(l_quantity), 4) AS avg_qty,
          round(avg(l_extendedprice), 4) AS avg_price,
          round(avg(l_discount), 4) AS avg_disc,
@@ -274,7 +285,7 @@ object Relational {
          FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""",
     "q03_revenue_by_customer" ->
       """SELECT c_custkey, c_name,
-         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+         floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) / 100.0) / 100.0 AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -288,7 +299,7 @@ object Relational {
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q05_region_nation_volume" ->
       """SELECT n_name,
-         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+         floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) / 100.0) / 100.0 AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -298,8 +309,9 @@ object Relational {
          WHERE r_name = 'EUROPE'
          GROUP BY n_name ORDER BY n_name""",
     "q06_forecast_revenue" ->
-      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-           * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      """SELECT floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT)) + 50) / 100.0)
+           / 100.0 AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1994-01-01'
            AND l_shipdate < TIMESTAMP '1995-01-01'
@@ -329,8 +341,8 @@ object Relational {
          ORDER BY o_custkey, o_orderkey""",
     "q10_monthly_revenue" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
-           AS DOUBLE) AS revenue, count(*) AS n_orders
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+           AS revenue, count(*) AS n_orders
          FROM orders GROUP BY 1 ORDER BY month""",
     "q11_rollup_qty" ->
       """SELECT l_returnflag, l_linestatus,
@@ -354,14 +366,13 @@ object Relational {
     "q14_promo_share" ->
       """SELECT round(
            CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
-             THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) END) AS DOUBLE) * 100.0
-           / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS promo_share
+             THEN CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) END) AS DOUBLE) * 100.0
+           / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE), 4) AS promo_share
          FROM lineitem JOIN part ON l_partkey = p_partkey""",
     "q15_top_supplier" ->
       """WITH rev AS (
            SELECT l_suppkey,
-             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-               * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) / 100.0) / 100.0
                AS total_revenue
            FROM lineitem GROUP BY l_suppkey)
          SELECT s_suppkey, s_name, total_revenue

@@ -41,8 +41,8 @@ object Relational2 {
     "q22_big_spenders" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_custkey"))
-        .agg(round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
-          .cast("double").as("total_spend"),
+        .agg((sum(round(col("o_totalprice") * 100).cast("long")) / 100.0)
+          .as("total_spend"),
           count(lit(1)).as("n_orders"))
         .filter(col("total_spend") > 3000000.0)
         .orderBy(col("o_custkey"))
@@ -64,8 +64,7 @@ object Relational2 {
       Tables.customer(s, d)
         .groupBy(col("c_nationkey"))
         .pivot("c_mktsegment", segs)
-        .agg(round(sum(col("c_acctbal").cast("decimal(18,4)")), 2)
-          .cast("double"))
+        .agg(sum(round(col("c_acctbal") * 100).cast("long")) / 100.0)
         .orderBy(col("c_nationkey"))
     }),
 
@@ -164,12 +163,12 @@ object Relational2 {
          ORDER BY nationkey""",
     "q22_big_spenders" ->
       """SELECT o_custkey,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
-             AS DOUBLE) AS total_spend,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+             AS total_spend,
            count(*) AS n_orders
          FROM orders GROUP BY o_custkey
-         HAVING CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
-           AS DOUBLE) > 3000000.0
+         HAVING sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+           > 3000000.0
          ORDER BY o_custkey""",
     "q23_above_avg_parts" ->
       """SELECT p_partkey, round(p_retailprice, 2) AS price
@@ -178,11 +177,11 @@ object Relational2 {
          ORDER BY p_partkey""",
     "q24_segment_pivot" ->
       """SELECT c_nationkey,
-           CAST(round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(c_acctbal AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS "AUTOMOBILE",
-           CAST(round(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(c_acctbal AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS "BUILDING",
-           CAST(round(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN CAST(c_acctbal AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS "FURNITURE",
-           CAST(round(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN CAST(c_acctbal AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS "HOUSEHOLD",
-           CAST(round(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN CAST(c_acctbal AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS "MACHINERY"
+           sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(round(c_acctbal * 100) AS BIGINT) END) / 100.0 AS "AUTOMOBILE",
+           sum(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(round(c_acctbal * 100) AS BIGINT) END) / 100.0 AS "BUILDING",
+           sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN CAST(round(c_acctbal * 100) AS BIGINT) END) / 100.0 AS "FURNITURE",
+           sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN CAST(round(c_acctbal * 100) AS BIGINT) END) / 100.0 AS "HOUSEHOLD",
+           sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN CAST(round(c_acctbal * 100) AS BIGINT) END) / 100.0 AS "MACHINERY"
          FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
     // full replay: the oracle rebuilds the KMV min-k order statistic
     // and the integer estimate from the same polynomial hash

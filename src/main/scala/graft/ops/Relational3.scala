@@ -149,9 +149,9 @@ object Relational3 {
         "q35_orders_b", "o_orderkey", 8)
       graft.util.Bucketing.writeBucketed(
         Tables.lineitem(s, d).select(col("l_orderkey"),
-          (col("l_extendedprice").cast("decimal(18,4)")
-            * (lit(1).cast("decimal(18,4)")
-               - col("l_discount").cast("decimal(18,4)"))).as("rev")),
+          (round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev")),
         "q35_lineitem_b", "l_orderkey", 8)
       // at verification SF the orders side fits a broadcast, which
       // would bypass (and hide) the bucket layout; at the design-point
@@ -163,7 +163,8 @@ object Relational3 {
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lines"),
-          round(sum(col("rev")), 2).cast("double").as("revenue"))
+          (floor((sum(col("rev")) + lit(50L)) / lit(100.0)) / lit(100.0))
+            .as("revenue"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -278,9 +279,9 @@ object Relational3 {
     // the bucket layout is oracle-invisible: same join, same numbers
     "q35_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-             * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
-             AS revenue
+           floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50)
+             / 100.0) / 100.0 AS revenue
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q34_skew_salted_join" ->
