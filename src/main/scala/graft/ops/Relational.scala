@@ -61,8 +61,13 @@ object Relational {
           q4ToDollars(sum(disc(col("l_extendedprice"))))
             .as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          // averages of INEXACT money doubles ride the exact cent sums
+          // too: sum-order divergence shrinks /n but the boundary class
+          // is the same — exact-integer numerators kill it entirely
+          round(sum(cents(col("l_extendedprice"))) / count(lit(1)) / 100.0, 4)
+            .as("avg_price"),
+          round(sum(cents(col("l_discount"))) / count(lit(1)) / 100.0, 4)
+            .as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -273,8 +278,10 @@ object Relational {
            AS sum_base_price,
          floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) / 100.0) / 100.0 AS sum_disc_price,
          round(avg(l_quantity), 4) AS avg_qty,
-         round(avg(l_extendedprice), 4) AS avg_price,
-         round(avg(l_discount), 4) AS avg_disc,
+         round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           AS DOUBLE) / count(*) / 100.0, 4) AS avg_price,
+         round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+           AS DOUBLE) / count(*) / 100.0, 4) AS avg_disc,
          count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -51,7 +51,10 @@ object Relational2 {
     // ---- scalar subquery (parts above the average retail price)
     "q23_above_avg_parts" -> ((s, d) => {
       val p = Tables.part(s, d)
-      val avgPrice = p.agg(avg(col("p_retailprice")).as("ap"))
+      // threshold from the exact cent sum: a ULP-divergent float avg
+      // could flip a part sitting exactly on the boundary
+      val avgPrice = p.agg((sum(round(col("p_retailprice") * 100)
+        .cast("long")) / count(lit(1)) / 100.0).as("ap"))
       p.join(broadcast(avgPrice))
         .filter(col("p_retailprice") > col("ap"))
         .select(col("p_partkey"), round(col("p_retailprice"), 2).as("price"))
@@ -143,7 +146,8 @@ object Relational2 {
           col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n_parts"),
-          round(avg(col("p_retailprice")), 2).as("avg_price"))
+          round(sum(round(col("p_retailprice") * 100).cast("long"))
+            / count(lit(1)) / 100.0, 2).as("avg_price"))
         .orderBy(col("band"))
     }))
 
@@ -173,7 +177,9 @@ object Relational2 {
     "q23_above_avg_parts" ->
       """SELECT p_partkey, round(p_retailprice, 2) AS price
          FROM part
-         WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+         WHERE p_retailprice > (
+           SELECT CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+             AS DOUBLE) / count(*) / 100.0 FROM part)
          ORDER BY p_partkey""",
     "q24_segment_pivot" ->
       """SELECT c_nationkey,
@@ -212,7 +218,8 @@ object Relational2 {
          ORDER BY p.event_id""",
     "q28_price_band_join" ->
       """SELECT band, count(*) AS n_parts,
-           round(avg(p_retailprice), 2) AS avg_price
+           round(CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+             AS DOUBLE) / count(*) / 100.0, 2) AS avg_price
          FROM part JOIN (VALUES
              ('budget', 0.0, 925.0), ('mid', 925.0, 950.0),
              ('upper', 950.0, 975.0), ('premium', 975.0, 1e9))
