@@ -12,6 +12,10 @@ import graft.util.Tables
   *
   * Determinism rules (driver hash-compares against DuckDB):
   *  - every double in an output is `round(x, N)` in BOTH engines;
+  *  - money aggregates (sums AND averages of ≤2-decimal values) ride
+  *    exact integer cents — see [[cents]] — because rounded FLOAT
+  *    aggregates are association-order sensitive and diverge across
+  *    engines at scale (round 12's sf1 finding);
   *  - every query ends with a total order on a unique key set;
   *  - aggregate column names are aliased identically in both.
   *
