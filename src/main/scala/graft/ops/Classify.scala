@@ -51,12 +51,19 @@ object Classify {
     // micro-nats (the NB discipline) so the integer sums are
     // order-free; Laplace-1 over (c1 + V). Scale: counts are two
     // map-side-combined aggregations over reference bigrams; scoring
-    // is one broadcast-or-shuffle join per bigram table; the final
-    // tercile ntile is a presentation-sized global window here — at
-    // 100 TB the two boundaries become a computed artifact (the
-    // percentile pattern) applied map-side.
+    // is one broadcast-or-shuffle join per bigram table; tercile
+    // bucketing is CUT-POINT based, not a global window — the nll is
+    // already quantized to a 1e-4 grid (`kq = floor(nll·1e4 + 0.5)` as
+    // BIGINT), so the key histogram is bounded by the VALUE RANGE
+    // (≤ ~max_nll·10⁴ distinct keys, a few hundred thousand at any
+    // corpus size), never by the corpus: one hash-groupBy builds it,
+    // the two tercile cut points come from its driver-side cumsum
+    // (the bounded literal-artifact pattern, cf. Rocchio centroids),
+    // and every document buckets MAP-SIDE against the two literals.
+    // Tie rule: a key on the boundary goes to the lower bucket
+    // (c_k = min key whose cumulative count reaches k·n/3) — the
+    // DuckDB oracle replays the identical histogram + rule.
     "text_ref_perplexity" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       val bi = toks.filter(size(col("t")) >= 2)
@@ -77,12 +84,29 @@ object Classify {
         .crossJoin(broadcast(v))
         .select(col("doc_id"), qln((col("c2") + 1).cast("double")
           / (col("c1") + col("v")).cast("double")).as("q"))
+      // kq is the exact integer 1e-4-grid key; nll = kq / 1e4 renders
+      // it (both engines divide the same integer by the same double).
       val scored = contrib.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
-          TextOps.round4(-(sum(col("q")).cast("double")
-            / count(lit(1))) / 1e6).as("nll"))
-      scored.withColumn("bucket", ntile(3).over(
-          Window.orderBy(col("nll"), col("doc_id"))))
+          floor((-(sum(col("q")).cast("double")
+            / count(lit(1))) / 1e6) * 10000 + lit(0.5))
+            .cast("long").as("kq"))
+        .withColumn("nll", col("kq").cast("double") / 10000)
+        .localCheckpoint() // two consumers: histogram + bucketed output
+      val hist = scored.groupBy(col("kq")).agg(count(lit(1)).as("c"))
+        .orderBy(col("kq")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val tot = hist.map(_._2).sum
+      def cut(k: Long): Long = {
+        var cum = 0L
+        hist.collectFirst { case (kq, c) if { cum += c; 3 * cum >= k * tot } => kq }
+          .getOrElse(Long.MaxValue)
+      }
+      val (cut1, cut2) = (cut(1L), cut(2L))
+      scored
+        .withColumn("bucket", when(col("kq") <= cut1, 1)
+          .when(col("kq") <= cut2, 2).otherwise(3))
+        .select(col("doc_id"), col("n_bigrams"), col("nll"), col("bucket"))
         .orderBy(col("doc_id"))
     }),
 
@@ -166,7 +190,8 @@ object Classify {
   def oracleSql: Map[String, String] = Map(
     // the whole reference-LM pipeline replayed: same bigrams, same
     // Laplace-1 micro-nat quantization, same double division order,
-    // same tercile tie-break
+    // same histogram cut points (c_k = min grid key whose cumulative
+    // count reaches k·n/3; boundary keys take the lower bucket)
     "text_ref_perplexity" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -192,12 +217,21 @@ object Classify {
            CROSS JOIN v),
          sc AS (
            SELECT doc_id, count(*) AS n_bigrams,
-             floor((-(CAST(sum(q) AS DOUBLE) / count(*)) / 1e6)
-               * 10000 + 0.5) / 10000 AS nll
-           FROM contrib GROUP BY doc_id)
-         SELECT doc_id, n_bigrams, nll,
-           CAST(ntile(3) OVER (ORDER BY nll, doc_id) AS INT) AS bucket
-         FROM sc ORDER BY doc_id""",
+             CAST(floor((-(CAST(sum(q) AS DOUBLE) / count(*)) / 1e6)
+               * 10000 + 0.5) AS BIGINT) AS kq
+           FROM contrib GROUP BY doc_id),
+         hist AS (SELECT kq, count(*) AS c FROM sc GROUP BY kq),
+         cum AS (SELECT kq, sum(c) OVER (ORDER BY kq) AS cum,
+                        sum(c) OVER () AS tot
+                 FROM hist),
+         cuts AS (SELECT
+             min(CASE WHEN 3 * cum >= tot THEN kq END) AS c1,
+             min(CASE WHEN 3 * cum >= 2 * tot THEN kq END) AS c2
+           FROM cum)
+         SELECT doc_id, n_bigrams, kq / 10000.0 AS nll,
+           CAST(CASE WHEN kq <= c1 THEN 1 WHEN kq <= c2 THEN 2
+                     ELSE 3 END AS INT) AS bucket
+         FROM sc CROSS JOIN cuts ORDER BY doc_id""",
     "text_classify_nb" ->
       """WITH toks AS (
            SELECT doc_id, source,
