@@ -561,6 +561,21 @@ object Dedup {
     * the 8x8 chunk banding below tolerates that (the top chunk simply
     * carries 6 live bits) and the hamming threshold is unaffected.
     *
+    * Served MAP-SIDE by the native codegen'd [[SimHashExpr]] — one
+    * pass over each document's text, no explode, no vote shuffle (the
+    * r12 verdict's `dedup_simhash` fix). [[simhashAgg]] keeps the
+    * original explode + packed-lane aggregation formulation as the
+    * parity witness (`HashExprParitySpec` pins fingerprint equality on
+    * real documents); the DuckDB oracle replays that formulation, so
+    * bit-identical fingerprints keep it untouched. */
+  def simhash(documents: DataFrame): DataFrame =
+    Tables.fanOut(documents)
+      .select(col("doc_id"), HashExprs.simhash64(col("text")).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** The pre-r13 aggregation formulation of [[simhash]] — retained as
+    * the parity witness for the native expression.
+    *
     * The per-bit set-counts are packed 4-per-long into 16 agg buffers
     * (lane g of buffer k counts bit k+16g at bit position 16g) instead
     * of 64 separate `sum(when(...))` buffers. Lanes can't carry into
@@ -568,12 +583,12 @@ object Dedup {
     * 2^62 under 16k tokens/doc (ANSI-safe) — chunk longer documents
     * upstream. Bit i is set iff 2*count_i > n_tokens, identical to the
     * sign-of-votes formulation. */
-  def simhash(documents: DataFrame): DataFrame = {
+  private[graft] def simhashAgg(documents: DataFrame): DataFrame = {
     val toks = Tables.fanOut(documents)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
-      .withColumn("h", Sketches.polyHash(col("tok"))
-        .bitwiseOR(shiftleft(Sketches.polyHash(col("tok"), 263L), 31)))
+      .withColumn("h", Sketches.polyHashHof(col("tok"))
+        .bitwiseOR(shiftleft(Sketches.polyHashHof(col("tok"), 263L), 31)))
     val packed = (0 until 16).map { k =>
       val contrib = (0 until 4).map { g =>
         shiftleft(

@@ -39,8 +39,19 @@ object Sketches {
     * fold(acc -> (acc * base + code) mod P). acc < 2^31, so the
     * intermediate stays below 2^41 — no overflow anywhere. The base
     * parameter yields independent hash functions (SimHash packs two
-    * into one 62-bit fingerprint hash). */
+    * into one 62-bit fingerprint hash). Served by the native codegen'd
+    * [[PolyHashExpr]] (one tight loop per token); [[polyHashHof]]
+    * keeps the original higher-order-function formulation that
+    * `HashExprParitySpec` pins it against. PRECONDITION (shared with
+    * [[polyHashSql]]): input contains no whitespace — the SQL replay
+    * round-trips characters through a space-delimited split. */
   private[graft] def polyHash(tok: Column, base: Long = 257L): Column =
+    HashExprs.poly_hash(tok, base)
+
+  /** The pre-r13 HOF formulation of [[polyHash]] — retained ONLY as
+    * the parity witness for the native expression (it is the exact
+    * chain every committed DuckDB oracle mirrors). */
+  private[graft] def polyHashHof(tok: Column, base: Long = 257L): Column =
     aggregate(
       split(trim(regexp_replace(tok, "(.)", " $1")), " "),
       lit(0L),
@@ -52,7 +63,13 @@ object Sketches {
 
   /** The DuckDB replay of [[polyHash]] over SQL expression `e` — the
     * CMS oracle's fold, shared so every seeded sketch's oracle hashes
-    * identically. */
+    * identically. PRECONDITION: `e` must contain no whitespace (and
+    * should stay in the BMP — DuckDB `ord` and the native fold agree
+    * on code points, but the replay round-trips characters through a
+    * space-delimited split, so a space inside the value silently
+    * truncates the fold). Current call sites hash whitespace-free
+    * tokens and digit strings only; new oracles reusing this fold
+    * must keep that invariant. */
   private[graft] def polyHashSql(e: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  [CAST(ord(c) AS BIGINT) for c in
