@@ -108,12 +108,22 @@ final class GraphEngine(val store: QuadStore) {
         // step already rewrote (a crash on the dict store, whose
         // dictionary append refreshes mid-op; silent post-state reads
         // on any backend if the cache ever dropped a partition).
-        val b = Compiler.bindingsOf(where, whereDefault(delG, using),
-          namedScope(using, usingNamed)).localCheckpoint()
-        store.deleteQuads(Compiler.instantiateTemplate(b, delT, delG),
-          Some(Seq(delG)))
-        store.appendDistinct(Compiler.instantiateTemplate(b, insT, insG),
-          Some(Seq(insG)))
+        // One-template modifies (DELETE-only / INSERT-only) skip both
+        // the other template's empty-batch store write AND the
+        // checkpoint: with a single mutation there is no post-mutation
+        // read of the bindings, so the lineage-cut is unnecessary — a
+        // lifecycle running many small updates pays two fewer Spark
+        // jobs per operation (the r13 delete_mor adjudication).
+        val both = delT.nonEmpty && insT.nonEmpty
+        val b0 = Compiler.bindingsOf(where, whereDefault(delG, using),
+          namedScope(using, usingNamed))
+        val b = if (both) b0.localCheckpoint() else b0
+        if (delT.nonEmpty)
+          store.deleteQuads(Compiler.instantiateTemplate(b, delT, delG),
+            Some(Seq(delG)))
+        if (insT.nonEmpty)
+          store.appendDistinct(Compiler.instantiateTemplate(b, insT, insG),
+            Some(Seq(insG)))
       case QuadModifyWhere(delT, insT, using, where, usingNamed) =>
         // variable/mixed-graph templates: one pre-state binding
         // evaluation feeds both templates (§3.1.3, same as ModifyWhere);

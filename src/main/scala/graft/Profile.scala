@@ -21,54 +21,45 @@ object Profile {
     // warmup
     spark.read.parquet(s"$sfDir/nation.parquet").count()
 
-    {
-      import org.apache.spark.sql.functions._
-      val base = graft.util.Tables.fanOut(
-        graft.util.Tables.documents(spark, sfDir))
-      t("docs_scan")(base.count())
-      val tok = base.select(col("doc_id"),
-        graft.ops.TextOps.tokens(col("text")).as("toks"))
-      t("tokenize")(tok.agg(sum(size(col("toks")))).collect())
-      val sh = base.select(col("doc_id"),
-        graft.ops.Dedup.shingles(graft.ops.TextOps.tokens(col("text"))).as("sh"))
-      t("shingle_arrays")(sh.agg(sum(size(col("sh")))).collect())
-      val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-        .select(col("doc_id"), xxhash64(col("shingle")).as("hs"))
-      t("explode_hash")(ex.count())
-      t("explode_hash_again")(ex.count())
-    }
-    t("ngram_first_materializes_shingles")(
-      SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir).count())
-    t("minhash_after_warm_shingles")(
-      SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir).count())
-    t("minhash_again")(SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir).count())
-
-    val ns = "http://localhost/"
-    val g = "https://data.example.org/graph/profile_rdf"
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-prof-${System.nanoTime()}"
-    graft.util.TempDirs.deleteOnExit(dir)
+    // rdf_sparql_delete_mor lifecycle breakdown (r13 verdict task 3)
     import org.apache.spark.sql.functions._
-    val docs = graft.util.Tables.events(spark, sfDir).select(to_json(struct(
-      col("event_type"), col("user_id"), col("event_id"))).as("json"))
-    val store = new graft.model.GraphStore(spark, dir)
-    t("mapping_flatten_append")(
-      store.append(graft.ingest.JsonFlattener.flatten(docs, "json", g, ns).toDF()))
-    val engine = new graft.GraphEngine(store)
-    t("mapping_update")(engine.update(s"""
-        PREFIX src: <$ns>
-        PREFIX ex: <http://ex/>
-        WITH <http://ex/user_activity_prof>
-        INSERT { ?u ex:did ?etype }
+    import graft.util.Tables
+    (1 to 3).foreach { round =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-prof-delmor-$round-${System.nanoTime()}"
+      graft.util.TempDirs.deleteOnExit(dir)
+      val g = "http://ex/nations"
+      val store = new graft.model.MergeOnReadStore(spark, dir)
+      val quads = Tables.nation(spark, sfDir).select(
+        lit(g).as("graph"),
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("s"),
+        lit("name").as("p"), col("n_name").as("o_value"),
+        lit(null).cast("string").as("o_type"),
+        lit(null).cast("string").as("o_lang"),
+        lit("literal").as("o_kind"))
+      t(s"r$round a_appendDistinct")(store.appendDistinct(quads))
+      val engine = new graft.GraphEngine(store)
+      val updText = s"""
+        WITH <$g>
+        DELETE { ?s <name> ?n }
         USING <$g>
-        WHERE {
-          ?e src:event_type ?etype ;
-             src:user_id ?uid ;
-             src:event_id ?eid .
-          BIND (URI(CONCAT('http://ex/user/', ?uid)) AS ?u)
-        }"""))
-    t("mapping_read")(
-      store.readGraphs(Seq("http://ex/user_activity_prof"))
-        .orderBy(col("s"), col("o_value")).count())
+        WHERE { ?s <name> ?n . FILTER (STRSTARTS(?n, 'NATION_1')) }"""
+      // sub-steps of the DeleteWhere path
+      var ops: Seq[graft.sparql.SparqlParser.UpdateOp] = null
+      t(s"r$round b1_parse")({ ops = graft.sparql.SparqlParser.parseRequest(updText, "p") })
+      val q = ops.head.asInstanceOf[graft.sparql.SparqlParser.DeleteWhere].query
+      var scoped: org.apache.spark.sql.DataFrame = null
+      t(s"r$round b2_scope")({ scoped = store.readGraphs(Seq(g)) })
+      var matched: org.apache.spark.sql.DataFrame = null
+      t(s"r$round b3_compile")({ matched = graft.sparql.Compiler.run(q, scoped) })
+      t(s"r$round b4a_matched_count")(matched.count())
+      val mchk = matched.localCheckpoint()
+      t(s"r$round b4b_checkpoint")(())
+      t(s"r$round b4c_write_only")(store.deleteQuads(mchk, Some(Seq(g))))
+      t(s"r$round c_read_final")(
+        store.readGraphs(Seq(g)).select(col("s"), col("o_value"))
+          .orderBy(col("s")).collect())
+      t(s"r$round TOTAL")(())
+    }
     spark.stop()
   }
 }

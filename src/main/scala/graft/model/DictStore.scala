@@ -359,6 +359,14 @@ final class DictMorStore(val spark: SparkSession, val path: String)
   def readEncoded(): DataFrame = {
     val keys = encSchema.fieldNames.toIndexedSeq
     val deltas = readDeltas()
+    // never-compacted fast path — see MergeOnReadStore.readMerged (the
+    // horizon marker is persisted before any base rows can exist)
+    if (compactionHorizon().isEmpty)
+      return deltas
+        .groupBy(keys.map(col): _*)
+        .agg(max_by(col("op"), col("batch_id")).as("last_op"))
+        .filter(col("last_op") === "i")
+        .select(keys.map(col): _*)
     val base = deltas
       .filter(col("batch_id") === MergeOnReadStore.CompactedBatchId
         && col("op") === "i")
@@ -511,7 +519,8 @@ final class DictMorStore(val spark: SparkSession, val path: String)
 
   /** Collapse one graph partition to the reserved compacted
     * pseudo-batch, clustered `(p_id, s_id, o_id)` for row-group
-    * pruning; the horizon persists only after the swap succeeds. */
+    * pruning; the horizon persists just before the swap (fast-path
+    * invariant). */
   def compact(graph: String, numFiles: Int = 1): Unit = {
     val maxBatch = readDeltas().where(col("graph") === graph)
       .filter(col("batch_id") =!= MergeOnReadStore.CompactedBatchId)
@@ -522,13 +531,16 @@ final class DictMorStore(val spark: SparkSession, val path: String)
       .withColumn("op", lit("i"))
     val tmp = new Path(quadsPath + s".compact-${System.nanoTime()}")
     merged.write.partitionBy("graph").parquet(tmp.toString)
+    // horizon BEFORE the swap — readEncoded's never-compacted fast
+    // path needs "no marker implies no base rows" (see
+    // MergeOnReadStore.compact for the crash-state rationale)
+    if (!maxBatch.isNullAt(0)) writeHorizon(graph, maxBatch.getLong(0))
     val part = "graph=" + ExternalCatalogUtils.escapePathName(graph)
     val dst = new Path(quadsPath, part)
     if (fs.exists(dst)) fs.delete(dst, true)
     val src = new Path(tmp, part)
     if (fs.exists(src)) fs.rename(src, dst)
     fs.delete(tmp, true)
-    if (!maxBatch.isNullAt(0)) writeHorizon(graph, maxBatch.getLong(0))
   }
 }
 

@@ -281,14 +281,26 @@ final class MergeOnReadStore(val spark: SparkSession, val path: String)
     * tail's touched quad keys. After regular compaction the tail is
     * batch-sized, so AQE broadcasts it and the base contributes a
     * map-side scan with ZERO corpus shuffle (InferenceScaleProbe
-    * measures the refresh flat at 10x base). With no compaction the
-    * base is empty and this degenerates to the original global
-    * aggregation. Graph-scoped reads prune delta partitions exactly
-    * like the base store (the graph filter pushes through both union
-    * branches and the aggregation). */
+    * measures the refresh flat at 10x base). Graph-scoped reads prune
+    * delta partitions exactly like the base store (the graph filter
+    * pushes through both union branches and the aggregation).
+    *
+    * NEVER-COMPACTED FAST PATH: a store with no `_compaction` marker
+    * (one driver-side FS stat — [[compact]] persists the horizon
+    * BEFORE the partition swap precisely so "no marker" implies "no
+    * compacted base rows can exist") skips the base scan and the
+    * null-safe anti-join entirely — two fewer stages on every read of
+    * a fresh-ingest store, which is the common case for short update
+    * lifecycles and streaming MOR ingest. */
   def readMerged(): DataFrame = {
     val keys = schema.fieldNames.toIndexedSeq
     val deltas = readDeltas()
+    if (compactionHorizon().isEmpty)
+      return deltas
+        .groupBy(keys.map(col): _*)
+        .agg(max_by(col("op"), col("batch_id")).as("last_op"))
+        .filter(col("last_op") === "i")
+        .select(keys.map(col): _*)
     val base = deltas
       .filter(col("batch_id") === MergeOnReadStore.CompactedBatchId
         && col("op") === "i")
@@ -497,10 +509,13 @@ final class MergeOnReadStore(val spark: SparkSession, val path: String)
     // this graph's deltas = the oldest snapshot that stays reachable
     // afterwards (readAsOf rejects anything older). A batch_id-only
     // aggregation — parquet column stats, no row work. The horizon is
-    // PERSISTED only after the partition swap succeeds below: if the
-    // rewrite fails midway, still-reachable snapshots stay readable
-    // (the horizon file is consulted only by readAsOf, so writing it
-    // last is safe).
+    // PERSISTED BEFORE the partition swap: readMerged's never-compacted
+    // fast path relies on "no `_compaction` marker implies no compacted
+    // base rows", so the marker must exist by the time base rows can.
+    // A crash between the two steps leaves the conservative state —
+    // readAsOf rejects pre-horizon snapshots whose deltas are in fact
+    // still all present, and readMerged takes the (correct) split path
+    // over an empty base.
     val maxBatch = readDeltas().where(col("graph") === graph)
       .filter(col("batch_id") =!= MergeOnReadStore.CompactedBatchId)
       .agg(max(col("batch_id"))).collect().head
@@ -509,13 +524,13 @@ final class MergeOnReadStore(val spark: SparkSession, val path: String)
       .withColumn("op", lit("i"))
     val tmp = new Path(path + s".compact-${System.nanoTime()}")
     merged.write.partitionBy("graph").parquet(tmp.toString)
+    if (!maxBatch.isNullAt(0)) writeHorizon(graph, maxBatch.getLong(0))
     val part = "graph=" + ExternalCatalogUtils.escapePathName(graph)
     val dst = new Path(path, part)
     if (fs.exists(dst)) fs.delete(dst, true)
     val src = new Path(tmp, part)
     if (fs.exists(src)) fs.rename(src, dst)
     fs.delete(tmp, true)
-    if (!maxBatch.isNullAt(0)) writeHorizon(graph, maxBatch.getLong(0))
   }
 }
 
