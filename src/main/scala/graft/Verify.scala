@@ -14,6 +14,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Measurement-sweep knobs change driver results WITHOUT changing
+    // the SQL oracles — a leftover conf would silently hash-diverge
+    // the whole ANN family. Fail loudly instead.
+    Seq("spark.graft.ivf.probes", "spark.graft.ivf.adcDepth").foreach { k =>
+      require(scala.util.Try(spark.conf.get(k)).isFailure,
+        s"$k is set: unset sweep overrides before running the correctness gate")
+    }
     new java.io.File(outDir).mkdirs()
     // queries are independent and write to disjoint dirs — run them on a
     // bounded pool so driver-side planning/codegen and the many tiny

@@ -314,7 +314,7 @@ object Similarity {
       // ivfCellsFor); centroids k-means-trained once (memoized), then
       // plan literals so both assignment branches see the identical set
       val cells = ivfCellsFor(base.count())
-      val probes = ivfProbesFor(cells)
+      val probes = ivfProbesFor(s, cells)
       val centroids = ivfCentroids(s, d, cells)
       val assigned = base.withColumn("cell",
         element_at(ivfCellsOf(centroids, keep = 1), 1))
@@ -400,7 +400,7 @@ object Similarity {
     "ann_ivfpq_bucketed" -> ((s, d) => {
       val base = vecsN(s, d)
       val cells = ivfCellsFor(base.count())
-      val probes = ivfProbesFor(cells)
+      val probes = ivfProbesFor(s, cells)
       val centroids = ivfCentroids(s, d, cells)
       val (sd, cb) = pqCodebook(s, d)
       val coded = base
@@ -436,7 +436,7 @@ object Similarity {
     "ann_ivfpq_persisted" -> ((s, d) => {
       val base = vecsN(s, d)
       val cells = ivfCellsFor(base.count())
-      val probes = ivfProbesFor(cells)
+      val probes = ivfProbesFor(s, cells)
       val centroids = ivfCentroids(s, d, cells)
       val (sd, cb) = pqCodebook(s, d)
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-${System.nanoTime()}"
@@ -474,7 +474,7 @@ object Similarity {
       val basePred = col("vec_id") % 5 =!= 0
       val trainPop = vecs(s, d).filter(basePred)
       val cells = ivfCellsFor(trainPop.count())
-      val probes = ivfProbesFor(cells)
+      val probes = ivfProbesFor(s, cells)
       val centroids = ivfCentroidsOn(s, d, trainPop, cells, tag = "base")
       val (sd, cb) = pqCodebookOn(s, d, trainPop, tag = "base")
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfapp-${System.nanoTime()}"
@@ -521,7 +521,7 @@ object Similarity {
       val basePred = col("vec_id") % 5 =!= 0
       val trainPop = vecs(s, d).filter(basePred)
       val cells = ivfCellsFor(trainPop.count())
-      val probes = ivfProbesFor(cells)
+      val probes = ivfProbesFor(s, cells)
       val centroids = ivfCentroidsOn(s, d, trainPop, cells, tag = "base")
       val (sd, cb) = pqCodebookOn(s, d, trainPop, tag = "base")
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-annstream-${System.nanoTime()}"
@@ -866,7 +866,7 @@ object Similarity {
       tombstones: Option[DataFrame]): DataFrame = {
     val base = vecsN(s, d)
     val cells = ivfCellsFor(vecCount(s, d))
-    val probes = ivfProbesFor(cells)
+    val probes = ivfProbesFor(s, cells)
     val centroids = ivfCentroids(s, d, cells)
     val (sd, cb) = pqCodebook(s, d)
     val dir = servedIndexDir(s, d)
@@ -980,7 +980,7 @@ object Similarity {
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val n = base.count()
     val cells = ivfCellsFor(n)
-    val probes = ivfProbesFor(cells)
+    val probes = ivfProbesFor(emb.sparkSession, cells)
     val init = base.filter(col("vec_id") % lit(31) === 7)
       .orderBy(col("vec_id")).limit(cells)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
@@ -1014,9 +1014,9 @@ object Similarity {
     * Both formulas return TODAY'S constants at the sf0.1 corpus
     * (n=2000 → 16 cells / 8 probes / 4 bits), so every committed
     * oracle, recall floor, and bench floor is set at test scale.
-    * Probes = cells/4 (floor 8) is the recall-0.7 operating point with
-    * 2-round-trained centroids; a cluster deployment trades probes for
-    * recall explicitly — the knob is this one function. */
+    * Probes = max(8, ceil(cells/2)) — see [[ivfProbesFor]]; a cluster
+    * deployment trades probes for recall explicitly — the knob is
+    * that one function. */
   private[ops] def ivfCellsFor(n: Long): Int =
     math.max(IvfCells, math.ceil(math.sqrt(n / 8.0)).toInt)
 
@@ -1034,11 +1034,9 @@ object Similarity {
     * as a fraction. `spark.graft.ivf.probes` overrides for measurement
     * sweeps (clamped to [1, cells]; the oracle does not see the conf —
     * run the correctness gate with it unset). */
-  private[ops] def ivfProbesFor(cells: Int): Int = {
+  private[ops] def ivfProbesFor(s: SparkSession, cells: Int): Int = {
     val default = math.max(IvfProbes, (cells + 1) / 2)
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .flatMap(s => scala.util.Try(
-        s.conf.get("spark.graft.ivf.probes")).toOption)
+    scala.util.Try(s.conf.get("spark.graft.ivf.probes")).toOption
       .flatMap(_.toIntOption)
       .map(p => math.min(math.max(p, 1), cells))
       .getOrElse(default)
@@ -1635,7 +1633,7 @@ object Similarity {
                GROUP BY x.vec_id) t
          ORDER BY vec_id""",
     // the full IVF SEARCH recomputed: trained cells (shared CTE block),
-    // the engine's probe policy (greatest(8, cells/4) nearest cells by
+    // the engine's probe policy (max(8, ceil(cells/2)) nearest cells by
     // the same unrounded ADC metric), candidates from cell equality,
     // exact cosine re-rank top-5 — so the approximate search's exact
     // output is hash-checked, not just its recall floor

@@ -253,17 +253,32 @@ object HttpService {
     * dataset. */
   val MaxUnpagedQuads = 1000000
 
+  /** Conservative LOWER bound on results-JSON bytes per quad binding
+    * (a minimal `{"s":{"type":...,"value":...},"p":...,"o":...}` row
+    * is ~90 bytes; 50 keeps the byte gate free of false aborts). */
+  private val MinBytesPerBinding = 50L
+
   /** [[fetchQuads]] behind the size gate — the fallback when an
     * endpoint cannot serve the paged protocol, and the explicit
-    * opt-out path ([[Services.disablePagedFetch]]). */
+    * opt-out path ([[Services.disablePagedFetch]]). The gate fires
+    * BEFORE the expensive materialization, not after (ADVICE r12): a
+    * response byte-length bound aborts ahead of the ~10x object
+    * blow-up of the full parse (no extra protocol request — an
+    * opted-out endpoint receives exactly the one fetch query,
+    * spec-pinned). The post-parse row check stays as the exact
+    * backstop. */
   def fetchQuadsGated(spark: SparkSession, endpoint: String): DataFrame = {
-    val rows = parseQuadBindings(fetchResultsJson(endpoint, FetchQuery))
-    if (rows.length > MaxUnpagedQuads)
+    def tooBig(n: Long, what: String): Nothing =
       throw new IllegalStateException(
-        s"SERVICE <$endpoint>: single-document fetch returned " +
-          s"${rows.length} quads (> $MaxUnpagedQuads). Use the paged " +
-          "fetch (the default — this endpoint rejected or was opted " +
-          "out of it) or register the dataset via Services.register.")
+        s"SERVICE <$endpoint>: single-document fetch $what " +
+          s"$n (> limit). Use the paged fetch (the default — this " +
+          "endpoint rejected or was opted out of it) or register the " +
+          "dataset via Services.register.")
+    val body = fetchResultsJson(endpoint, FetchQuery)
+    if (body.length > MaxUnpagedQuads * MinBytesPerBinding)
+      tooBig(body.length, "returned result-document bytes:")
+    val rows = parseQuadBindings(body)
+    if (rows.length > MaxUnpagedQuads) tooBig(rows.length, "returned quads:")
     import spark.implicits._
     spark.createDataset(rows).toDF()
   }
