@@ -93,6 +93,18 @@ object Relational3 {
           sum(pmod(col("tus"), lit(86400000000L))).as("sum_day_tus"),
           sum(col("cents")).as("sum_cents"),
           count(lit(1)).as("n"))
+        // ENFORCED headroom bound (ADVICE r12): past ~1e8 rows/user the
+        // two engines would fail DIFFERENTLY (Spark wraps the BIGINT
+        // sum silently, DuckDB's HUGEINT->BIGINT cast errors) — both
+        // sides now raise at the same documented bound instead, so the
+        // divergence mode cannot exist. 1e7 leaves 864x headroom below
+        // the wrap point.
+        .withColumn("sum_day_tus",
+          when(col("n") < 10000000L, col("sum_day_tus"))
+            .otherwise(raise_error(lit(
+              "q36_ts_diag: per-user row count exceeds the documented " +
+                "1e7 bound; the day-micros BIGINT sum is no longer " +
+                "wrap-safe — shard users upstream"))))
         .orderBy(col("user_id"))
     }),
 
@@ -268,10 +280,15 @@ object Relational3 {
            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)) t
          ORDER BY event_id""",
+    // same enforced 1e7 rows/user bound as the driver (both engines
+    // raise rather than diverge silently past the wrap point)
     "q36_ts_diag" ->
       """SELECT user_id,
            min(epoch_us(ts)) AS min_tus, max(epoch_us(ts)) AS max_tus,
-           CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_day_tus,
+           CASE WHEN count(*) < 10000000
+             THEN CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT)
+             ELSE error('q36_ts_diag: per-user row count exceeds the '
+               || 'documented 1e7 bound') END AS sum_day_tus,
            CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
              AS BIGINT) AS sum_cents,
            count(*) AS n
