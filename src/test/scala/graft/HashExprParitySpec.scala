@@ -97,6 +97,32 @@ class HashExprParitySpec extends AnyFunSuite {
     assert(native.keySet == Set(2L, 3L) && native(2L) == native(3L))
   }
 
+  test("native token_lcp == zip_with fold on random and real suffix pairs") {
+    import spark.implicits._
+    import graft.ops.{Dedup, HashExprs}
+    var seed = Seed(7L)
+    val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val arrGen = Gen.listOfN(8, wordGen)
+    val pairs = (0 until 200).flatMap { _ =>
+      val a = arrGen.apply(Gen.Parameters.default, seed); seed = seed.next
+      val b = arrGen.apply(Gen.Parameters.default, seed); seed = seed.next
+      for (x <- a; y <- b) yield {
+        // force shared prefixes often so the fold's alive logic is hit
+        (x ++ y.drop(scala.math.min(3, y.length)), y)
+      }
+    } ++ Seq(
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),  // full match
+      (Seq("a", "b"), Seq("a", "b", "c")),        // shorter left
+      (Seq("a", "b", "c"), Seq("a")),             // shorter right
+      (Seq.empty[String], Seq("a")))              // empty side
+    val df = pairs.toDF("a", "b")
+      .select(HashExprs.token_lcp(col("a"), col("b")).as("native"),
+        Dedup.tokenLcpHof(col("a"), col("b")).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+    val full = df.count()
+    assert(full == pairs.size)
+  }
+
   test("null propagates; empty string hashes to 0") {
     import spark.implicits._
     val rows = Seq(Some(""), None).toDF("tok")
