@@ -758,7 +758,14 @@ object Similarity {
     * identical summation order DuckDB's list_sum uses, so the rounded
     * result matches the oracle bit-for-bit. (Shared with SemanticOps'
     * k-means, which relies on the same contract.) */
-  private[ops] def sqDist(a: Column, b: Column): Column =
+  /** Served by the native [[graft.sparql.SqDistExpr]] (one loop per
+    * pair, no intermediate array); [[sqDistHof]] is the retained
+    * parity witness — identical accumulation order, so the rounded
+    * distances every oracle replays are untouched. */
+  private[graft] def sqDist(a: Column, b: Column): Column =
+    graft.sparql.VectorFunctions.vec_sqdist(a, b)
+
+  private[graft] def sqDistHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 

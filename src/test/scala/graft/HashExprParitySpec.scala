@@ -123,6 +123,22 @@ class HashExprParitySpec extends AnyFunSuite {
     assert(full == pairs.size)
   }
 
+  test("native vec_sqdist == HOF fold bit-for-bit on real embeddings") {
+    import graft.ops.Similarity
+    val vecs = graft.util.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .limit(64)
+    val a = vecs.select(col("v"))
+    val pairs = a.crossJoin(a.select(col("v").as("w"))).limit(2048)
+    val diff = pairs.select(
+        Similarity.sqDist(col("v"), col("w")).as("native"),
+        Similarity.sqDistHof(col("v"), col("w")).as("hof"))
+      .filter(col("native") =!= col("hof")) // exact double equality
+      .count()
+    assert(diff == 0)
+  }
+
   test("null propagates; empty string hashes to 0") {
     import spark.implicits._
     val rows = Seq(Some(""), None).toDF("tok")
