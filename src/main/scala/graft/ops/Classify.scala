@@ -52,14 +52,21 @@ object Classify {
     // order-free; Laplace-1 over (c1 + V). Scale: counts are two
     // map-side-combined aggregations over reference bigrams; scoring
     // is one broadcast-or-shuffle join per bigram table; tercile
-    // bucketing is CUT-POINT based, not a global window — the nll is
-    // already quantized to a 1e-4 grid (`kq = floor(nll·1e4 + 0.5)` as
-    // BIGINT), so the key histogram is bounded by the VALUE RANGE
-    // (≤ ~max_nll·10⁴ distinct keys, a few hundred thousand at any
-    // corpus size), never by the corpus: one hash-groupBy builds it,
-    // the two tercile cut points come from its driver-side cumsum
-    // (the bounded literal-artifact pattern, cf. Rocchio centroids),
-    // and every document buckets MAP-SIDE against the two literals.
+    // bucketing is CUT-POINT based, not a global window over DOCUMENTS
+    // — the nll is already quantized to a 1e-4 grid (`kq =
+    // floor(nll·1e4 + 0.5)` as BIGINT), so the key histogram is
+    // bounded by the VALUE RANGE (≤ ~max_nll·10⁴ distinct keys, a few
+    // hundred thousand at any corpus size), never by the corpus: one
+    // hash-groupBy builds it, the two tercile cut points come from a
+    // HISTOGRAM-sized cumulative window (the corpus_percentiles_approx
+    // pattern — bounded rows, so the single-partition window is free),
+    // and every document buckets MAP-SIDE against the broadcast 1-row
+    // cut table. The whole thing is ONE lazy plan: both consumers of
+    // the per-doc aggregate share its exchange (ReuseExchange), so the
+    // bigram scoring pass runs once — no checkpoint materialization,
+    // no driver-side cumsum (the r13 restructure; the r12→r13 interim
+    // localCheckpoint+collect version cost an extra corpus
+    // materialization per run).
     // Tie rule: a key on the boundary goes to the lower bucket
     // (c_k = min key whose cumulative count reaches k·n/3) — the
     // DuckDB oracle replays the identical histogram + rule.
@@ -92,20 +99,22 @@ object Classify {
             / count(lit(1))) / 1e6) * 10000 + lit(0.5))
             .cast("long").as("kq"))
         .withColumn("nll", col("kq").cast("double") / 10000)
-        .localCheckpoint() // two consumers: histogram + bucketed output
+      // histogram-sized cumulative window (bounded by the value grid,
+      // never the corpus) -> one 1-row cut table, broadcast back
       val hist = scored.groupBy(col("kq")).agg(count(lit(1)).as("c"))
-        .orderBy(col("kq")).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      val tot = hist.map(_._2).sum
-      def cut(k: Long): Long = {
-        var cum = 0L
-        hist.collectFirst { case (kq, c) if { cum += c; 3 * cum >= k * tot } => kq }
-          .getOrElse(Long.MaxValue)
-      }
-      val (cut1, cut2) = (cut(1L), cut(2L))
-      scored
-        .withColumn("bucket", when(col("kq") <= cut1, 1)
-          .when(col("kq") <= cut2, 2).otherwise(3))
+      val wCum = Window.orderBy(col("kq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.orderBy(col("kq"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cuts = hist
+        .select(col("kq"), sum(col("c")).over(wCum).as("cum"),
+          sum(col("c")).over(wTot).as("tot"))
+        .agg(
+          min(when(lit(3) * col("cum") >= col("tot"), col("kq"))).as("c1"),
+          min(when(lit(3) * col("cum") >= lit(2) * col("tot"), col("kq"))).as("c2"))
+      scored.crossJoin(broadcast(cuts))
+        .withColumn("bucket", when(col("kq") <= col("c1"), 1)
+          .when(col("kq") <= col("c2"), 2).otherwise(3))
         .select(col("doc_id"), col("n_bigrams"), col("nll"), col("bucket"))
         .orderBy(col("doc_id"))
     }),

@@ -54,7 +54,29 @@ object Dedup {
     clusterCache.clear()
     suffixCache.forEach((_, v) => v.unpersist(blocking = false))
     suffixCache.clear()
+    bandCache.forEach((_, v) => v.unpersist(blocking = false))
+    bandCache.clear()
   }
+
+  /** Banded MinHash signatures of the df-capped corpus, memoized +
+    * persisted per (session, dir): the BAND INDEX both LSH consumers
+    * probe — dedup_minhash_lsh's self-join and dedup_incremental's
+    * batch-vs-base probe. At 100 TB this is a persisted corpus
+    * artifact maintained alongside the data (the ann_ivfpq_persisted /
+    * cluster-label discipline — dedup_incremental's own doc says the
+    * base bands are "a persisted artifact"); before r13 each consumer
+    * rebuilt AND re-persisted an identical copy of the 48-hash
+    * signature aggregation per query (and per bench run: the local
+    * `.persist` leaked a new copy every call). */
+  private val bandCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private[ops] def corpusBands(s: SparkSession, d: String): DataFrame =
+    bandCache.computeIfAbsent((s, d), { _ =>
+      val (ex, _) = shingleTables(s, d)
+      minhashBands(belowCap(ex, ShingleDfCap))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Exact >=0.8-Jaccard near-dup pairs (i, j, jac), memoized+persisted
     * per (session, dir): the shared input of the pair listing query and
@@ -386,8 +408,9 @@ object Dedup {
     // difference between feasible and not at 100 TB.
     "dedup_minhash_lsh" -> ((s, d) => {
       val (ex, counts) = shingleTables(s, d)
-      // both self-join sides consume the banded signatures — persist so
-      // the 48-column min-hash aggregation runs once, not per side.
+      // both self-join sides consume the banded signatures — the
+      // memoized band index ([[corpusBands]]) runs the 48-column
+      // min-hash aggregation once per corpus, not per side/consumer.
       // Signatures are built from BELOW-CAP shingles only (same df-cap
       // as the shingle join): a corpus-wide boilerplate shingle would
       // otherwise dominate the min-hash of every doc carrying it, so
@@ -395,8 +418,7 @@ object Dedup {
       // round-6 ScaleProbe measured ×87 candidate growth on a 10×
       // corpus without this, ~linear with it. Hot shingles still count
       // in the exact-Jaccard verify below, so emitted pairs stay exact.
-      val bands = minhashBands(belowCap(ex, ShingleDfCap))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = corpusBands(s, d)
       val a = bands.select(col("doc_id").as("i"), col("band"), col("bandHash"))
       val b = bands.select(col("doc_id").as("j"), col("band"), col("bandHash"))
       val cand = a.join(b, Seq("band", "bandHash")).where(col("i") < col("j"))
@@ -440,8 +462,7 @@ object Dedup {
     // dedup_minhash_lsh, so the oracle is the exact cross-pair set.
     "dedup_incremental" -> ((s, d) => {
       val (ex, counts) = shingleTables(s, d)
-      val bands = minhashBands(belowCap(ex, ShingleDfCap))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = corpusBands(s, d)
       val incoming = bands.filter(pmod(col("doc_id"), lit(5)) === 0)
         .select(col("doc_id").as("i"), col("band"), col("bandHash"))
       val base = bands.filter(pmod(col("doc_id"), lit(5)) =!= 0)

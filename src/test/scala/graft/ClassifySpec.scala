@@ -33,14 +33,26 @@ class ClassifySpec extends AnyFunSuite {
     assert(rows.map(_.getInt(1)).toSet.subsetOf(labels))
   }
 
-  test("reference-perplexity buckets: map-side cut points, no Window in the plan") {
+  test("reference-perplexity buckets: map-side cut points, no doc-level Window") {
     val df = SparkEntry.queries("text_ref_perplexity")(spark, sf)
-    // the r12 verdict item: no global single-partition ntile — the
-    // executed plan must carry no Window operator at all (the tercile
-    // boundaries are literal cut points computed from the bounded
-    // value-grid histogram)
-    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
     val rows = df.collect()
+    // the r12 verdict item: no global single-partition ntile over the
+    // CORPUS — the only Window allowed is the histogram-sized cumsum
+    // (bounded by the 1e-4 value grid, never by document count), so no
+    // Window operator may reference a per-document column and ntile
+    // must be gone entirely
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ntile"))
+    plan.linesIterator.filter(_.contains("Window ")).foreach { l =>
+      assert(!l.contains("doc_id") && !l.contains("nll") && !l.contains("n_bigrams"),
+        s"corpus-level Window in the plan: $l")
+    }
+    // both consumers of the per-doc aggregate must share one exchange —
+    // the bigram scoring pass runs ONCE (ReuseExchange), not per branch
+    assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage")
+      || plan.contains("ReusedQueryStage") || plan.contains("reuses"),
+      "expected the scored aggregate's exchange to be reused across the " +
+        "histogram and bucketing branches")
     val byBucket = rows.groupBy(_.getInt(3))
     assert(byBucket.keySet.subsetOf(Set(1, 2, 3)))
     // cut-point semantics: value-monotone buckets (every nll in bucket
