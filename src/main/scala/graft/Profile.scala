@@ -1,11 +1,11 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Throwaway phase profiler for bench hotspots (not part of the API). */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf3")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -13,48 +13,38 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println("maxmem " + Runtime.getRuntime.maxMemory() / (1L << 20) + " MB")
     def t(name: String)(f: => Any): Unit = {
       val t0 = System.nanoTime()
       val r = f
       println(f"PROFILE $name ${(System.nanoTime() - t0) / 1e9}%.2f ($r)")
     }
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
     import graft.util.Tables
-    import graft.ops.TextOps
-    // suffixRepeats inlined with phase timers + variable sort width
-    def phased(parts: Int): Unit = {
-      val docs = Tables.fanOut(Tables.documents(spark, sfDir))
-      val sfx = docs
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("toks"),
-          posexplode(col("toks")).as(Seq("pos", "_t")))
-        .where(size(col("toks")) - col("pos") >= 10)
-        .select(col("doc_id"), col("pos"),
-          slice(col("toks"), col("pos") + 1, lit(24)).as("sfx"))
-      var sorted: org.apache.spark.sql.DataFrame = null
-      t(s"p$parts sort_checkpoint")({
-        sorted = sfx
-          .repartitionByRange(parts, col("sfx"))
-          .sortWithinPartitions(col("sfx"), col("doc_id"), col("pos"))
-          .withColumn("pid", spark_partition_id())
-          .localCheckpoint()
-        sorted.count()
+    import graft.ops.GraphAlgos
+
+    def run(label: String): Unit = {
+      val cust = Tables.customer(spark, sfDir)
+      val k = col("c_custkey")
+      val base = cust.filter(k % 10 =!= 1)
+        .select(k.as("i"), (k - 1).as("j"))
+      val delta = cust.filter(k % 10 === 1 && k % 50 =!= 1)
+        .select(k.as("i"), (k - 1).as("j"))
+        .unionAll(cust.filter(k % 100 === 0)
+          .select(k.as("i"), (k + 1000000).as("j")))
+      var baseLabels: DataFrame = null
+      t(s"$label base CC")({
+        baseLabels = GraphAlgos.componentsLargeSmallStar(base)
+        baseLabels.count()
       })
-      val w = Window.partitionBy(col("pid"))
-        .orderBy(col("sfx"), col("doc_id"), col("pos"))
-      t(s"p$parts lead_lcp")({
-        sorted.select(col("sfx"), lead(col("sfx"), 1).over(w).as("nxt"))
-          .where(col("nxt").isNotNull)
-          .select(graft.ops.Dedup.tokenLcp(col("sfx"), col("nxt")).as("lcp"))
-          .where(col("lcp") >= 10).count()
+      var out: DataFrame = null
+      t(s"$label incremental fold")({
+        out = GraphAlgos.componentsIncremental(baseLabels, delta)
+        out.count()
       })
-      sorted.unpersist()
+      t(s"$label final orderBy count")(out.orderBy(col("doc_id")).count())
     }
-    phased(32)
-    phased(128)
-    phased(32)
+    run("cold")
+    run("warm")
     spark.stop()
   }
 }

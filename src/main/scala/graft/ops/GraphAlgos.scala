@@ -188,7 +188,8 @@ object GraphAlgos {
       .select(coalesce(col("ri"), col("i")).as("i"),
         coalesce(col("rj"), col("j")).as("j"))
       .filter(col("i") =!= col("j"))
-    val merges = componentsLargeSmallStar(contracted)
+    // delta-sized result, consumed twice (remap + newNodes) — pin it
+    val merges = componentsLargeSmallStar(contracted).localCheckpoint()
     val remap = merges.select(col("doc_id").as("cluster_rep"),
       col("cluster_rep").as("new_rep"))
     val updated = lab.join(broadcast(remap), Seq("cluster_rep"), "left")
@@ -209,17 +210,26 @@ object GraphAlgos {
 
   /** Alternating large-star/small-star CC: returns (doc_id,
     * cluster_rep) for every node appearing in `pairs`. Both phases emit
-    * only canonical (node > label) edges, so the convergence check is a
-    * plain set comparison (at cluster scale: a count + hash-sum pair
-    * instead of the distinct-union count below). */
+    * only canonical (node > label) edges, so convergence is a SET
+    * comparison — detected round-to-round by an order-free (count,
+    * xxhash64-xor) signature (one map-side aggregate over the freshly
+    * checkpointed edge set, NO shuffle) and then CONFIRMED exactly with
+    * the distinct-union count once, so a 2⁻⁶⁴ hash-sum collision can
+    * only cost one extra round, never a wrong label (r13: the exact
+    * check used to run EVERY round — a full distinct shuffle of 2|E|
+    * rows per round, the single biggest fixed cost of the loop; it is
+    * now paid once at the fixpoint). */
   def componentsLargeSmallStar(pairs: DataFrame): DataFrame = {
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // output is already canonical (m <= u < v) and feeds straight
+      // into smallStar's leading distinct — its own distinct here would
+      // be a second exchange deduplicating the identical edge set (r13)
       sym.join(m, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
     }
     def smallStar(e: DataFrame): DataFrame = {
       val or = e.select(greatest(col("u"), col("v")).as("u"),
@@ -231,19 +241,34 @@ object GraphAlgos {
         .union(joined.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
     }
+    // order-free edge-set signature: one map-side aggregate, no
+    // shuffle. bit_xor (not sum) — XOR never overflows under ANSI and
+    // is an exact set fingerprint here because every signed frame is a
+    // distinct edge set (duplicates would cancel under XOR otherwise).
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     var e = pairs
       .select(greatest(col("i"), col("j")).as("u"),
         least(col("i"), col("j")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var sig = signature(e)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 32) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val nCur = e.count()
-      val nNext = next.count()
-      converged = nCur == nNext &&
-        next.union(e).distinct().count() == nCur
+      // LAZY checkpoint: the signature aggregate right below is the
+      // round's one materializing action (an eager checkpoint would be
+      // a second full pass — r13 halved the actions per round)
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      val nextSig = signature(next)
+      // signature match -> exact confirmation (runs once at the
+      // fixpoint; a collision-induced false match just loops again)
+      converged = sig == nextSig &&
+        next.union(e).distinct().count() == sig._1
       e = next
+      sig = nextSig
       rounds += 1
     }
     // Fail loudly rather than return unconverged (wrong) labels: the
