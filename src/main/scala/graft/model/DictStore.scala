@@ -113,20 +113,28 @@ trait DictBackend extends QuadStore {
       col("o_value").as("v"), col("o_kind").as("k"),
       col("o_type").as("dt"), col("o_lang").as("lg"))
     val dict = readDict()
+    // persisted before the numbering: zipWithIndex runs a per-partition
+    // count JOB over its input and the parquet write then re-executes
+    // the same lineage — without the pin, the union + term-dedup +
+    // anti-join + range sort ran TWICE per append (r13; every dict
+    // store build and streaming dict ingest pays this path)
     val fresh = subj.unionByName(pred).unionByName(obj)
       .dropDuplicates("term") // term → decomposition is 1:1 (canonical key)
       .join(dict.select(col("term")), Seq("term"), "left_anti")
       .orderBy("term")
-    val base = dict.agg(coalesce(max(col("id")) + 1L, lit(0L)))
-      .first().getLong(0)
-    val indexed = fresh
       .select(col("term"), col("v"), col("k"), col("dt"), col("lg"))
-      .as[(String, String, String, String, String)]
-      .rdd.zipWithIndex()
-      .map { case ((t, v, k, dt, lg), i) => (t, i + base, v, k, dt, lg) }
-    spark.createDataFrame(indexed)
-      .toDF(dictSchema.fieldNames.toIndexedSeq: _*)
-      .write.mode("append").parquet(dictPath)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val base = dict.agg(coalesce(max(col("id")) + 1L, lit(0L)))
+        .first().getLong(0)
+      val indexed = fresh
+        .as[(String, String, String, String, String)]
+        .rdd.zipWithIndex()
+        .map { case ((t, v, k, dt, lg), i) => (t, i + base, v, k, dt, lg) }
+      spark.createDataFrame(indexed)
+        .toDF(dictSchema.fieldNames.toIndexedSeq: _*)
+        .write.mode("append").parquet(dictPath)
+    } finally { fresh.unpersist(blocking = false); () }
   }
 
   protected def partitionDir(graph: String): Path =
