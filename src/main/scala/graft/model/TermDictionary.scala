@@ -68,7 +68,14 @@ object TermDictionary {
     * PARTITION BY would funnel the whole term set through one task).
     * This is the documented exception where an RDD primitive beats the
     * DataFrame API: Spark SQL has no distributed global-rank operator.
-    */
+    *
+    * The sorted term frame is persisted across the two passes the
+    * numbering needs (zipWithIndex's count-per-partition job at call
+    * time, then whatever action consumes the result) — without the pin
+    * the union + distinct + range sort ran twice per consumer (r13;
+    * the extendDictionary append path got the same fix). The SQL cache
+    * dedupes identical plans, so repeated builds over the same input
+    * reuse one entry; the bench clears it at the family boundary. */
   def dictionary(quads: DataFrame): DataFrame = {
     val spark = quads.sparkSession
     import spark.implicits._
@@ -77,6 +84,7 @@ object TermDictionary {
       .unionByName(quads.select(objTermOf(quads).as("term")))
       .distinct()
       .orderBy("term")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val indexed = terms.as[String].rdd.zipWithIndex()
     spark.createDataFrame(indexed).toDF("term", "id")
   }
@@ -99,6 +107,8 @@ object TermDictionary {
       .distinct()
       .join(dict.select(col("term")), Seq("term"), "left_anti")
       .orderBy("term")
+      // pinned for the same two-pass reason as [[dictionary]]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = dict.agg(coalesce(max(col("id")) + 1L, lit(0L)))
       .first().getLong(0)
     val indexed = fresh.as[String].rdd.zipWithIndex()
