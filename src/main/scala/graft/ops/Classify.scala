@@ -61,12 +61,14 @@ object Classify {
     // HISTOGRAM-sized cumulative window (the corpus_percentiles_approx
     // pattern — bounded rows, so the single-partition window is free),
     // and every document buckets MAP-SIDE against the broadcast 1-row
-    // cut table. The whole thing is ONE lazy plan: both consumers of
-    // the per-doc aggregate share its exchange (ReuseExchange), so the
-    // bigram scoring pass runs once — no checkpoint materialization,
-    // no driver-side cumsum (the r13 restructure; the r12→r13 interim
-    // localCheckpoint+collect version cost an extra corpus
-    // materialization per run).
+    // cut table. The whole thing is ONE lazy plan with the per-doc
+    // aggregate PERSISTED (doc-sized, MEMORY_AND_DISK): both consumers
+    // read the cache, so the corpus-sized bigram scoring pass runs
+    // once — no driver-side cumsum, no reliance on exchange reuse
+    // (column pruning reorders the two branches' aggregate function
+    // lists, which defeats ReuseExchange — plan-verified, see
+    // plans/r13) and no localCheckpoint (the r12→r13 interim version's
+    // extra materialization).
     // Tie rule: a key on the boundary goes to the lower bucket
     // (c_k = min key whose cumulative count reaches k·n/3) — the
     // DuckDB oracle replays the identical histogram + rule.
@@ -99,6 +101,7 @@ object Classify {
             / count(lit(1))) / 1e6) * 10000 + lit(0.5))
             .cast("long").as("kq"))
         .withColumn("nll", col("kq").cast("double") / 10000)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // histogram-sized cumulative window (bounded by the value grid,
       // never the corpus) -> one 1-row cut table, broadcast back
       val hist = scored.groupBy(col("kq")).agg(count(lit(1)).as("c"))
