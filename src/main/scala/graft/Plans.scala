@@ -299,10 +299,13 @@ object Plans {
         "touched keys only (window-sized exchanges)."),
     "dedup_suffix_repeats" ->
       ("one RangePartitioning exchange on the depth-capped suffix key " +
-        "IS the suffix sort; adjacency is a partition-local Window " +
-        "(lead) — no global single-partition sort — and the LCP fold " +
-        "is a codegen'd higher-order aggregate, so the only other " +
-        "exchange is the final tiny repeat groupBy."),
+        "IS the suffix sort (memoized per corpus as a stored artifact " +
+        "since r13 — a suffix array is maintained, not recomputed per " +
+        "consumer); adjacency is a partition-local Window (lead) — no " +
+        "global single-partition sort — and the LCP is the native " +
+        "codegen'd token_lcp expression (r13; the zip_with+fold HOF it " +
+        "replaced was 13x slower at sf3), so the only other exchange " +
+        "is the final tiny repeat groupBy."),
     "layout_cluster_subjects" ->
       ("subject-clustered store maintenance (round 11): ONE range " +
         "exchange on s feeds the rewrite (RangePartitioning in the " +
@@ -310,6 +313,21 @@ object Plans {
         "EqualTo(s,<probe-iri>) on the clustered files — with disjoint " +
         "per-file s-ranges the filter opens 1 of 8 files, the gate the " +
         "query's pruned_to_one column checks from the min/max boxes."),
+    "text_ref_perplexity" ->
+      ("CCNet-style tercile bucketing WITHOUT a corpus window (r13; " +
+        "r12's plan was ntile(3) over a SinglePartition exchange): the " +
+        "per-doc aggregate is cached and read by BOTH branches — " +
+        "exactly one hashpartitioning(doc_id) exchange in the plan — " +
+        "the only Window is the histogram-sized cumsum over the " +
+        "bounded 1e-4 value grid, and the two cut points come back as " +
+        "a broadcast 1-row table (BroadcastNestedLoopJoin) bucketing " +
+        "documents map-side."),
+    "dedup_simhash" ->
+      ("the 62-bit fingerprint is ONE native simhash64 projection per " +
+        "document (r13; replaces explode + 16 packed-lane vote " +
+        "aggregates + a hash join back — no token explode, no vote " +
+        "shuffle); banding is a posexplode of 8 byte-chunks and the " +
+        "hamming filter runs on bit_count inside the codegen span."),
     "embed_hard_negatives" ->
       ("INDEX-SERVED since round 11: candidates come from the persisted " +
         "cell-partitioned IVFADC index — look for the scan of " +
