@@ -172,3 +172,26 @@ class OpsInternalsSpec extends AnyFunSuite {
       ("x:z", "s", "x:b", "literal")))
   }
 }
+
+/** The r13 band-index memo: the banded MinHash signatures are a
+  * per-corpus artifact shared by dedup_minhash_lsh and
+  * dedup_incremental — one 48-hash aggregation per corpus, not per
+  * consumer, dropped at the bench family boundary. */
+class BandCacheSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = graft.TestSpark.sf
+
+  test("corpusBands memoizes per (session, dir) and clearCaches drops it") {
+    Dedup.clearCaches()
+    val a = Dedup.corpusBands(spark, sf)
+    val b = Dedup.corpusBands(spark, sf)
+    assert(a eq b, "second consumer must get the memoized band index")
+    assert(a.columns.toSeq == Seq("doc_id", "band", "bandHash"))
+    Dedup.clearCaches()
+    val c = Dedup.corpusBands(spark, sf)
+    assert(!(a eq c), "clearCaches must drop the memo (fresh instance after)")
+    // semantic identity across memo generations: same banded signature set
+    assert(a.exceptAll(c).count() == 0 && c.exceptAll(a).count() == 0)
+    Dedup.clearCaches()
+  }
+}
